@@ -1,0 +1,330 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import scala.collection.immutable.ListMap
+import Qh._
+
+/** Relational operator inventory (SURVEY.md §2.2 rows `scan_project` …
+  * `flatten_attrs`). Each entry names the reference behavior it generalizes
+  * (file:line of /root/reference) and carries its DuckDB oracle.
+  *
+  * Every query ends with ORDER BY on a unique column set; every float
+  * aggregate uses the exact-decimal accumulation in [[Qh.dsum]]; every
+  * computed integer column is BIGINT on both sides.
+  */
+object QueriesRelational {
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // search_vertex's projection-free scan, done right: column-pruned
+    // parquet read (mongraph.py:215-226 fetches whole documents).
+    "scan_project" -> QueryDef(
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey").as("partkey"), col("p_name").as("name"),
+          col("p_retailprice").as("price"))
+        .orderBy("partkey"),
+      """SELECT p_partkey AS partkey, p_name AS name, p_retailprice AS price
+        |FROM part ORDER BY partkey""".stripMargin),
+
+    // Compound predicate σ — the Mongo filter-document surface
+    // (mongraph.py:222, 236-241) as a pushed-down Column predicate.
+    "filter_pred" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .filter((col("o_orderstatus").isin("F", "P") && col("o_orderpriority").like("1-%")
+          || col("o_totalprice") > 200000.0) && col("o_orderdate").isNotNull)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE (o_orderstatus IN ('F','P') AND o_orderpriority LIKE '1-%'
+        |       OR o_totalprice > 200000.0) AND o_orderdate IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // _get_vertex_details point lookup (mongraph.py:29-44).
+    "point_lookup" -> QueryDef(
+      (s, d) => t(s, d, "customer").filter(col("c_custkey") === 42)
+        .orderBy("c_custkey"),
+      "SELECT * FROM customer WHERE c_custkey = 42 ORDER BY c_custkey"),
+
+    // Batch id-list detail fetch (mongraph.py:38-43) — semi-join instead of
+    // the reference's per-id find_one round-trip loop.
+    "semi_join_ids" -> QueryDef(
+      (s, d) => {
+        val ids = t(s, d, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("o_custkey"))
+        t(s, d, "orders").join(ids, Seq("o_custkey"), "left_semi")
+          .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Cascade-delete survivors (delete_node, mongraph.py:171-177): edges not
+    // touching the deleted vertex set, as an anti-join.
+    "anti_join_delete" -> QueryDef(
+      (s, d) => {
+        val deleted = t(s, d, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("o_custkey"))
+        t(s, d, "orders").join(deleted, Seq("o_custkey"), "left_anti")
+          .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal < 0)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // insert_vertex upsert-by-natural-key, first-write-wins
+    // (mongraph.py:90-94; SURVEY §2.3 item 8): old batch beats new batch on
+    // key conflict, new keys appended.
+    "upsert_dedup" -> QueryDef(
+      (s, d) => {
+        val part = t(s, d, "part")
+        val old = part.select(col("p_partkey").as("k"), col("p_name").as("v"), lit(0).as("pri"))
+        val neu = part.select((col("p_partkey") + 100).as("k"),
+          concat(lit("new_"), col("p_name")).as("v"), lit(1).as("pri"))
+        val w = Window.partitionBy("k").orderBy("pri")
+        old.union(neu).withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("k", "v").orderBy("k")
+      },
+      """SELECT k, v FROM (
+        |  SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY pri) AS rn FROM (
+        |    SELECT p_partkey AS k, p_name AS v, 0 AS pri FROM part
+        |    UNION ALL
+        |    SELECT p_partkey+100, 'new_' || p_name, 1 FROM part))
+        |WHERE rn = 1 ORDER BY k""".stripMargin),
+
+    // update_vertex merge-patch (mongraph.py:195-203): left-join the patch
+    // set, coalesce(new, old).
+    "update_patch" -> QueryDef(
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val patch = cust.filter(col("c_acctbal") < 0)
+          .select(col("c_custkey"), lit(0.0).as("newbal"))
+        cust.join(patch, Seq("c_custkey"), "left")
+          .select(col("c_custkey"), coalesce(col("newbal"), col("c_acctbal")).as("acctbal"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c.c_custkey, COALESCE(p.newbal, c.c_acctbal) AS acctbal
+        |FROM customer c LEFT JOIN
+        |  (SELECT c_custkey, CAST(0.0 AS DOUBLE) AS newbal FROM customer WHERE c_acctbal < 0) p
+        |ON c.c_custkey = p.c_custkey ORDER BY c.c_custkey""".stripMargin),
+
+    // Reference's detected_prop maliciousness aggregate — AVG of a ratio per
+    // entity (graph_importer.py:108-110,130-138), modeled on lineitem.
+    "detected_prop" -> QueryDef(
+      (s, d) => t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg((sum((col("l_discount") / (lit(1.0) + col("l_tax"))).cast(DecimalType(18, 9)))
+          .cast("double") / count(lit(1))).as("detected_prop"))
+        .orderBy("l_orderkey"),
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_discount/(1+l_tax) AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS detected_prop
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+
+    // Equi inner join (extension surface).
+    "inner_join" -> QueryDef(
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice").orderBy("o_orderkey"),
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Broadcast join: fact ⋈ two small dims, dims explicitly broadcast so no
+    // shuffle of lineitem at any scale.
+    "broadcast_join" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name"),
+      s"""SELECT n_name, ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // Left outer join with null handling.
+    "outer_join" -> QueryDef(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first),
+      """SELECT c_custkey, o_orderkey FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin),
+
+    // Non-equi band join: events of the same user within a 10-minute window.
+    // Equi component (user_id) keys the shuffle; the range predicate is a
+    // post-join filter — no cartesian at scale.
+    "theta_range_join" -> QueryDef(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val e1 = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+        val e2 = e.select(col("event_id").as("b_id"), col("user_id"), col("ts").as("b_ts"))
+        e1.join(e2, Seq("user_id"))
+          .filter(col("b_ts") > col("a_ts")
+            && col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+          .select("a_id", "b_id").orderBy("a_id", "b_id")
+      },
+      """SELECT e1.event_id AS a_id, e2.event_id AS b_id
+        |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+        |  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // Flagship TPC-H Q1-style hash aggregate (SparkEntry.entry).
+    "agg_groupby" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+         |  COUNT(*) AS count_order,
+         |  ${dsumSql("l_quantity")}/COUNT(*) AS avg_qty
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // count(DISTINCT) per group.
+    "agg_distinct" -> QueryDef(
+      (s, d) => t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+      """SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Grouping sets: rollup over (returnflag, linestatus).
+    "rollup_cube" -> QueryDef(
+      (s, d) => t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // Ranking window: top-3 orders per customer, deterministic tie-break.
+    "window_rank" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders").withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+
+    // Analytic window: running sum (exact decimal accumulation) + lag delta.
+    "window_running" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        t(s, d, "orders")
+          .withColumn("run_sum", sum(col("o_totalprice").cast(DecimalType(18, 6)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+          .withColumn("delta", col("o_totalprice") - lag("o_totalprice", 1).over(w))
+          .select("o_custkey", "o_orderkey", "run_sum", "delta")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+        |  o_totalprice - lag(o_totalprice, 1) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // Global top-k with deterministic tie-break → TakeOrderedAndProject
+    // (no full sort materialization at scale).
+    "sort_limit_topk" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+
+    // Set operators over label-partitioned key sets (labels mongraph.py:22-27).
+    "set_ops" -> QueryDef(
+      (s, d) => {
+        val c = t(s, d, "customer").select(col("c_nationkey").cast("long").as("nk"))
+        val su = t(s, d, "supplier").select(col("s_nationkey").cast("long").as("nk"))
+        c.intersect(su).withColumn("op", lit("intersect"))
+          .union(c.except(su).withColumn("op", lit("except")))
+          .union(c.union(su).distinct().withColumn("op", lit("union")))
+          .select("op", "nk").orderBy("op", "nk")
+      },
+      """SELECT op, nk FROM (
+        |  SELECT 'intersect' AS op, nk FROM (
+        |    SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |    INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |  UNION ALL SELECT 'except', nk FROM (
+        |    SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |    EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |  UNION ALL SELECT 'union', nk FROM (
+        |    SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |    UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier))
+        |ORDER BY op, nk""".stripMargin),
+
+    // Scalar function battery: string/date/math + the reference's anchored
+    // IPv4 classifier regex (_is_ipaddress, graph_importer.py:33-34).
+    "scalar_funcs" -> QueryDef(
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).as("pri"),
+        upper(col("o_orderstatus")).as("status_u"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("cat"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        abs(col("o_totalprice") * lit(-1.0)).as("price_abs"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("mon_start"),
+        concat(col("o_orderkey").cast("string"), lit(".0.0.1"))
+          .rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")
+          .as("is_ipv4"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey, substr(o_orderpriority, 1, 1) AS pri,
+        |  upper(o_orderstatus) AS status_u,
+        |  o_orderstatus || '-' || o_orderpriority AS cat,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  abs(o_totalprice * -1.0) AS price_abs,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon_start,
+        |  regexp_matches(CAST(o_orderkey AS VARCHAR) || '.0.0.1',
+        |    '^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$') AS is_ipv4
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // JSON field extraction from events.props (ETL JSON surface,
+    // graph_importer.py:170-175).
+    "json_extract" -> QueryDef(
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // Array flattening — the importer's list→columns flattening
+    // (graph_importer.py:153-168) done natively: explode + group.
+    "flatten_attrs" -> QueryDef(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "tok"),
+      """SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY doc_id, tok ORDER BY doc_id, tok""".stripMargin)
+  )
+}

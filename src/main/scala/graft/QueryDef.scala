@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared engine query: the Spark implementation plus (when
+  * SQL-expressible) the equivalent DuckDB oracle SQL the driver's t2 gate
+  * hash-compares against (SURVEY.md §2.2).
+  */
+final case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def apply(fn: (SparkSession, String) => DataFrame, oracle: String): QueryDef =
+    QueryDef(fn, Some(oracle))
+}
+
+/** Shared helpers enforcing the oracle-determinism rules (SURVEY.md §2.2):
+  * float aggregates go through exact DECIMAL accumulation (order-independent)
+  * and only then back to DOUBLE, so Spark's parallel partial aggregation and
+  * DuckDB's sequential scan produce bit-identical results; computed integer
+  * columns are always BIGINT on both sides.
+  */
+object Qh {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    graft.model.Tables(spark, sfDir, name)
+
+  /** Order-independent exact sum of a double expression: cast each value to
+    * DECIMAL(18,scale), sum exactly, cast the total back to double. The
+    * DuckDB mirror is `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`.
+    */
+  def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** DuckDB fragment matching [[dsum]]. */
+  def dsumSql(x: String, scale: Int = 6): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
+}
