@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.model.{DerivedGraph, DerivedGraphSql}
+import graft.ops.{MongoFilter, Traverse}
+
+/** Graph-operator inventory over the derived property graph (SURVEY.md §2.2
+  * graph rows). The DuckDB oracle reproduces each traversal as joins over
+  * the base tables via [[DerivedGraphSql]].
+  */
+object QueriesGraph {
+
+  private val nationSeed = DerivedGraph.NationBase + 7 // nation 7
+  private val custSeed = DerivedGraph.CustomerBase + 1 // customer 1
+  private val regionSeed = DerivedGraph.RegionBase // region 0
+
+  private val mongoFilterDoc =
+    """{"$or": [
+      |  {"label": "region"},
+      |  {"$and": [{"label": "customer"}, {"name": {"$regex": "^Customer#0000001"}}]},
+      |  {"id": {"$gte": 5000000000, "$lt": 5000000050}}
+      |]}""".stripMargin
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // find_neighbors (mongraph.py:228-250): undirected 1-hop, seed included.
+    "neighbors_1hop" -> QueryDef(
+      (s, d) => {
+        val g = DerivedGraph(s, d)
+        Traverse.neighborIds(g.edges, nationSeed)
+          .join(g.vertices, Seq("id")).select("id", "label", "name").orderBy("id")
+      },
+      s"""${DerivedGraphSql.cte},
+         | ids AS (SELECT DISTINCT b AS id FROM und WHERE a = $nationSeed
+         |         UNION SELECT CAST($nationSeed AS BIGINT))
+         |SELECT v.id, v.label, v.name FROM v JOIN ids ON v.id = ids.id ORDER BY v.id""".stripMargin),
+
+    // _explode_node intent (mongraph.py:252-274): 2-hop closure with
+    // visited-set dedup.
+    "khop_2" -> QueryDef(
+      (s, d) => {
+        val g = DerivedGraph(s, d)
+        Traverse.kHopIds(g.edges, custSeed, 2)
+          .join(g.vertices, Seq("id")).select("id", "label", "name").orderBy("id")
+      },
+      s"""${DerivedGraphSql.cte},
+         | h0 AS (SELECT CAST($custSeed AS BIGINT) AS id),
+         | h1 AS (SELECT DISTINCT b AS id FROM und JOIN h0 ON und.a = h0.id),
+         | h2 AS (SELECT DISTINCT b AS id FROM und JOIN h1 ON und.a = h1.id),
+         | ids AS (SELECT id FROM h0 UNION SELECT id FROM h1 UNION SELECT id FROM h2)
+         |SELECT v.id, v.label, v.name FROM v JOIN ids ON v.id = ids.id ORDER BY v.id""".stripMargin),
+
+    // build_graph intent (mongraph.py:276-303): depth-4 ego subgraph vertex
+    // set (the JSON document itself is golden-tested in EgoSubgraphSpec;
+    // the oracle verifies the vertex membership, FIXTURES.md §B).
+    "ego_subgraph" -> QueryDef(
+      (s, d) => {
+        val g = DerivedGraph(s, d)
+        Traverse.kHopIds(g.edges, regionSeed, 4)
+          .join(g.vertices, Seq("id")).select("id", "label", "name").orderBy("id")
+      },
+      s"""${DerivedGraphSql.cte},
+         | h0 AS (SELECT CAST($regionSeed AS BIGINT) AS id),
+         | h1 AS (SELECT DISTINCT b AS id FROM und JOIN h0 ON und.a = h0.id),
+         | h2 AS (SELECT DISTINCT b AS id FROM und JOIN h1 ON und.a = h1.id),
+         | h3 AS (SELECT DISTINCT b AS id FROM und JOIN h2 ON und.a = h2.id),
+         | h4 AS (SELECT DISTINCT b AS id FROM und JOIN h3 ON und.a = h3.id),
+         | ids AS (SELECT id FROM h0 UNION SELECT id FROM h1 UNION SELECT id FROM h2
+         |         UNION SELECT id FROM h3 UNION SELECT id FROM h4)
+         |SELECT v.id, v.label, v.name FROM v JOIN ids ON v.id = ids.id ORDER BY v.id""".stripMargin),
+
+    // Per-label degree statistics (adjacency model, mongraph.py:116-117).
+    "degree_by_label" -> QueryDef(
+      (s, d) => {
+        val g = DerivedGraph(s, d)
+        Traverse.degrees(g.vertices, g.edges)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vertices"), sum(col("degree")).as("total_degree"))
+          .withColumn("avg_degree", col("total_degree").cast("double") / col("n_vertices"))
+          .orderBy("label")
+      },
+      s"""${DerivedGraphSql.cte},
+         | endp AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+         | deg AS (SELECT id, COUNT(*) AS d FROM endp GROUP BY id),
+         | vd AS (SELECT v.label, COALESCE(deg.d, 0) AS d FROM v LEFT JOIN deg ON v.id = deg.id)
+         |SELECT label, COUNT(*) AS n_vertices, CAST(SUM(d) AS BIGINT) AS total_degree,
+         |  CAST(SUM(d) AS DOUBLE)/COUNT(*) AS avg_degree
+         |FROM vd GROUP BY label ORDER BY label""".stripMargin),
+
+    // search_vertex's Mongo filter-document surface (mongraph.py:215-226)
+    // through the MongoFilter → Column compiler.
+    "mongo_filter" -> QueryDef(
+      (s, d) => {
+        val g = DerivedGraph(s, d)
+        MongoFilter.where(g.vertices, mongoFilterDoc)
+          .select("id", "label", "name").orderBy("id")
+      },
+      s"""${DerivedGraphSql.cte}
+         |SELECT id, label, name FROM v
+         |WHERE label = 'region'
+         |   OR (label = 'customer' AND regexp_matches(name, '^Customer#0000001'))
+         |   OR (id >= 5000000000 AND id < 5000000050)
+         |ORDER BY id""".stripMargin)
+  )
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Mongo-filter-document → Catalyst `Column` compiler.
+  *
+  * Preserves the reference's entire ad-hoc query surface — `search_vertex`
+  * accepts an arbitrary MongoDB query document evaluated server-side
+  * (mongraph.py:215-226); here the document compiles to a Column expression
+  * tree that Catalyst then optimizes and pushes into the parquet scan, so a
+  * filter that Mongo would run as an unindexed collection scan becomes a
+  * row-group-pruned columnar scan at 100 TB.
+  *
+  * Supported operators: `\$eq \$ne \$gt \$gte \$lt \$lte \$in \$nin \$and
+  * \$or \$nor \$not \$exists \$regex` — the set SURVEY.md §2.1 row 12 calls
+  * for. `\$regex` uses find-anywhere semantics (`rlike`), matching Mongo.
+  * Dotted paths resolve through struct fields or map keys depending on the
+  * DataFrame schema (the reference's documents are schemaless; our `props`
+  * map plays that role).
+  */
+object MongoFilter {
+
+  /** Compile a JSON filter document against `df`'s schema. */
+  def compile(df: DataFrame, filterJson: String): Column =
+    compileDoc(df, JsonMethods.parse(filterJson).asInstanceOf[JObject])
+
+  def where(df: DataFrame, filterJson: String): DataFrame =
+    df.filter(compile(df, filterJson))
+
+  private def compileDoc(df: DataFrame, doc: JObject): Column =
+    doc.obj.map { case (k, v) => compileField(df, k, v) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+  private def compileField(df: DataFrame, key: String, v: JValue): Column = (key, v) match {
+    case ("$and", JArray(docs)) =>
+      docs.map(d => compileDoc(df, d.asInstanceOf[JObject])).reduce(_ && _)
+    case ("$or", JArray(docs)) =>
+      docs.map(d => compileDoc(df, d.asInstanceOf[JObject])).reduce(_ || _)
+    case ("$nor", JArray(docs)) =>
+      !docs.map(d => compileDoc(df, d.asInstanceOf[JObject])).reduce(_ || _)
+    case (field, JObject(ops)) if ops.forall(_._1.startsWith("$")) =>
+      ops.map { case (op, arg) => compileOp(resolve(df, field), op, arg) }.reduce(_ && _)
+    case (field, value) => // bare equality
+      resolve(df, field) === literal(value)
+  }
+
+  private def compileOp(c: Column, op: String, arg: JValue): Column = op match {
+    case "$eq"  => c === literal(arg)
+    case "$ne"  => !(c <=> literal(arg)) // Mongo $ne also matches missing fields
+    case "$gt"  => c > literal(arg)
+    case "$gte" => c >= literal(arg)
+    case "$lt"  => c < literal(arg)
+    case "$lte" => c <= literal(arg)
+    case "$in"  => c.isin(arg.asInstanceOf[JArray].arr.map(raw): _*)
+    case "$nin" => !c.isin(arg.asInstanceOf[JArray].arr.map(raw): _*)
+    case "$exists" =>
+      if (arg == JBool(true)) c.isNotNull else c.isNull
+    case "$regex" => c.rlike(arg.asInstanceOf[JString].s)
+    case "$not" => !compileOps(c, arg.asInstanceOf[JObject])
+    case other  => throw new IllegalArgumentException(s"unsupported operator $other")
+  }
+
+  private def compileOps(c: Column, ops: JObject): Column =
+    ops.obj.map { case (op, arg) => compileOp(c, op, arg) }.reduce(_ && _)
+
+  /** Resolve a possibly dotted field path: `props.x` is map access when
+    * `props` is a MapType (schemaless attributes), struct access otherwise.
+    */
+  private def resolve(df: DataFrame, field: String): Column =
+    field.split("\\.", 2) match {
+      case Array(head, rest) if df.schema.fieldNames.contains(head)
+          && df.schema(head).dataType.isInstanceOf[MapType] =>
+        col(head).getItem(rest)
+      case _ => col(field)
+    }
+
+  private def literal(v: JValue): Column = lit(raw(v))
+
+  private def raw(v: JValue): Any = v match {
+    case JString(s)  => s
+    case JInt(i)     => i.toLong
+    case JLong(l)    => l
+    case JDouble(d)  => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b)    => b
+    case JNull       => null
+    case other       => throw new IllegalArgumentException(s"unsupported literal $other")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch mutation semantics over immutable snapshots (SURVEY.md §1.2):
+  * every reference mutation becomes a pure DataFrame transform returning a
+  * new snapshot. All of them are shuffle-partitioned merges on the natural
+  * key — no driver-side materialization — so they scale to 100 TB by
+  * construction.
+  */
+object Mutations {
+
+  /** Upsert-by-natural-key with the reference's first-write-wins conflict
+    * rule: `insert_vertex` probes for an existing doc with the identity key
+    * and, on a hit, returns the existing id *discarding the new attributes*
+    * (mongraph.py:90-94; SURVEY §2.3 item 8). Here: rows already in
+    * `existing` beat `incoming` rows on the same key; genuinely new keys
+    * append. Precondition: each input is key-unique (dedupe first with
+    * [[dedupFirst]] if not).
+    *
+    * One shuffle on the key; at scale the window is a partial-agg-friendly
+    * min-by per key.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pri"))
+    existing.withColumn("__pri", lit(0))
+      .unionByName(incoming.withColumn("__pri", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__pri", "__rn")
+  }
+
+  /** Edge upsert: dedup key is (src, dst, label) with exact direction —
+    * A→B and B→A coexist, parallel edges only across labels
+    * (mongraph.py:120-124).
+    */
+  def upsertEdges(existing: DataFrame, incoming: DataFrame): DataFrame =
+    upsert(existing, incoming, Seq("src", "dst", "label"))
+
+  /** Keep the first row per key, ordering ties by `orderCols` — the batch
+    * analog of the reference's sequential insert order.
+    */
+  def dedupFirst(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** `update_vertex`/`update_edge` merge-patch (`\$set`, mongraph.py:195-213):
+    * left-join the patch set on the key, `coalesce(new, old)` per patched
+    * column; unpatched rows and columns pass through untouched.
+    */
+  def patch(target: DataFrame, patches: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val patchCols = patches.columns.filterNot(keyCols.contains)
+    val renamed = patchCols.foldLeft(patches)((df, c) => df.withColumnRenamed(c, s"__p_$c"))
+    val joined = target.join(renamed, keyCols, "left")
+    val out = patchCols.foldLeft(joined)((df, c) =>
+      df.withColumn(c, coalesce(col(s"__p_$c"), col(c))))
+    out.drop(patchCols.map(c => s"__p_$c"): _*)
+  }
+
+  /** `delete_node` undirected cascade (mongraph.py:171-177): remove the
+    * vertices, then ALL edges incident to them from either endpoint.
+    * Anti-joins — one shuffle each, no collect.
+    */
+  def deleteVerticesCascade(vertices: DataFrame, edges: DataFrame, ids: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val idCol = ids.columns.head
+    val keep = vertices.join(ids.withColumnRenamed(idCol, "id"), Seq("id"), "left_anti")
+    val keepEdges = edges
+      .join(ids.select(col(idCol).as("src")), Seq("src"), "left_anti")
+      .join(ids.select(col(idCol).as("dst")), Seq("dst"), "left_anti")
+      .select(edges.columns.map(col).toSeq: _*)
+    (keep, keepEdges)
+  }
+
+  /** `delete_edge` by exact (src, dst, label) (mongraph.py:183-193). */
+  def deleteEdges(edges: DataFrame, toDelete: DataFrame): DataFrame =
+    edges.join(toDelete.select("src", "dst", "label"),
+      Seq("src", "dst", "label"), "left_anti")
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.DerivedGraph
+
+/** Traversal operators — the reference's read path re-expressed as frontier
+  * joins (SURVEY.md §3.2).
+  *
+  * The reference issues one unindexed `\$or` edge-collection scan per
+  * frontier vertex per level and revisits neighbors exponentially (no
+  * visited set; mongraph.py:236-241, 252-274). Here each hop is ONE shuffle
+  * join of the undirected edge view against the frontier, with a visited-set
+  * anti-join and `localCheckpoint()` per round to cut lineage growth —
+  * O(depth) stages regardless of fan-out.
+  */
+object Traverse {
+
+  /** Undirected 1-hop neighborhood. Matches `find_neighbors` semantics:
+    * both endpoints of every incident edge are collected, so the seed
+    * itself is included (mongraph.py:243-245).
+    */
+  def neighborIds(edges: DataFrame, seed: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = DerivedGraph.undirected(edges)
+    und.filter(col("a") === seed).select(col("b").as("id"))
+      .union(Seq(seed).toDF("id"))
+      .distinct()
+  }
+
+  /** Depth-bounded k-hop closure with visited-set dedup — the *intent* of
+    * `_explode_node` (mongraph.py:252-274; the letter crashes, SURVEY §2.3
+    * items 1-2). Returns the visited vertex-id set including the seed.
+    */
+  def kHopIds(edges: DataFrame, seed: Long, k: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = DerivedGraph.undirected(edges)
+    var visited = Seq(seed).toDF("id")
+    var frontier = visited
+    for (_ <- 1 to k if !frontier.isEmpty) {
+      val next = und.join(frontier.withColumnRenamed("id", "a"), Seq("a"))
+        .select(col("b").as("id")).distinct()
+      frontier = next.join(visited, Seq("id"), "left_anti").localCheckpoint()
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    visited
+  }
+
+  /** `build_graph` intent (mongraph.py:276-303): the depth-k ego subgraph —
+    * visited vertices plus the induced edges (both endpoints visited).
+    */
+  def egoSubgraph(vertices: DataFrame, edges: DataFrame, seed: Long, depth: Int)
+      : (DataFrame, DataFrame) = {
+    val ids = kHopIds(edges, seed, depth)
+    val vs = vertices.join(ids, Seq("id"), "left_semi")
+    val es = edges
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(edges.columns.map(col).toSeq: _*)
+    (vs, es)
+  }
+
+  /** JSON export of a (bounded) ego subgraph — `build_graph`'s
+    * `{"graph": {"vertices": ..., "edges": ...}}` shape (mongraph.py:298-303,
+    * which raises on sets/ObjectIds; we emit the intended document).
+    * Canonically sorted so the output is deterministic for golden tests.
+    * Collects to the driver — only valid for depth-bounded ego sets, which
+    * is the reference's use case; full-graph export goes through
+    * `df.write.json` instead.
+    */
+  def egoSubgraphJson(vertices: DataFrame, edges: DataFrame, seed: Long, depth: Int): String = {
+    val (vs, es) = egoSubgraph(vertices, edges, seed, depth)
+    val vJson = vs.orderBy("id")
+      .select(to_json(struct(vs.columns.map(col).toSeq: _*)).as("j"))
+      .collect().map(_.getString(0))
+    val eJson = es.orderBy("src", "dst", "label")
+      .select(to_json(struct(es.columns.map(col).toSeq: _*)).as("j"))
+      .collect().map(_.getString(0))
+    s"""{"graph":{"vertices":[${vJson.mkString(",")}],"edges":[${eJson.mkString(",")}]}}"""
+  }
+
+  /** Per-vertex undirected degree: one `explode` of both endpoints + a
+    * count — map-side combinable, no join (adjacency model,
+    * mongraph.py:116-117,236-241). Zero-degree vertices included via left
+    * join.
+    */
+  def degrees(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val endpoints = edges.select(explode(array(col("src"), col("dst"))).as("id"))
+    val deg = endpoints.groupBy("id").agg(count(lit(1)).as("degree"))
+    vertices.join(deg, Seq("id"), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+  }
+}
