@@ -7,5 +7,5 @@ import scala.collection.immutable.ListMap
   */
 object Queries {
   def all: ListMap[String, QueryDef] =
-    QueriesRelational.defs ++ QueriesGraph.defs
+    QueriesRelational.defs ++ QueriesGraph.defs ++ QueriesWindows.defs
 }
