@@ -7,5 +7,6 @@ import scala.collection.immutable.ListMap
   */
 object Queries {
   def all: ListMap[String, QueryDef] =
-    QueriesRelational.defs ++ QueriesGraph.defs ++ QueriesWindows.defs
+    QueriesRelational.defs ++ QueriesGraph.defs ++ QueriesWindows.defs ++
+      QueriesLlm.defs
 }

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.collection.immutable.ListMap
+import Qh._
+import graft.ops.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline inventory (north-star mandate): dedup ×4, similarity
+  * search ×2, text analysis ×4, fingerprinting, multimodal ×2. Oracles
+  * where SQL-expressible; hash-based ops (minhash/simhash/LSH/fingerprint)
+  * depend on xxhash64, absent in DuckDB → rows-only check per the driver
+  * contract (SparkEntry.oracleSql omission).
+  */
+object QueriesLlm {
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // Exact dedup: keep min doc_id per normalized text.
+    "dedup_exact" -> QueryDef(
+      (s, d) => Dedup.exact(t(s, d, "documents")).orderBy("doc_id"),
+      """SELECT MIN(doc_id) AS doc_id FROM documents
+        |GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin),
+
+    // MinHash+LSH band buckets (xxhash64-based → no oracle).
+    "dedup_minhash" -> QueryDef(
+      (s, d) => Dedup.minhashBuckets(t(s, d, "documents"))
+        .orderBy("doc_id", "band"),
+      None),
+
+    // 64-bit SimHash fingerprints (no oracle).
+    "dedup_simhash" -> QueryDef(
+      (s, d) => Dedup.simhash(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      None),
+
+    // Exact token-bigram Jaccard: most-similar pair per source block.
+    "dedup_ngram_jaccard" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val grams = docs
+          .withColumn("__toks", split(col("text"), " "))
+          .filter(size(col("__toks")) >= 2)
+          .select(col("source"), col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(0, size(__toks)-2), i -> concat(__toks[i], ' ', __toks[i+1])))")).as("gram"))
+        val sizes = grams.groupBy("source", "doc_id").agg(count(lit(1)).as("sz"))
+        val inter = grams.select(col("source"), col("doc_id").as("a_id"), col("gram"))
+          .join(grams.select(col("source"), col("doc_id").as("b_id"), col("gram")),
+            Seq("source", "gram"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("source", "a_id", "b_id").agg(count(lit(1)).as("inter"))
+        val j = inter
+          .join(sizes.select(col("source"), col("doc_id").as("a_id"), col("sz").as("sza")), Seq("source", "a_id"))
+          .join(sizes.select(col("source"), col("doc_id").as("b_id"), col("sz").as("szb")), Seq("source", "b_id"))
+          .withColumn("jac", col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+        val w = Window.partitionBy("source").orderBy(col("jac").desc, col("a_id"), col("b_id"))
+        j.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select("source", "a_id", "b_id", "jac").orderBy("source")
+      },
+      """WITH tk AS (SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT source, doc_id, toks[i] || ' ' || toks[i+1] AS gram
+        |      FROM (SELECT source, doc_id, toks,
+        |            unnest(generate_series(1, len(toks)-1)) AS i FROM tk)),
+        |sz AS (SELECT source, doc_id, COUNT(*) AS sz FROM g GROUP BY 1, 2),
+        |pr AS (SELECT g1.source, g1.doc_id AS a_id, g2.doc_id AS b_id, COUNT(*) AS inter
+        |       FROM g g1 JOIN g g2 ON g1.source = g2.source AND g1.gram = g2.gram
+        |         AND g1.doc_id < g2.doc_id
+        |       GROUP BY 1, 2, 3),
+        |j AS (SELECT pr.source, a_id, b_id,
+        |        CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) AS jac
+        |      FROM pr JOIN sz sa ON sa.source = pr.source AND sa.doc_id = pr.a_id
+        |              JOIN sz sb ON sb.source = pr.source AND sb.doc_id = pr.b_id),
+        |r AS (SELECT source, a_id, b_id, jac,
+        |        row_number() OVER (PARTITION BY source ORDER BY jac DESC, a_id, b_id) AS rk
+        |      FROM j)
+        |SELECT source, a_id, b_id, jac FROM r WHERE rk = 1 ORDER BY source""".stripMargin),
+
+    // Brute-force cosine top-5 for a 5% query sample, same-label blocking.
+    // Scores rounded to 4dp before ranking on both sides so float
+    // accumulation order can't flip ranks.
+    "similarity_topk" -> QueryDef(
+      (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), col("vec_id") % 20 === 0)
+        .orderBy("q_id", "rk"),
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |q AS (SELECT e.vec_id AS q_id, e.label, e.emb AS q_emb, n.nrm AS q_n
+        |      FROM e JOIN n ON e.vec_id = n.vec_id WHERE e.vec_id % 20 = 0),
+        |c AS (SELECT e.vec_id AS c_id, e.label, e.emb AS c_emb, n.nrm AS c_n
+        |      FROM e JOIN n ON e.vec_id = n.vec_id),
+        |sc AS (SELECT q_id, c_id,
+        |         round(list_dot_product(q_emb, c_emb)/(q_n*c_n), 4) AS score
+        |       FROM q JOIN c ON q.label = c.label AND q_id <> c_id),
+        |r AS (SELECT q_id, c_id, score,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS BIGINT) AS rk
+        |      FROM sc)
+        |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // Random-hyperplane LSH variant — the at-scale path (no oracle:
+    // xxhash64-derived hyperplanes).
+    "similarity_lsh" -> QueryDef(
+      (s, d) => Similarity.lshCosineTopK(t(s, d, "embeddings"), col("vec_id") % 20 === 0)
+        .orderBy("q_id", "rk"),
+      None),
+
+    // Top-5 tokens per language.
+    "text_tokens" -> QueryDef(
+      (s, d) => TextAnalysis.topTermsPerLang(t(s, d, "documents"))
+        .orderBy("lang", "rk"),
+      """SELECT lang, rk, tok, cnt FROM (
+        |  SELECT lang, tok, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS BIGINT) AS rk
+        |  FROM (SELECT lang, tok, COUNT(*) AS cnt FROM
+        |    (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |    GROUP BY lang, tok))
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin),
+
+    // Per-document quality features.
+    "text_quality" -> QueryDef(
+      (s, d) => TextAnalysis.quality(t(s, d, "documents")).orderBy("doc_id"),
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(n_chars AS DOUBLE)/len(string_split(text, ' ')) AS chars_per_token,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // BPE-style pre-tokenizer counts.
+    "token_count_bpe" -> QueryDef(
+      (s, d) => TextAnalysis.bpeTokenCount(t(s, d, "documents")).orderBy("doc_id"),
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Fit-then-classify token-profile language ID (no oracle: two-pass
+    // rank-weighted model; verified by LangIdSpec instead).
+    "lang_id" -> QueryDef(
+      (s, d) => TextAnalysis.langId(t(s, d, "documents")).orderBy("doc_id"),
+      None),
+
+    // Winnowing fingerprints (xxhash64 → no oracle).
+    "doc_fingerprint" -> QueryDef(
+      (s, d) => TextAnalysis.fingerprint(t(s, d, "documents")).orderBy("doc_id"),
+      None),
+
+    // Documents ⋈ embeddings: text + vector in one frame, stats per
+    // (lang, label).
+    "multimodal_cols" -> QueryDef(
+      (s, d) => Multimodal.joinedStats(t(s, d, "documents"), t(s, d, "embeddings"))
+        .orderBy("lang", "label"),
+      """SELECT lang, label, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(text)) AS BIGINT) AS sum_bytes, MIN(doc_id) AS min_doc
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY lang, label ORDER BY lang, label""".stripMargin),
+
+    // Binary-column plumbing + partition-wise (stubbed) decode.
+    "multimodal_decode" -> QueryDef(
+      (s, d) => Multimodal.decodeStub(Multimodal.attachBinary(t(s, d, "documents")))
+        .toDF().orderBy("doc_id"),
+      None)
+  )
+}

@@ -1,0 +1,98 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines
+  * (north-star mandate, BASELINE.json). Four strategies, cheapest first:
+  *
+  *  - [[exact]]: hash-groupBy on normalized text — one shuffle.
+  *  - [[minhashBuckets]]/[[minhashCandidatePairs]]: MinHash+LSH — candidate
+  *    pairs only ever meet inside an LSH band bucket, so the join is
+  *    band-partitioned, never all-pairs. Scales to billions of docs.
+  *  - [[simhash]]: 64-bit fingerprint; near-dups = small Hamming distance.
+  *  - n-gram Jaccard (exact, see QueriesLlm `dedup_ngram_jaccard`): token
+  *    n-gram inverted-index join — exact but quadratic per blocking group,
+  *    used to verify the approximate methods at small scale.
+  *
+  * All hashes are Spark's codegen'd `xxhash64` (fixed seed 42) — fully
+  * deterministic across runs and cluster layouts.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per normalized text. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(lower(trim(col(textCol))).as("__norm"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** MinHash signature → LSH band buckets. One row per (doc, band); docs
+    * sharing a (band, bucket) are near-dup candidates. `numHashes` minhash
+    * functions are derived from xxhash64 by mixing in the function index;
+    * shingles are `shingleLen`-token windows.
+    */
+  def minhashBuckets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .filter(size(col("__toks")) >= shingleLen)
+      .withColumn("__shingles", expr(
+        s"array_distinct(transform(sequence(0, size(__toks)-$shingleLen), i -> concat_ws(' ', slice(__toks, i+1, $shingleLen))))"))
+      .withColumn("__sig", expr(
+        s"transform(sequence(0, ${numHashes - 1}), i -> array_min(transform(__shingles, s -> xxhash64(i, s))))"))
+      .select(col(idCol), expr(
+        s"explode(transform(sequence(0, ${bands - 1}), b -> struct(CAST(b AS BIGINT) AS band, xxhash64(slice(__sig, b*$rowsPerBand+1, $rowsPerBand)) AS bucket)))").as("__b"))
+      .select(col(idCol), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+  }
+
+  /** Candidate near-dup pairs: self-join of [[minhashBuckets]] on
+    * (band, bucket) — the LSH trick that avoids the all-pairs comparison.
+    */
+  def minhashCandidatePairs(buckets: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("a_id"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("b_id"))
+    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** 64-bit SimHash: sign of the per-bit weighted sum of token hashes.
+    * Explode tokens → hash → 64 conditional-count aggregates in ONE
+    * map-side-combinable groupBy (no per-bit shuffle), then pack the sign
+    * bits into a single long.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tokenHashes = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .select(col(idCol), xxhash64(col("__tok")).as("__h"))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$j")
+    }
+    val packed = (0 until 64)
+      .map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tokenHashes.groupBy(idCol).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash columns (bit_count is codegen'd). */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * blocked by a grouping column (same-label blocking here; swap in LSH
+    * buckets from [[graft.ops.llm.Similarity.hyperplaneBuckets]] at scale).
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double, blockCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = Similarity.withNormalized(emb, vecCol)
+    val a = e.select(col(blockCol), col(idCol).as("a_id"), col("__emb").as("a_emb"), col("__nrm").as("a_n"))
+    val b = e.select(col(blockCol), col(idCol).as("b_id"), col("__emb").as("b_emb"), col("__nrm").as("b_n"))
+    a.join(b, Seq(blockCol)).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", Similarity.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`, TESTDATA embeddings table).
+  *
+  *  - [[cosineTopK]]: brute-force cosine top-k, blocked by a partition
+  *    column — the exactness baseline.
+  *  - [[hyperplaneBuckets]] + [[lshCosineTopK]]: random-hyperplane LSH —
+  *    the 100 TB path. Signature bits come from deterministic pseudo-random
+  *    hyperplanes (xxhash64-derived coefficients), so no fitted model, no
+  *    driver state, identical buckets on every run/cluster. Candidates only
+  *    meet within a bucket: comparisons drop from O(N·M) to
+  *    O(N·M / 2^bits) for ~uniform data.
+  *
+  * All arithmetic is double-precision inside codegen'd higher-order
+  * functions (`zip_with` + `aggregate`) — no UDFs in the hot path.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns via codegen'd HOFs. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Adds `__emb` (double-cast vector) and `__nrm` (L2 norm). */
+  private[llm] def withNormalized(df: DataFrame, vecCol: String): DataFrame = {
+    val embD = transform(col(vecCol), x => x.cast("double"))
+    df.withColumn("__emb", embD).withColumn("__nrm", sqrt(dot(col("__emb"), col("__emb"))))
+  }
+
+  /** Brute-force cosine top-k: `queryPred` selects the query vectors,
+    * `blockCol` equality bounds the candidate set. Scores are rounded to 4
+    * decimals *before* ranking so ranking is reproducible across
+    * accumulation orders.
+    */
+  def cosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5,
+      blockCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = withNormalized(emb, vecCol)
+    val q = e.filter(queryPred)
+      .select(col(blockCol), col(idCol).as("q_id"), col("__emb").as("q_emb"), col("__nrm").as("q_n"))
+    val c = e.select(col(blockCol), col(idCol).as("c_id"), col("__emb").as("c_emb"), col("__nrm").as("c_n"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    q.join(c, Seq(blockCol)).filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "c_id", "score")
+  }
+
+  /** Random-hyperplane signature: bit i = sign(v · p_i), hyperplane
+    * coefficients p_i[j] derived from xxhash64(i, j) mapped to [-1, 1).
+    */
+  def hyperplaneBuckets(emb: DataFrame, bits: Int = 8, vecCol: String = "embedding"): DataFrame = {
+    val sigBits = (0 until bits).map { i =>
+      val proj = expr(
+        s"""aggregate(zip_with($vecCol, sequence(0, size($vecCol)-1),
+           |  (x, j) -> CAST(x AS DOUBLE) * ((CAST(xxhash64($i, j) % 1000 AS DOUBLE)) / 1000.0)),
+           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    emb.withColumn("lsh_bucket", sigBits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  /** Top-k within LSH buckets — the scale path. Recall is tunable via
+    * `bits` (fewer bits → bigger buckets → higher recall, more compute).
+    */
+  def lshCosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5, bits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosineTopK(hyperplaneBuckets(emb, bits, vecCol), queryPred, k, "lsh_bucket", idCol, vecCol)
+}
