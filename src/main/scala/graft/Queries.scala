@@ -8,5 +8,5 @@ import scala.collection.immutable.ListMap
 object Queries {
   def all: ListMap[String, QueryDef] =
     QueriesRelational.defs ++ QueriesGraph.defs ++ QueriesWindows.defs ++
-      QueriesLlm.defs
+      QueriesLlm.defs ++ QueriesGraphX.defs
 }

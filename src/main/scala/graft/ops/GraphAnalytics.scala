@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics via GraphX (BASELINE.json "spark_approach": GraphX for
+  * graph analytics). Graphs are materialized on demand from the vertex/edge
+  * DataFrames (SURVEY.md §1.2) — edge-partitioned with EdgePartition2D so
+  * both endpoints of any edge land in at most 2√P partitions, bounding
+  * replication at cluster scale.
+  */
+object GraphAnalytics {
+
+  /** Build a GraphX graph with (label, name) vertex attributes. */
+  def toGraphX(vertices: DataFrame, edges: DataFrame): Graph[(String, String), String] = {
+    val vRDD = vertices.select("id", "label", "name").rdd
+      .map(r => (r.getLong(0): VertexId, (r.getString(1), r.getString(2))))
+    val eRDD = edges.select("src", "dst", "label").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+    Graph(vRDD, eRDD)
+  }
+
+  /** PageRank (fixed iteration count → deterministic superstep structure). */
+  def pageRank(vertices: DataFrame, edges: DataFrame, numIter: Int = 10): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    toGraphX(vertices, edges).staticPageRank(numIter)
+      .vertices.toDF("id", "rank")
+  }
+
+  /** Connected components (undirected semantics — GraphX CC ignores
+    * direction).
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    toGraphX(vertices, edges).connectedComponents()
+      .vertices.toDF("id", "component")
+  }
+
+  /** Total triangle count of an undirected simple graph given canonical
+    * (src < dst) distinct edges. GraphX counts each triangle once per
+    * corner → sum/3.
+    */
+  def triangleCount(canonicalEdges: DataFrame): Long = {
+    val eRDD = canonicalEdges.select("src", "dst").rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val g = Graph.fromEdgeTuples(eRDD, defaultValue = 1)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    g.triangleCount().vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
+  }
+
+  /** Parts co-ordered in the same order — a triangle-rich projection of the
+    * order/lineitem bipartite graph, canonical (a < b) distinct pairs.
+    */
+  def coOrderPartEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val lp = graft.model.Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    lp.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(lp.select(col("l_orderkey"), col("l_partkey").as("dst")), Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+  }
+}
