@@ -12,7 +12,10 @@ import graft.ops.Windows
   * divide evenly), so bucket starts agree. A sliding window of width W and
   * step S=W/2 puts each event in exactly two buckets — expressed in SQL as
   * a two-arm UNION ALL. Session windows use the lag/cumsum gap-detection
-  * idiom with a `>=` boundary to match Spark's strict-merge semantics.
+  * idiom; Spark's `session_window` merges an event arriving at EXACTLY
+  * gap after the previous one (verified empirically in
+  * StreamingWindowSpec), so a new session starts only when the gap is
+  * strictly greater — hence the `>` boundary.
   */
 object QueriesWindows {
 
@@ -40,7 +43,7 @@ object QueriesWindows {
         .orderBy("user_id", "session_start"),
       """WITH y AS (
         |  SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL
-        |      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS ns
+        |      OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS ns
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |z AS (
         |  SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts

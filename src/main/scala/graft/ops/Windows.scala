@@ -31,10 +31,11 @@ object Windows {
       .agg(count(lit(1)).as("n"), Qh.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
 
-  /** Gap-based session windows per user: a session extends while the next
-    * event arrives strictly within `gap` of the previous one; a gap of
-    * exactly `gap` starts a new session (Spark `session_window` semantics —
-    * mirrored by the lag/cumsum batch analog in the DuckDB oracle).
+  /** Gap-based session windows per user. Spark `session_window` merge is
+    * inclusive at the boundary: an event arriving at exactly `gap` after
+    * the previous one still extends the session (StreamingWindowSpec
+    * pins this down) — the DuckDB oracle mirrors it with a strict-`>`
+    * new-session test in the lag/cumsum idiom.
     */
   def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.groupBy(session_window(col("ts"), gap), col("user_id"))

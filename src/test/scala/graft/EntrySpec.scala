@@ -1,0 +1,32 @@
+package graft
+
+/** Driver-contract smoke: entry rows>0, registry consistency. */
+class EntrySpec extends SparkSpec {
+
+  test("entry (flagship agg_groupby at sf0.001) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; names are unique and non-empty") {
+    val q = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(q.keySet))
+    assert(q.keySet.forall(_.nonEmpty))
+    assert(Queries.all.size == q.size)
+  }
+
+  test("declared inventory covers the SURVEY §2.2 core surface") {
+    val required = Seq(
+      "scan_project", "filter_pred", "point_lookup", "semi_join_ids",
+      "anti_join_delete", "upsert_dedup", "update_patch", "neighbors_1hop",
+      "khop_2", "degree_by_label", "detected_prop", "inner_join",
+      "broadcast_join", "outer_join", "theta_range_join", "agg_groupby",
+      "agg_distinct", "rollup_cube", "window_rank", "window_running",
+      "sort_limit_topk", "set_ops", "scalar_funcs", "json_extract",
+      "flatten_attrs", "tumbling_window", "sliding_window", "session_window",
+      "dedup_exact", "dedup_minhash", "similarity_topk", "text_tokens",
+      "multimodal_cols", "graph_pagerank", "graph_cc", "graph_triangles",
+      "ego_subgraph", "mongo_filter")
+    val missing = required.filterNot(SparkEntry.queries.keySet.contains)
+    assert(missing.isEmpty, s"missing: $missing")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.ThreatIntel
+
+/** Full importer-branch coverage on the FIXTURES.md §C.7 document
+  * (field names from graph_importer.py:70,79,96-97,141-144).
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture =
+    """{"evil.example": {
+      |  "observed-subdomains": [{"domain": "a.evil.example"}],
+      |  "dns-resolutions":     [{"ipaddress": "10.1.2.3", "date": "2016-01-01"}],
+      |  "detected-downloaded":   [{"hash": "h1", "datetime": "2016-01-02 00:00:00", "prob": "2/4"}],
+      |  "undetected-downloaded": [{"hash": "h2", "datetime": "2016-01-03 00:00:00", "prob": "1/4"}],
+      |  "whois": {"contacts": {"admin": {"email": "x@example.com", "name": "X"}}},
+      |  "categories": ["phish", "malware"],
+      |  "country": "VN"
+      |}}""".stripMargin
+
+  private lazy val g = ThreatIntel.fromJson(spark, Seq(fixture))
+  private lazy val vs = g.vertices.collect().map(r =>
+    (r.getString(1), r.getString(2)) -> r).toMap
+  private lazy val es = g.edges.collect().map(r =>
+    (r.getString(2), r.getLong(0), r.getLong(1))).toSet
+
+  private def id(label: String, key: String): Long =
+    spark.range(1).select(xxhash64(lit(label), lit(key))).head().getLong(0)
+
+  test("all expected vertices exist with correct labels") {
+    assert(vs.keySet == Set(
+      "domain" -> "evil.example", "domain" -> "a.evil.example",
+      "ip" -> "10.1.2.3", "malicious" -> "h1", "legitimate" -> "h2",
+      "owner" -> "x@example.com"))
+  }
+
+  test("detected_prop = mean(detected/checker) = mean(2/4, 1/4) = 0.375 (graph_importer.py:130-138)") {
+    assert(vs("domain" -> "evil.example").getDouble(3) == 0.375)
+  }
+
+  test("leftover fields flatten: list → field_i, scalar → field (graph_importer.py:153-168)") {
+    val props = vs("domain" -> "evil.example").getMap[String, String](4)
+    assert(props("categories_0") == "phish")
+    assert(props("categories_1") == "malware")
+    assert(props("country") == "VN")
+    assert(!props.contains("whois")) // structural key not flattened
+  }
+
+  test("detection vertices carry datetime/probability attrs (graph_importer.py:113-127)") {
+    val mal = vs("malicious" -> "h1").getMap[String, String](4)
+    assert(mal("datetime") == "2016-01-02 00:00:00" && mal("probability") == "2/4")
+  }
+
+  test("all five edge kinds with reference directions") {
+    val evil = id("domain", "evil.example")
+    assert(es == Set(
+      ("observed", evil, id("domain", "a.evil.example")),
+      ("assign", evil, id("ip", "10.1.2.3")),
+      ("threat", evil, id("malicious", "h1")),
+      ("trusted", evil, id("legitimate", "h2")),
+      // owner is the edge SOURCE (insert_node, mongraph.py:149-150)
+      ("belongTo", id("owner", "x@example.com"), evil)))
+  }
+
+  test("assign edge carries the resolution date (graph_importer.py:86,93)") {
+    val assign = g.edges.filter(col("label") === "assign").head()
+    assert(assign.getMap[String, String](3)("date") == "2016-01-01")
+  }
+
+  test("no detections → detected_prop = 0.0 (graph_importer.py:135-138)") {
+    val g2 = ThreatIntel.fromJson(spark, Seq("""{"plain.example": {"country": "US"}}"""))
+    assert(g2.vertices.head().getDouble(3) == 0.0)
+  }
+
+  test("malformed / zero-checker prob ratios are null-skipped, not crashed (SURVEY §2.3 item 10)") {
+    val g3 = ThreatIntel.fromJson(spark, Seq(
+      """{"x.example": {"detected-downloaded": [
+        |  {"hash": "h3", "datetime": "", "prob": "3/0"},
+        |  {"hash": "h4", "datetime": "", "prob": "1/2"}]}}""".stripMargin))
+    val dp = g3.vertices.filter(col("label") === "domain").head().getDouble(3)
+    assert(dp == 0.5) // only the well-formed ratio contributes
+  }
+
+  test("ingest is idempotent at the id level: same doc twice, same graph") {
+    val g2 = ThreatIntel.fromJson(spark, Seq(fixture, fixture))
+    assert(g2.vertices.count() == g.vertices.count())
+    assert(g2.edges.count() == g.edges.count())
+  }
+
+  test("ip resources classified by the octet-range regex (graph_importer.py:32-38)") {
+    val g4 = ThreatIntel.fromJson(spark, Seq("""{"8.8.8.8": {}, "999.1.1.1": {}}"""))
+    val labels = g4.vertices.select("key", "label").as[(String, String)].collect().toMap
+    assert(labels("8.8.8.8") == "ip")
+    assert(labels("999.1.1.1") == "domain") // out-of-range octet → not an IP
+  }
+}

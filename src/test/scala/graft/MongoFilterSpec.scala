@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.MongoFilter
+
+/** Mongo filter-document surface (FIXTURES.md §C fixture 8;
+  * mongraph.py:215-226).
+  */
+class MongoFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "domain", "evil.example", 0.9, Map("country" -> "VN")),
+    (2L, "domain", "good.example", 0.0, Map("country" -> "US")),
+    (3L, "ip", "10.1.2.3", 0.5, Map.empty[String, String]),
+    (4L, "malicious", "h1", 1.0, Map("k" -> "v")),
+    (5L, "legitimate", "h2", 0.0, Map.empty[String, String])
+  ).toDF("id", "label", "name", "detected_prop", "props")
+
+  private def ids(json: String): Seq[Long] =
+    MongoFilter.where(df, json).orderBy("id").select("id").as[Long].collect().toSeq
+
+  test("bare equality") {
+    assert(ids("""{"name": "evil.example"}""") == Seq(1L))
+  }
+
+  test("implicit AND of multiple fields") {
+    assert(ids("""{"label": "domain", "detected_prop": 0.0}""") == Seq(2L))
+  }
+
+  test("$or of documents (mongraph.py:236-241 shape)") {
+    assert(ids("""{"$or": [{"label": "ip"}, {"label": "malicious"}]}""") == Seq(3L, 4L))
+  }
+
+  test("comparison operators $gt/$lt/$gte") {
+    assert(ids("""{"detected_prop": {"$gt": 0.5}}""") == Seq(1L, 4L))
+    assert(ids("""{"detected_prop": {"$gte": 0.5, "$lt": 1.0}}""") == Seq(1L, 3L))
+  }
+
+  test("$in / $nin") {
+    assert(ids("""{"label": {"$in": ["ip", "legitimate"]}}""") == Seq(3L, 5L))
+    assert(ids("""{"label": {"$nin": ["domain", "ip", "malicious"]}}""") == Seq(5L))
+  }
+
+  test("$regex has find-anywhere semantics like Mongo") {
+    assert(ids("""{"name": {"$regex": "example"}}""") == Seq(1L, 2L))
+    assert(ids("""{"name": {"$regex": "^h\\d$"}}""") == Seq(4L, 5L))
+  }
+
+  test("$not negates an operator document") {
+    assert(ids("""{"detected_prop": {"$not": {"$gt": 0.0}}}""") == Seq(2L, 5L))
+  }
+
+  test("$nor") {
+    assert(ids("""{"$nor": [{"label": "domain"}, {"label": "ip"}]}""") == Seq(4L, 5L))
+  }
+
+  test("dotted path resolves into the props map (schemaless attrs)") {
+    assert(ids("""{"props.country": "VN"}""") == Seq(1L))
+    assert(ids("""{"props.country": {"$exists": true}}""") == Seq(1L, 2L))
+    assert(ids("""{"props.country": {"$exists": false}}""") == Seq(3L, 4L, 5L))
+  }
+}

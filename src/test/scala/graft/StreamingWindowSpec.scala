@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.ops.Windows
+
+/** Batch/streaming unification: the same Windows.tumbling transform runs
+  * under Structured Streaming and produces the batch answer.
+  */
+class StreamingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (ts("2024-01-01 00:01:00"), "click", 1.0),
+    (ts("2024-01-01 00:04:00"), "click", 2.0),
+    (ts("2024-01-01 00:11:00"), "click", 4.0),
+    (ts("2024-01-01 00:12:00"), "view", 8.0),
+    (ts("2024-01-01 00:25:00"), "click", 16.0))
+
+  test("streamingTumbling over a stream equals tumbling over the batch") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = Windows.streamingTumbling(stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("complete").format("memory").queryName("win_out").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .orderBy("bucket", "event_type").collect().toSeq
+      val batch = Windows.tumbling(rows.toDF("ts", "event_type", "value"))
+        .orderBy("bucket", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(batch.size == 4) // 3 buckets, one split by event_type
+    } finally q.stop()
+  }
+
+  test("sessions: merge is inclusive at exactly the gap; strictly greater splits") {
+    val data = Seq(
+      (ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (ts("2024-01-01 00:30:00"), 1L, 1.0), // exactly gap after → still merges
+      (ts("2024-01-01 01:00:01"), 1L, 1.0), // 30:01 after → new session
+      (ts("2024-01-01 02:00:00"), 2L, 1.0)).toDF("ts", "user_id", "value")
+    val out = Windows.sessions(data).orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(3) == 2) // first session holds the boundary event
+    assert(out(1).getLong(3) == 1)
+  }
+}
