@@ -18,13 +18,15 @@ object Traverse {
 
   /** Undirected 1-hop neighborhood. Matches `find_neighbors` semantics:
     * both endpoints of every incident edge are collected, so the seed
-    * itself is included (mongraph.py:243-245).
+    * itself is included (mongraph.py:243-245). The seed predicate is pushed
+    * into the edge scan on BOTH endpoint columns (no undirected-view
+    * materialization).
     */
   def neighborIds(edges: DataFrame, seed: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = DerivedGraph.undirected(edges)
-    und.filter(col("a") === seed).select(col("b").as("id"))
+    val incident = edges.filter(col("src") === seed || col("dst") === seed)
+    incident.select(explode(array(col("src"), col("dst"))).as("id"))
       .union(Seq(seed).toDF("id"))
       .distinct()
   }
@@ -40,9 +42,13 @@ object Traverse {
     var visited = Seq(seed).toDF("id")
     var frontier = visited
     for (_ <- 1 to k if !frontier.isEmpty) {
-      val next = und.join(frontier.withColumnRenamed("id", "a"), Seq("a"))
+      // ego frontiers are depth-bounded and small relative to the edge set:
+      // broadcast them so each hop is a map-side hash join over the edges —
+      // no shuffle of the (huge) edge table per hop. For frontiers beyond
+      // broadcast size, drop the hint and let AQE pick the shuffle join.
+      val next = und.join(broadcast(frontier.withColumnRenamed("id", "a")), Seq("a"))
         .select(col("b").as("id")).distinct()
-      frontier = next.join(visited, Seq("id"), "left_anti").localCheckpoint()
+      frontier = next.join(broadcast(visited), Seq("id"), "left_anti").localCheckpoint()
       visited = visited.union(frontier).localCheckpoint()
     }
     visited

