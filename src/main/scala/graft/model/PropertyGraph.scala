@@ -1,0 +1,138 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.{MongoFilter, Mutations, Traverse}
+
+/** The user-facing property-graph API — what a `MongoGraph` user switches
+  * to (mongraph.py:8-303), re-expressed as immutable snapshots: every
+  * mutation returns a new `PropertyGraph` (SURVEY.md §1.2).
+  *
+  * Canonical schemas:
+  * {{{
+  * vertices: id BIGINT, label STRING, key STRING, props MAP<STRING,STRING>
+  * edges:    src BIGINT, dst BIGINT, label STRING, props MAP<STRING,STRING>
+  * }}}
+  *
+  * Vertex identity is `xxhash64(label, key)` — the natural-key upsert
+  * identity of `insert_vertex(identify=...)` (mongraph.py:90-94) made
+  * deterministic and GraphX-compatible (`VertexId` = Long).
+  */
+final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
+
+  /** Batch `insert_vertex` (mongraph.py:71-97): validates the label against
+    * the registry (81-82 intent — raising on unknown labels) and requires
+    * the key column non-null (84-85), stamps ids, dedups first-write-wins
+    * (existing snapshot beats the incoming batch on key conflict, §2.3
+    * item 8). `incoming` needs columns (label, key[, props]).
+    */
+  def insertVertices(incoming: DataFrame): PropertyGraph = {
+    val withProps =
+      if (incoming.columns.contains("props")) incoming
+      else incoming.withColumn("props", map())
+    val validated = PropertyGraph.validateLabels(withProps, "label")
+      .filter(col("key").isNotNull)
+    val stamped = validated.select(
+      xxhash64(col("label"), col("key")).as("id"),
+      col("label"), col("key"), col("props"))
+    copy(vertices = Mutations.upsert(vertices,
+      Mutations.dedupFirst(stamped, Seq("id"), Seq("label", "key")), Seq("id")))
+  }
+
+  /** Batch `insert_edge` (mongraph.py:99-130): dedup on exact
+    * (src, dst, label); dangling endpoints allowed exactly as the reference
+    * never checks endpoint existence (§2.1 row 6).
+    */
+  def insertEdges(incoming: DataFrame): PropertyGraph = {
+    val withProps =
+      if (incoming.columns.contains("props")) incoming
+      else incoming.withColumn("props", map())
+    copy(edges = Mutations.upsertEdges(edges,
+      Mutations.dedupFirst(withProps.select("src", "dst", "label", "props"),
+        Seq("src", "dst", "label"), Seq("src"))))
+  }
+
+  /** `update_vertex` merge-patch by id (mongraph.py:195-203); patch columns
+    * beyond `id` overwrite when non-null.
+    */
+  def updateVertices(patches: DataFrame): PropertyGraph =
+    copy(vertices = Mutations.patch(vertices, patches, Seq("id")))
+
+  /** `delete_node` undirected cascade (mongraph.py:153-181). */
+  def deleteVertices(ids: DataFrame): PropertyGraph = {
+    val (v, e) = Mutations.deleteVerticesCascade(vertices, edges, ids)
+    PropertyGraph(v, e)
+  }
+
+  /** `delete_edge` (mongraph.py:183-193). */
+  def deleteEdges(toDelete: DataFrame): PropertyGraph =
+    copy(edges = Mutations.deleteEdges(edges, toDelete))
+
+  /** `search_vertex` with a Mongo filter document (mongraph.py:215-226). */
+  def searchVertices(mongoFilterJson: String): DataFrame =
+    MongoFilter.where(vertices, mongoFilterJson)
+
+  /** Point lookups (`_get_vertex_details`, mongraph.py:29-44) — the id-set
+    * form is a semi-join, not the reference's per-id round-trip loop.
+    */
+  def vertexDetails(ids: Seq[Long]): DataFrame =
+    vertices.filter(col("id").isin(ids: _*))
+
+  /** `find_neighbors` (mongraph.py:228-250). */
+  def neighbors(vertexId: Long): DataFrame =
+    Traverse.neighborIds(edges, vertexId).join(vertices, Seq("id"))
+
+  /** k-hop ego vertex set (`_explode_node` intent, mongraph.py:252-274). */
+  def kHop(vertexId: Long, depth: Int): DataFrame =
+    Traverse.kHopIds(edges, vertexId, depth)
+
+  /** `build_graph` (mongraph.py:276-303): depth-bounded ego subgraph as a
+    * JSON document (default depth 4 as the reference hard-codes).
+    */
+  def buildGraphJson(rootId: Long, depth: Int = 4): String =
+    Traverse.egoSubgraphJson(vertices, edges, rootId, depth)
+
+  /** Undirected per-vertex degree. */
+  def degrees: DataFrame = Traverse.degrees(vertices, edges)
+}
+
+object PropertyGraph {
+
+  /** Label registry — the reference's `_type_dependency` (mongraph.py:22-27)
+    * plus the `owner`/`whois` labels its importer needs but forgot to
+    * register (§2.3 item 6; intent over letter). Maps label → required
+    * natural-key attribute.
+    */
+  val labelRegistry: Map[String, String] = Map(
+    "domain" -> "name",
+    "ip" -> "address",
+    "legitimate" -> "hash",
+    "malicious" -> "hash",
+    "owner" -> "email",
+    "whois" -> "name")
+
+  private[model] def validateLabels(df: DataFrame, labelCol: String): DataFrame = {
+    val known = labelRegistry.keys.toSeq
+    // raise_error preserves the reference's throw-on-unknown-label contract
+    // (mongraph.py:81-82) without a driver-side collect.
+    df.withColumn(labelCol,
+      when(col(labelCol).isin(known: _*), col(labelCol))
+        .otherwise(raise_error(concat(lit("unregistered vertex label: "), col(labelCol)))))
+  }
+
+  /** An empty graph with canonical schemas. */
+  def empty(spark: org.apache.spark.sql.SparkSession): PropertyGraph = {
+    import org.apache.spark.sql.types._
+    val vSchema = StructType(Seq(
+      StructField("id", LongType), StructField("label", StringType),
+      StructField("key", StringType),
+      StructField("props", MapType(StringType, StringType))))
+    val eSchema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType),
+      StructField("label", StringType),
+      StructField("props", MapType(StringType, StringType))))
+    PropertyGraph(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vSchema),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eSchema))
+  }
+}

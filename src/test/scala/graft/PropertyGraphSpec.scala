@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.PropertyGraph
+import graft.sources.GraphSnapshots
+
+/** End-to-end facade semantics: the MongoGraph surface on immutable
+  * snapshots.
+  */
+class PropertyGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def g0 = PropertyGraph.empty(spark)
+    .insertVertices(Seq(
+      ("domain", "evil.example"), ("domain", "good.example"),
+      ("ip", "10.1.2.3")).toDF("label", "key"))
+
+  test("insertVertices is upsert-by-natural-key, first write wins") {
+    val g1 = g0.insertVertices(Seq(("domain", "evil.example")).toDF("label", "key"))
+    assert(g1.vertices.count() == 3)
+    // same id for same (label, key) → idempotent
+    val g2 = g1.insertVertices(Seq(("domain", "new.example")).toDF("label", "key"))
+    assert(g2.vertices.count() == 4)
+  }
+
+  test("unregistered label raises (mongraph.py:81-82 contract)") {
+    val bad = g0.insertVertices(Seq(("nonsense", "x")).toDF("label", "key"))
+    intercept[Exception] { bad.vertices.count() }
+  }
+
+  test("edges + neighbors + cascade delete round trip") {
+    val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
+    val g1 = g0.insertEdges(Seq(
+      (ids("evil.example"), ids("10.1.2.3"), "assign"),
+      (ids("good.example"), ids("10.1.2.3"), "assign")).toDF("src", "dst", "label"))
+    assert(g1.edges.count() == 2)
+    // neighbors of the ip sees both domains + itself
+    assert(g1.neighbors(ids("10.1.2.3")).count() == 3)
+    // cascade delete the ip → both edges gone
+    val g2 = g1.deleteVertices(Seq(ids("10.1.2.3")).toDF("id"))
+    assert(g2.vertices.count() == 2 && g2.edges.count() == 0)
+  }
+
+  test("searchVertices with a Mongo filter document") {
+    val hits = g0.searchVertices("""{"$or": [{"label": "ip"}, {"key": {"$regex": "^good"}}]}""")
+    assert(hits.count() == 2)
+  }
+
+  test("updateVertices patches props by id") {
+    val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
+    val g1 = g0.updateVertices(Seq((ids("evil.example"), Map("score" -> "0.9")))
+      .toDF("id", "props"))
+    val props = g1.vertices.filter(col("id") === ids("evil.example"))
+      .head().getMap[String, String](3)
+    assert(props("score") == "0.9")
+  }
+
+  test("buildGraphJson emits the reference's graph document shape") {
+    val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
+    val g1 = g0.insertEdges(Seq(
+      (ids("evil.example"), ids("10.1.2.3"), "assign")).toDF("src", "dst", "label"))
+    val json = g1.buildGraphJson(ids("evil.example"), depth = 1)
+    assert(json.startsWith("""{"graph":{"vertices":["""))
+    assert(json.contains("\"evil.example\"") && json.contains("\"10.1.2.3\""))
+    assert(!json.contains("good.example")) // not reachable
+  }
+
+  test("snapshot save/load round trip preserves the graph") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
+    val g1 = g0.insertEdges(Seq(
+      (ids("evil.example"), ids("10.1.2.3"), "assign")).toDF("src", "dst", "label"))
+    GraphSnapshots.save(g1, dir)
+    val g2 = GraphSnapshots.load(spark, dir)
+    assert(g2.vertices.count() == 3 && g2.edges.count() == 1)
+    assert(g2.vertices.schema == g1.vertices.schema)
+  }
+}
