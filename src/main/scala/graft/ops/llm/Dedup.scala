@@ -100,11 +100,12 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double, blockCol: String = "label",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = Similarity.withNormalized(emb, vecCol)
-    val a = e.select(col(blockCol), col(idCol).as("a_id"), col("__emb").as("a_emb"), col("__nrm").as("a_n"))
-    val b = e.select(col(blockCol), col(idCol).as("b_id"), col("__emb").as("b_emb"), col("__nrm").as("b_n"))
+    import graft.functions.VectorFunctions.{float_dot, float_norm}
+    val e = emb.withColumn("__nrm", float_norm(col(vecCol)))
+    val a = e.select(col(blockCol), col(idCol).as("a_id"), col(vecCol).as("a_emb"), col("__nrm").as("a_n"))
+    val b = e.select(col(blockCol), col(idCol).as("b_id"), col(vecCol).as("b_emb"), col("__nrm").as("b_n"))
     a.join(b, Seq(blockCol)).filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", Similarity.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")))
+      .withColumn("cosine", float_dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }

@@ -16,20 +16,13 @@ import org.apache.spark.sql.functions._
   *    meet within a bucket: comparisons drop from O(N·M) to
   *    O(N·M / 2^bits) for ~uniform data.
   *
-  * All arithmetic is double-precision inside codegen'd higher-order
-  * functions (`zip_with` + `aggregate`) — no UDFs in the hot path.
+  * The O(q×c×dim) multiply-add hot path runs in the custom codegen'd
+  * [[graft.functions.FloatDotProduct]] expression — a tight primitive loop
+  * over the float arrays (double accumulation), no per-element lambda
+  * interpretation, no intermediate array allocation.
   */
 object Similarity {
-
-  /** Dot product of two array<double> columns via codegen'd HOFs. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  /** Adds `__emb` (double-cast vector) and `__nrm` (L2 norm). */
-  private[llm] def withNormalized(df: DataFrame, vecCol: String): DataFrame = {
-    val embD = transform(col(vecCol), x => x.cast("double"))
-    df.withColumn("__emb", embD).withColumn("__nrm", sqrt(dot(col("__emb"), col("__emb"))))
-  }
+  import graft.functions.VectorFunctions.{float_dot, float_norm}
 
   /** Brute-force cosine top-k: `queryPred` selects the query vectors,
     * `blockCol` equality bounds the candidate set. Scores are rounded to 4
@@ -39,13 +32,13 @@ object Similarity {
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5,
       blockCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val e = withNormalized(emb, vecCol)
+    val e = emb.withColumn("__nrm", float_norm(col(vecCol)))
     val q = e.filter(queryPred)
-      .select(col(blockCol), col(idCol).as("q_id"), col("__emb").as("q_emb"), col("__nrm").as("q_n"))
-    val c = e.select(col(blockCol), col(idCol).as("c_id"), col("__emb").as("c_emb"), col("__nrm").as("c_n"))
+      .select(col(blockCol), col(idCol).as("q_id"), col(vecCol).as("q_emb"), col("__nrm").as("q_n"))
+    val c = e.select(col(blockCol), col(idCol).as("c_id"), col(vecCol).as("c_emb"), col("__nrm").as("c_n"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
     q.join(c, Seq(blockCol)).filter(col("q_id") =!= col("c_id"))
-      .withColumn("score", round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 4))
+      .withColumn("score", round(float_dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 4))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("q_id", "rk", "c_id", "score")

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge for third-party Catalyst expressions: Spark 4 made the
+  * Column↔Expression adapters `private[sql]`, so extension libraries expose
+  * them through a shim in this package — the conventional pattern for
+  * Spark-native extensions.
+  */
+object GraftShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{float_dot, float_norm}
+
+/** Custom codegen'd FloatDotProduct expression: value parity with the
+  * composable HOF form, null handling, codegen + interpreted paths.
+  */
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.5f, -0.5f), Array(2.0f, 2.0f))
+  ).toDF("id", "a", "b")
+
+  test("float_dot matches the aggregate/zip_with HOF form bit-for-bit") {
+    val hof = expr(
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val rows = df.select(float_dot(col("a"), col("b")).as("native"), hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(rows(1).getDouble(0) == 0.0)
+  }
+
+  test("null input → null output") {
+    val withNull = Seq((1L, Array(1.0f), null.asInstanceOf[Array[Float]]))
+      .toDF("id", "a", "b")
+    assert(withNull.select(float_dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("float_norm is the L2 norm") {
+    val n = Seq(Tuple1(Array(3.0f, 4.0f))).toDF("a")
+      .select(float_norm(col("a"))).head().getDouble(0)
+    assert(n == 5.0)
+  }
+
+  test("interpreted eval path (wholestage codegen off) agrees") {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val v = df.filter(col("id") === 1)
+        .select(float_dot(col("a"), col("b"))).head().getDouble(0)
+      assert(v == 32.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
