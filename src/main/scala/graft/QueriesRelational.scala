@@ -174,8 +174,10 @@ object QueriesRelational {
 
     // Flagship TPC-H Q1-style hash aggregate (SparkEntry.entry).
     "agg_groupby" -> QueryDef(
+      // NTZ literal: the scan column is TIMESTAMP_NTZ and a java.sql
+      // literal would shift with the driver JVM's default timezone.
       (s, d) => t(s, d, "lineitem")
-        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),

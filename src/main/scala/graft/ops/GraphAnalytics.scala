@@ -12,12 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnalytics {
 
-  /** Build a GraphX graph with (label, name) vertex attributes. */
+  /** Build a GraphX graph with (label, name) vertex attributes.
+    *
+    * Edge partitions are sized down from the SQL shuffle width: iterative
+    * Pregel jobs pay per-task overhead every superstep, so GraphX wants
+    * fewer, fatter partitions than a one-shot SQL shuffle (rule of thumb
+    * ~1M+ edges per partition; cores/4 here keeps all executors busy while
+    * cutting superstep task counts 4×). At cluster scale the same ratio
+    * holds relative to total parallelism.
+    */
   def toGraphX(vertices: DataFrame, edges: DataFrame): Graph[(String, String), String] = {
+    val parts = math.max(2, vertices.sparkSession.sparkContext.defaultParallelism / 4)
     val vRDD = vertices.select("id", "label", "name").rdd
       .map(r => (r.getLong(0): VertexId, (r.getString(1), r.getString(2))))
+      .coalesce(parts)
     val eRDD = edges.select("src", "dst", "label").rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+      .coalesce(parts)
     Graph(vRDD, eRDD)
   }
 
@@ -44,8 +55,11 @@ object GraphAnalytics {
     * corner → sum/3.
     */
   def triangleCount(canonicalEdges: DataFrame): Long = {
+    val parts = math.max(2,
+      canonicalEdges.sparkSession.sparkContext.defaultParallelism / 4)
     val eRDD = canonicalEdges.select("src", "dst").rdd
       .map(r => (r.getLong(0), r.getLong(1)))
+      .coalesce(parts)
     val g = Graph.fromEdgeTuples(eRDD, defaultValue = 1)
       .partitionBy(PartitionStrategy.EdgePartition2D)
     g.triangleCount().vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
