@@ -78,6 +78,32 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def vertexDetails(ids: Seq[Long]): DataFrame =
     vertices.filter(col("id").isin(ids: _*))
 
+  /** Edge point lookups by exact (src, dst, label)
+    * (`_get_edge_details`, mongraph.py:46-60).
+    */
+  def edgeDetails(keys: Seq[(Long, Long, String)]): DataFrame = {
+    val cond = keys.map { case (s0, d0, l0) =>
+      col("src") === s0 && col("dst") === d0 && col("label") === l0
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    edges.filter(cond)
+  }
+
+  /** Compound insert (`insert_node`, mongraph.py:132-151): insert new
+    * vertices AND an edge from each new vertex to an existing destination —
+    * the new vertex is the edge *source* (mongraph.py:149-150).
+    * `incoming` needs (label, key[, props]); every new vertex links to
+    * `destinationId` with `edgeLabel`.
+    */
+  def insertConnected(incoming: DataFrame, destinationId: Long,
+      edgeLabel: String = "resolve"): PropertyGraph = {
+    val withVertices = insertVertices(incoming)
+    val newEdges = incoming.select(
+      xxhash64(col("label"), col("key")).as("src"),
+      lit(destinationId).as("dst"),
+      lit(edgeLabel).as("label"))
+    withVertices.insertEdges(newEdges)
+  }
+
   /** `find_neighbors` (mongraph.py:228-250). */
   def neighbors(vertexId: Long): DataFrame =
     Traverse.neighborIds(edges, vertexId).join(vertices, Seq("id"))

@@ -65,6 +65,29 @@ class PropertyGraphSpec extends SparkSpec {
     assert(!json.contains("good.example")) // not reachable
   }
 
+  test("edgeDetails: exact (src,dst,label) point lookup (mongraph.py:46-60)") {
+    val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
+    val g1 = g0.insertEdges(Seq(
+      (ids("evil.example"), ids("10.1.2.3"), "assign"),
+      (ids("good.example"), ids("10.1.2.3"), "assign")).toDF("src", "dst", "label"))
+    val hit = g1.edgeDetails(Seq((ids("evil.example"), ids("10.1.2.3"), "assign")))
+    assert(hit.count() == 1)
+    assert(g1.edgeDetails(Seq((ids("10.1.2.3"), ids("evil.example"), "assign"))).count() == 0)
+  }
+
+  test("insertConnected: new vertex becomes the edge source (mongraph.py:149-150)") {
+    val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
+    val g1 = g0.insertConnected(
+      Seq(("ip", "10.9.9.9")).toDF("label", "key"), ids("evil.example"), "assign")
+    assert(g1.vertices.count() == 4)
+    val e = g1.edges.head()
+    assert(e.getLong(1) == ids("evil.example")) // destination is existing vertex
+    assert(e.getString(2) == "assign")
+    // edge source is the NEW vertex
+    val newId = g1.vertices.filter(col("key") === "10.9.9.9").head().getLong(0)
+    assert(e.getLong(0) == newId)
+  }
+
   test("snapshot save/load round trip preserves the graph") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
     val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
