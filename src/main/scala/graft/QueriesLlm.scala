@@ -134,11 +134,23 @@ object QueriesLlm {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // Fit-then-classify token-profile language ID (no oracle: two-pass
-    // rank-weighted model; verified by LangIdSpec instead).
+    // Fit-then-classify token-profile language ID — the whole two-pass
+    // model (profile fit + weighted votes + argmax) is deterministic and
+    // SQL-expressible, so it gets a full oracle.
     "lang_id" -> QueryDef(
       (s, d) => TextAnalysis.langId(t(s, d, "documents")).orderBy("doc_id"),
-      None),
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |prof AS (SELECT lang AS p_lang, tok, 31 - rk AS weight FROM (
+        |    SELECT lang, tok, CAST(row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS BIGINT) AS rk
+        |    FROM cnt) WHERE rk <= 30),
+        |votes AS (SELECT t.doc_id, t.lang, p.p_lang, SUM(p.weight) AS score
+        |          FROM toks t JOIN prof p ON t.tok = p.tok GROUP BY 1, 2, 3),
+        |r AS (SELECT doc_id, lang, p_lang,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rk
+        |      FROM votes)
+        |SELECT doc_id, p_lang AS pred_lang, p_lang = lang AS correct
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin),
 
     // Winnowing fingerprints (xxhash64 → no oracle).
     "doc_fingerprint" -> QueryDef(
@@ -155,10 +167,18 @@ object QueriesLlm {
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY lang, label ORDER BY lang, label""".stripMargin),
 
-    // Binary-column plumbing + partition-wise (stubbed) decode.
+    // Binary-column plumbing + partition-wise (stubbed) decode. The stub's
+    // fabricated dimensions are arithmetic over the payload length, so the
+    // full binary→mapPartitions→typed-Dataset pipeline is oracle-checked.
     "multimodal_decode" -> QueryDef(
       (s, d) => Multimodal.decodeStub(Multimodal.attachBinary(t(s, d, "documents")))
         .toDF().orderBy("doc_id"),
-      None)
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(16 + len(text) % 1024 AS INTEGER) AS width,
+        |  CAST(16 + (len(text) * 7) % 1024 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + len(text) % 120 ELSE 1 END AS INTEGER) AS n_frames,
+        |  len(text) > 0 AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

@@ -75,4 +75,21 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.sqrt
     sqrt(float_dot(a, a))
   }
+
+  /** Make `float_dot` callable from SQL in an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftShim.registerFunction(spark, "float_dot",
+      exprs => FloatDotProduct(exprs.head, exprs(1)))
+}
+
+/** `spark.sql.extensions` entry point for cluster-wide registration:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FloatDotProduct].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatDotProduct(exprs.head, exprs(1))))
 }

@@ -47,16 +47,19 @@ object Multimodal {
       }
   }
 
-  /** Deterministic stand-in for the native decode call (`???` in spirit). */
+  /** Deterministic stand-in for the native decode call (`???` in spirit).
+    * Fabricated dimensions are pure arithmetic over the payload length so
+    * the whole mapPartitions pipeline is oracle-checkable end-to-end.
+    */
   private def fakeDecode(id: Long, bytes: Array[Byte], kind: String): DecodedMedia = {
-    val h = java.util.Arrays.hashCode(bytes)
+    val len = bytes.length
     DecodedMedia(
       doc_id = id,
       kind = kind,
-      width = 16 + math.abs(h % 1024),
-      height = 16 + math.abs((h / 7) % 1024),
-      n_frames = if (kind == "video") 1 + math.abs(h % 120) else 1,
-      ok = bytes.nonEmpty)
+      width = 16 + len % 1024,
+      height = 16 + (len * 7) % 1024,
+      n_frames = if (kind == "video") 1 + len % 120 else 1,
+      ok = len > 0)
   }
 
   /** Documents and embedding vectors joined into one multimodal frame:

@@ -35,6 +35,20 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(n == 5.0)
   }
 
+  test("float_dot is callable from SQL after registration") {
+    graft.functions.VectorFunctions.register(spark)
+    val v = spark.sql(
+      """SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("GraftExtensions injects the function builder") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(e) // must not throw
+  }
+
   test("interpreted eval path (wholestage codegen off) agrees") {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
