@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
-import graft.model.DerivedGraph
+import graft.model.{DerivedGraph, DerivedGraphSql}
 import graft.ops.GraphAnalytics
 
 /** GraphX analytics inventory (BASELINE.json spark_approach). PageRank and
@@ -34,6 +34,35 @@ object QueriesGraphX {
           .orderBy(col("n_vertices").desc, col("component"))
       },
       None),
+
+    // BFS distances from a nation seed via an explicit Pregel program;
+    // oracle = min level over chained frontier joins (diameter of the
+    // derived graph is well under the 10-superstep bound).
+    "graph_bfs_dist" -> QueryDef(
+      (s, d) => {
+        val g = DerivedGraph(s, d)
+        GraphAnalytics.bfsDistances(g.edges, DerivedGraph.NationBase + 7)
+          .orderBy("id")
+      },
+      s"""${DerivedGraphSql.cte},
+         | h0 AS (SELECT CAST(${DerivedGraph.NationBase + 7} AS BIGINT) AS id),
+         | h1 AS (SELECT DISTINCT b AS id FROM und JOIN h0 ON und.a = h0.id),
+         | h2 AS (SELECT DISTINCT b AS id FROM und JOIN h1 ON und.a = h1.id),
+         | h3 AS (SELECT DISTINCT b AS id FROM und JOIN h2 ON und.a = h2.id),
+         | h4 AS (SELECT DISTINCT b AS id FROM und JOIN h3 ON und.a = h3.id),
+         | h5 AS (SELECT DISTINCT b AS id FROM und JOIN h4 ON und.a = h4.id),
+         | h6 AS (SELECT DISTINCT b AS id FROM und JOIN h5 ON und.a = h5.id),
+         | h7 AS (SELECT DISTINCT b AS id FROM und JOIN h6 ON und.a = h6.id),
+         | h8 AS (SELECT DISTINCT b AS id FROM und JOIN h7 ON und.a = h7.id),
+         | h9 AS (SELECT DISTINCT b AS id FROM und JOIN h8 ON und.a = h8.id),
+         | h10 AS (SELECT DISTINCT b AS id FROM und JOIN h9 ON und.a = h9.id),
+         | lv AS (SELECT id, 0 AS dist FROM h0 UNION ALL SELECT id, 1 FROM h1
+         |   UNION ALL SELECT id, 2 FROM h2 UNION ALL SELECT id, 3 FROM h3
+         |   UNION ALL SELECT id, 4 FROM h4 UNION ALL SELECT id, 5 FROM h5
+         |   UNION ALL SELECT id, 6 FROM h6 UNION ALL SELECT id, 7 FROM h7
+         |   UNION ALL SELECT id, 8 FROM h8 UNION ALL SELECT id, 9 FROM h9
+         |   UNION ALL SELECT id, 10 FROM h10)
+         |SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM lv GROUP BY id ORDER BY id""".stripMargin),
 
     // Triangle count over the co-order part projection, oracle-verified by
     // an ordered 3-way self-join ((x,y),(x,z),(y,z) with x<y<z counts each

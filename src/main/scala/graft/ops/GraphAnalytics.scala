@@ -65,6 +65,34 @@ object GraphAnalytics {
     g.triangleCount().vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
   }
 
+  /** Unweighted BFS distances from a seed via an explicit Pregel program —
+    * the k-hop traversal (mongraph.py:252-274 intent) as message passing.
+    * Each superstep relaxes dist(v) = min(dist(v), dist(u)+1) over incident
+    * edges; the edge set is undirected-ized (both directions emitted), and
+    * messages stop flowing once no distance improves. Unreachable vertices
+    * are omitted. `maxDepth` bounds the superstep count exactly like the
+    * reference's depth parameter.
+    */
+  def bfsDistances(edges: DataFrame, seed: Long, maxDepth: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism / 4)
+    val eRDD = edges.select("src", "dst").rdd
+      .flatMap(r => Seq(
+        Edge(r.getLong(0), r.getLong(1), 1),
+        Edge(r.getLong(1), r.getLong(0), 1)))
+      .coalesce(parts)
+    val g = Graph.fromEdges(eRDD, 0)
+      .mapVertices((id, _) => if (id == seed) 0 else Int.MaxValue)
+    val res = g.pregel(Int.MaxValue, maxIterations = maxDepth)(
+      (_, dist, msg) => math.min(dist, msg),
+      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 != Int.MaxValue)
+      .map { case (id, d) => (id, d.toLong) }.toDF("id", "dist")
+  }
+
   /** Parts co-ordered in the same order — a triangle-rich projection of the
     * order/lineitem bipartite graph, canonical (a < b) distinct pairs.
     */

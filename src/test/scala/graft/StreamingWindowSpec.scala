@@ -36,6 +36,24 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful running totals accumulate across micro-batches (flatMapGroupsWithState)") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)]
+    val q = graft.ops.Stateful.runningUserTotals(stream.toDF().toDF("user_id", "value"))
+      .writeStream.outputMode("update").format("memory").queryName("state_out").start()
+    try {
+      stream.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      stream.addData((1L, 2.0)) // second batch must see prior state
+      q.processAllAvailable()
+      val byBatch = spark.table("state_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(byBatch.contains((1L, 2L, 15.0))) // after batch 1
+      assert(byBatch.contains((1L, 3L, 17.0))) // state carried into batch 2
+      assert(byBatch.contains((2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("sessions: merge is inclusive at exactly the gap; strictly greater splits") {
     val data = Seq(
       (ts("2024-01-01 00:00:00"), 1L, 1.0),
