@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew mitigation for the cases AQE can't rewrite at runtime
+  * (SURVEY.md §4.3): a handful of hot keys that overwhelm single reducers
+  * in joins or aggregations.
+  *
+  * AQE's skew-join splitting covers sort-merge joins after a shuffle; these
+  * helpers cover the remaining shapes — pre-shuffle salting for
+  * join-with-replication and two-phase (partial → final) aggregation for
+  * skewed group-by keys. Results are exactly equal to the unsalted forms
+  * (tested in SkewSpec); salt only changes routing, never semantics.
+  */
+object Skew {
+
+  /** Salted equi-join: the left (large, skewed) side gets a per-row salt in
+    * [0, factor); the right side is replicated `factor` times, once per
+    * salt value. Each hot key's rows then spread over `factor` reducers.
+    * Cost: factor× replication of the right side — use for dimension-sized
+    * rights that are still too big or too skew-prone to broadcast.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      factor: Int = 8): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong)))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor.toLong - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: partial aggregate on
+    * (key, salt) — spreading each hot key across `factor` reducers — then
+    * final aggregate on key. Caller supplies the partial aggs and the
+    * matching re-aggregation of the partial columns (sum→sum, count→sum,
+    * min→min, ...).
+    */
+  def saltedAggregate(df: DataFrame, key: String, factor: Int,
+      partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame =
+    df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong)))
+      .groupBy(col(key), col("__salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(col(key))
+      .agg(finalAggs.head, finalAggs.tail: _*)
+}
