@@ -40,10 +40,12 @@ object DerivedGraph {
 
   final case class G(vertices: DataFrame, edges: DataFrame)
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, G]
+  // keyed by (session, sfDir): DataFrames are session-bound, so a cache hit
+  // from a different (possibly stopped) session would be stale.
+  private val cache = scala.collection.concurrent.TrieMap.empty[(Int, String), G]
 
   def apply(spark: SparkSession, sfDir: String): G =
-    cache.getOrElseUpdate(sfDir, build(spark, sfDir))
+    cache.getOrElseUpdate((System.identityHashCode(spark), sfDir), build(spark, sfDir))
 
   private def build(spark: SparkSession, sfDir: String): G = {
     def t(n: String) = Tables(spark, sfDir, n)
