@@ -102,6 +102,13 @@ object QueriesLlm {
         .orderBy("q_id", "rk"),
       None),
 
+    // IVF variant: KMeans coarse cells (fixed seed), per-cell search (no
+    // oracle: iterative clustering).
+    "similarity_ivf" -> QueryDef(
+      (s, d) => Similarity.ivfCosineTopK(t(s, d, "embeddings"), col("vec_id") % 20 === 0)
+        .orderBy("q_id", "rk"),
+      None),
+
     // Top-5 tokens per language.
     "text_tokens" -> QueryDef(
       (s, d) => TextAnalysis.topTermsPerLang(t(s, d, "documents"))

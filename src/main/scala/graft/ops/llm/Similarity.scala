@@ -64,4 +64,23 @@ object Similarity {
   def lshCosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     cosineTopK(hyperplaneBuckets(emb, bits, vecCol), queryPred, k, "lsh_bucket", idCol, vecCol)
+
+  /** IVF (inverted-file) coarse quantization: fit KMeans centroids (fixed
+    * seed → deterministic), assign each vector to its nearest centroid,
+    * then search only within the probe cell. The classic ANN index shape:
+    * the fit touches a sample-sized driver model, the assignment and the
+    * per-cell search are fully distributed. `nCells` trades recall for
+    * compute exactly like IVF nlist.
+    */
+  def ivfCosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5, nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = emb.withColumn("__mlvec", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nCells).setSeed(42L)
+      .setFeaturesCol("__mlvec").setPredictionCol("ivf_cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec).drop("__mlvec")
+    cosineTopK(assigned, queryPred, k, "ivf_cell", idCol, vecCol)
+  }
 }
