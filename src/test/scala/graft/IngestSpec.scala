@@ -89,6 +89,21 @@ class IngestSpec extends SparkSpec {
     assert(g2.edges.count() == g.edges.count())
   }
 
+  test("batch of 100 reports processes in one pass — O(branches) jobs, not O(records)") {
+    val docs = (0 until 100).map { i =>
+      s"""{"host$i.example": {
+         |  "dns-resolutions": [{"ipaddress": "10.0.${i / 256}.${i % 256}", "date": "2016-01-01"}],
+         |  "detected-downloaded": [{"hash": "h$i", "datetime": "", "prob": "1/2"}]}}""".stripMargin
+    }
+    val g = ThreatIntel.fromJson(spark, docs)
+    assert(g.vertices.count() == 300) // 100 domains + 100 ips + 100 hashes
+    assert(g.edges.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("assign" -> 100L, "threat" -> 100L))
+    // every resource got the same 0.5 aggregate
+    assert(g.vertices.filter(col("label") === "domain" && col("detected_prop") === 0.5)
+      .count() == 100)
+  }
+
   test("ip resources classified by the octet-range regex (graph_importer.py:32-38)") {
     val g4 = ThreatIntel.fromJson(spark, Seq("""{"8.8.8.8": {}, "999.1.1.1": {}}"""))
     val labels = g4.vertices.select("key", "label").as[(String, String)].collect().toMap
