@@ -58,6 +58,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def updateVertices(patches: DataFrame): PropertyGraph =
     copy(vertices = Mutations.patch(vertices, patches, Seq("id")))
 
+  /** `update_edge` merge-patch by exact (src, dst, label)
+    * (mongraph.py:205-213).
+    */
+  def updateEdges(patches: DataFrame): PropertyGraph =
+    copy(edges = Mutations.patch(edges, patches, Seq("src", "dst", "label")))
+
   /** `delete_node` undirected cascade (mongraph.py:153-181). */
   def deleteVertices(ids: DataFrame): PropertyGraph = {
     val (v, e) = Mutations.deleteVerticesCascade(vertices, edges, ids)

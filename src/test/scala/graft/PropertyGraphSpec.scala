@@ -55,6 +55,21 @@ class PropertyGraphSpec extends SparkSpec {
     assert(props("score") == "0.9")
   }
 
+  test("updateEdges patches edge props by exact (src,dst,label) (mongraph.py:205-213)") {
+    val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
+    val g1 = g0.insertEdges(Seq(
+      (ids("evil.example"), ids("10.1.2.3"), "assign"),
+      (ids("good.example"), ids("10.1.2.3"), "assign")).toDF("src", "dst", "label"))
+    val g2 = g1.updateEdges(Seq(
+      (ids("evil.example"), ids("10.1.2.3"), "assign", Map("date" -> "2016-01-01")))
+      .toDF("src", "dst", "label", "props"))
+    val patched = g2.edges.filter(col("src") === ids("evil.example")).head()
+    assert(patched.getMap[String, String](3)("date") == "2016-01-01")
+    // the other edge keeps its original empty props
+    val other = g2.edges.filter(col("src") === ids("good.example")).head()
+    assert(other.getMap[String, String](3).isEmpty)
+  }
+
   test("buildGraphJson emits the reference's graph document shape") {
     val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
     val g1 = g0.insertEdges(Seq(
