@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphAnalytics
+
+/** GraphX wrappers verified on hand-computed graphs + the invariants
+  * SURVEY.md §2.2 prescribes for the iterative (non-oracle) algorithms.
+  */
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // triangle 1-2-3 with a tail 3-4, plus isolated pair 5-6
+  private lazy val v = (1L to 6L).map(i => (i, "x", s"v$i")).toDF("id", "label", "name")
+  private lazy val e = Seq((1L, 2L, "e"), (2L, 3L, "e"), (1L, 3L, "e"),
+    (3L, 4L, "e"), (5L, 6L, "e")).toDF("src", "dst", "label")
+
+  test("pageRank invariant: ranks sum to ≈ |V| (normalized PageRank)") {
+    val ranks = GraphAnalytics.pageRank(v, e).agg(sum("rank")).head().getDouble(0)
+    assert(math.abs(ranks - 6.0) < 0.1, s"sum(rank)=$ranks")
+  }
+
+  test("connected components: two components with the expected membership") {
+    val cc = GraphAnalytics.connectedComponents(v, e)
+      .groupBy("component").agg(count(lit(1)).as("n"))
+      .orderBy("component").as[(Long, Long)].collect().toSeq
+    assert(cc == Seq((1L, 4L), (5L, 2L))) // GraphX labels by min vertex id
+  }
+
+  test("triangle count on a known graph") {
+    val canonical = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    assert(GraphAnalytics.triangleCount(canonical) == 1L)
+  }
+
+  test("bfs distances on a path with an unreachable pair") {
+    val dists = GraphAnalytics.bfsDistances(e, seed = 1L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(dists == Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L))) // 5,6 unreachable
+  }
+}
