@@ -32,8 +32,9 @@ object QueriesGraph {
           .join(g.vertices, Seq("id")).select("id", "label", "name").orderBy("id")
       },
       s"""${DerivedGraphSql.cte},
-         | ids AS (SELECT DISTINCT b AS id FROM und WHERE a = $nationSeed
-         |         UNION SELECT CAST($nationSeed AS BIGINT))
+         | ids AS (SELECT DISTINCT id FROM (
+         |   SELECT a AS id FROM und WHERE a = $nationSeed
+         |   UNION ALL SELECT b FROM und WHERE a = $nationSeed))
          |SELECT v.id, v.label, v.name FROM v JOIN ids ON v.id = ids.id ORDER BY v.id""".stripMargin),
 
     // _explode_node intent (mongraph.py:252-274): 2-hop closure with

@@ -15,35 +15,28 @@ object QueriesGraphX {
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // PageRank over the derived graph; top-100 by rank (rounded only for
-    // display stability — rows-only check).
+    // display stability — rows-only check). Shares the memoized cached
+    // GraphX build with graph_cc/graph_bfs_dist.
     "graph_pagerank" -> QueryDef(
-      (s, d) => {
-        val g = DerivedGraph(s, d)
-        GraphAnalytics.pageRank(g.vertices, g.edges)
-          .withColumn("rank", round(col("rank"), 6))
-          .orderBy(col("rank").desc, col("id")).limit(100)
-      },
+      (s, d) => GraphAnalytics.pageRank(GraphAnalytics.derivedGraphX(s, d), 10)
+        .withColumn("rank", round(col("rank"), 6))
+        .orderBy(col("rank").desc, col("id")).limit(100),
       None),
 
     // Connected components → component sizes.
     "graph_cc" -> QueryDef(
-      (s, d) => {
-        val g = DerivedGraph(s, d)
-        GraphAnalytics.connectedComponents(g.vertices, g.edges)
-          .groupBy("component").agg(count(lit(1)).as("n_vertices"))
-          .orderBy(col("n_vertices").desc, col("component"))
-      },
+      (s, d) => GraphAnalytics.connectedComponents(GraphAnalytics.derivedGraphX(s, d))
+        .groupBy("component").agg(count(lit(1)).as("n_vertices"))
+        .orderBy(col("n_vertices").desc, col("component")),
       None),
 
     // BFS distances from a nation seed via an explicit Pregel program;
     // oracle = min level over chained frontier joins (diameter of the
     // derived graph is well under the 10-superstep bound).
     "graph_bfs_dist" -> QueryDef(
-      (s, d) => {
-        val g = DerivedGraph(s, d)
-        GraphAnalytics.bfsDistances(g.edges, DerivedGraph.NationBase + 7)
-          .orderBy("id")
-      },
+      (s, d) => GraphAnalytics.bfsDistances(
+        GraphAnalytics.derivedGraphX(s, d), DerivedGraph.NationBase + 7, 10)
+        .orderBy("id"),
       s"""${DerivedGraphSql.cte},
          | h0 AS (SELECT CAST(${DerivedGraph.NationBase + 7} AS BIGINT) AS id),
          | h1 AS (SELECT DISTINCT b AS id FROM und JOIN h0 ON und.a = h0.id),
@@ -66,12 +59,16 @@ object QueriesGraphX {
 
     // Triangle count over the co-order part projection, oracle-verified by
     // an ordered 3-way self-join ((x,y),(x,z),(y,z) with x<y<z counts each
-    // triangle exactly once).
+    // triangle exactly once). Runs as the degree-ordered DataFrame wedge
+    // join (GraphAnalytics.triangleCountDF) — GraphX TriangleCount's
+    // per-vertex neighbor sets are the memory bottleneck at scale; the
+    // GraphX variant is cross-checked against this one in
+    // GraphAnalyticsSpec.
     "graph_triangles" -> QueryDef(
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val n = GraphAnalytics.triangleCount(GraphAnalytics.coOrderPartEdges(s, d))
+        val n = GraphAnalytics.triangleCountDF(GraphAnalytics.coOrderPartEdges(s, d))
         Seq(n).toDF("n_triangles")
       },
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

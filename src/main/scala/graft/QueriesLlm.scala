@@ -35,6 +35,9 @@ object QueriesLlm {
       None),
 
     // Exact token-bigram Jaccard: most-similar pair per source block.
+    // Grams travel through the inverted-index join as 8-byte xxhash64 keys,
+    // not strings — same intersection counts (collisions: ~n²/2⁶⁴ per
+    // block, negligible), a fraction of the shuffle width.
     "dedup_ngram_jaccard" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -42,7 +45,8 @@ object QueriesLlm {
           .withColumn("__toks", split(col("text"), " "))
           .filter(size(col("__toks")) >= 2)
           .select(col("source"), col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(0, size(__toks)-2), i -> concat(__toks[i], ' ', __toks[i+1])))")).as("gram"))
+            "array_distinct(transform(sequence(0, size(__toks)-2), i -> concat(__toks[i], ' ', __toks[i+1])))")).as("__g"))
+          .select(col("source"), col("doc_id"), xxhash64(col("__g")).as("gram"))
         val sizes = grams.groupBy("source", "doc_id").agg(count(lit(1)).as("sz"))
         val inter = grams.select(col("source"), col("doc_id").as("a_id"), col("gram"))
           .join(grams.select(col("source"), col("doc_id").as("b_id"), col("gram")),
@@ -170,7 +174,7 @@ object QueriesLlm {
       (s, d) => Multimodal.joinedStats(t(s, d, "documents"), t(s, d, "embeddings"))
         .orderBy("lang", "label"),
       """SELECT lang, label, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(SUM(len(text)) AS BIGINT) AS sum_bytes, MIN(doc_id) AS min_doc
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes, MIN(doc_id) AS min_doc
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY lang, label ORDER BY lang, label""".stripMargin),
 
@@ -182,10 +186,10 @@ object QueriesLlm {
         .toDF().orderBy("doc_id"),
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(16 + len(text) % 1024 AS INTEGER) AS width,
-        |  CAST(16 + (len(text) * 7) % 1024 AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + len(text) % 120 ELSE 1 END AS INTEGER) AS n_frames,
-        |  len(text) > 0 AS ok
+        |  CAST(16 + strlen(text) % 1024 AS INTEGER) AS width,
+        |  CAST(16 + (strlen(text) * 7) % 1024 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 120 ELSE 1 END AS INTEGER) AS n_frames,
+        |  strlen(text) > 0 AS ok
         |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

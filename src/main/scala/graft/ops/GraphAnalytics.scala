@@ -3,16 +3,29 @@ package graft.ops
 import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.reflect.ClassTag
 
 /** Graph analytics via GraphX (BASELINE.json "spark_approach": GraphX for
   * graph analytics). Graphs are materialized on demand from the vertex/edge
-  * DataFrames (SURVEY.md §1.2) — edge-partitioned with EdgePartition2D so
-  * both endpoints of any edge land in at most 2√P partitions, bounding
-  * replication at cluster scale.
+  * DataFrames (SURVEY.md §1.2), edge-partitioned with EdgePartition2D in
+  * [[toGraphX]] so both endpoints of any edge land in at most 2√P
+  * partitions, bounding vertex replication for every algorithm run on the
+  * graph — and memoized per (session, sfDir) in [[derivedGraphX]] so the
+  * iterative algorithms in one Verify/Bench run share a single cached
+  * build instead of re-deserializing the DataFrames per query.
+  *
+  * Triangle counting runs as a degree-ordered DataFrame join
+  * ([[triangleCountDF]]) rather than GraphX's `TriangleCount`: the GraphX
+  * implementation materializes per-vertex neighbor hash sets (memory ∝ Σdeg²
+  * on hubs), while the oriented wedge join keeps everything in Tungsten
+  * rows with AQE handling skew — the shape that survives a 100× scale-up.
+  * The GraphX variant is kept ([[triangleCount]]) and cross-checked in
+  * GraphAnalyticsSpec.
   */
 object GraphAnalytics {
 
-  /** Build a GraphX graph with (label, name) vertex attributes.
+  /** Build a GraphX graph with (label, name) vertex attributes,
+    * EdgePartition2D-partitioned.
     *
     * Edge partitions are sized down from the SQL shuffle width: iterative
     * Pregel jobs pay per-task overhead every superstep, so GraphX wants
@@ -29,30 +42,85 @@ object GraphAnalytics {
     val eRDD = edges.select("src", "dst", "label").rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
       .coalesce(parts)
-    Graph(vRDD, eRDD)
+    Graph(vRDD, eRDD).partitionBy(PartitionStrategy.EdgePartition2D)
   }
 
+  // keyed by (session, sfDir) like DerivedGraph's memo: one cached GraphX
+  // build serves pagerank + cc + bfs in a single Verify/Bench session.
+  private val gxCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Graph[(String, String), String]]
+
+  /** The derived property graph as a cached GraphX graph. */
+  def derivedGraphX(spark: SparkSession, sfDir: String): Graph[(String, String), String] =
+    gxCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      val g = graft.model.DerivedGraph(spark, sfDir)
+      val gx = toGraphX(g.vertices, g.edges)
+      gx.cache()
+      gx
+    })
+
   /** PageRank (fixed iteration count → deterministic superstep structure). */
-  def pageRank(vertices: DataFrame, edges: DataFrame, numIter: Int = 10): DataFrame = {
-    val spark = vertices.sparkSession
+  def pageRank[VD: ClassTag, ED: ClassTag](g: Graph[VD, ED], numIter: Int): DataFrame = {
+    val spark = SparkSession.active
     import spark.implicits._
-    toGraphX(vertices, edges).staticPageRank(numIter)
-      .vertices.toDF("id", "rank")
+    g.staticPageRank(numIter).vertices.toDF("id", "rank")
   }
+
+  def pageRank(vertices: DataFrame, edges: DataFrame, numIter: Int = 10): DataFrame =
+    pageRank(toGraphX(vertices, edges), numIter)
 
   /** Connected components (undirected semantics — GraphX CC ignores
     * direction).
     */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    val spark = vertices.sparkSession
+  def connectedComponents[VD: ClassTag, ED: ClassTag](g: Graph[VD, ED]): DataFrame = {
+    val spark = SparkSession.active
     import spark.implicits._
-    toGraphX(vertices, edges).connectedComponents()
-      .vertices.toDF("id", "component")
+    g.connectedComponents().vertices.toDF("id", "component")
+  }
+
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame =
+    connectedComponents(toGraphX(vertices, edges))
+
+  /** Unweighted undirected BFS distances from a seed via an explicit Pregel
+    * program — the k-hop traversal (mongraph.py:252-274 intent) as message
+    * passing. Each superstep relaxes dist(v) = min(dist(v), dist(u)+1); the
+    * stored graph stays directed (one copy) and each triplet relaxes BOTH
+    * directions, matching the reference's undirected `$or` traversal
+    * (mongraph.py:236-241). Messages stop once no distance improves;
+    * unreachable vertices are omitted. `maxDepth` bounds the superstep
+    * count exactly like the reference's depth parameter.
+    */
+  def bfsDistances[VD: ClassTag, ED: ClassTag](g: Graph[VD, ED], seed: Long, maxDepth: Int): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val init = g.mapVertices((id, _) => if (id == seed) 0 else Int.MaxValue)
+    val res = init.pregel(Int.MaxValue, maxIterations = maxDepth)(
+      (_, dist, msg) => math.min(dist, msg),
+      t => {
+        val toDst = t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr
+        val toSrc = t.dstAttr != Int.MaxValue && t.dstAttr + 1 < t.srcAttr
+        if (toDst && toSrc) Iterator((t.dstId, t.srcAttr + 1), (t.srcId, t.dstAttr + 1))
+        else if (toDst) Iterator((t.dstId, t.srcAttr + 1))
+        else if (toSrc) Iterator((t.srcId, t.dstAttr + 1))
+        else Iterator.empty
+      },
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 != Int.MaxValue)
+      .map { case (id, d) => (id, d.toLong) }.toDF("id", "dist")
+  }
+
+  def bfsDistances(edges: DataFrame, seed: Long, maxDepth: Int = 10): DataFrame = {
+    val parts = math.max(2, edges.sparkSession.sparkContext.defaultParallelism / 4)
+    val eRDD = edges.select("src", "dst").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      .coalesce(parts)
+    bfsDistances(Graph.fromEdges(eRDD, 0), seed, maxDepth)
   }
 
   /** Total triangle count of an undirected simple graph given canonical
-    * (src < dst) distinct edges. GraphX counts each triangle once per
-    * corner → sum/3.
+    * (src < dst) distinct edges — GraphX `TriangleCount` (counts each
+    * triangle once per corner → sum/3). Kept as the cross-check for
+    * [[triangleCountDF]]; prefer the DataFrame plan at scale.
     */
   def triangleCount(canonicalEdges: DataFrame): Long = {
     val parts = math.max(2,
@@ -65,32 +133,35 @@ object GraphAnalytics {
     g.triangleCount().vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
   }
 
-  /** Unweighted BFS distances from a seed via an explicit Pregel program —
-    * the k-hop traversal (mongraph.py:252-274 intent) as message passing.
-    * Each superstep relaxes dist(v) = min(dist(v), dist(u)+1) over incident
-    * edges; the edge set is undirected-ized (both directions emitted), and
-    * messages stop flowing once no distance improves. Unreachable vertices
-    * are omitted. `maxDepth` bounds the superstep count exactly like the
-    * reference's depth parameter.
+  /** Degree-ordered triangle count as a pure DataFrame plan — the classic
+    * scalable formulation: orient every edge from its (degree, id)-smaller
+    * endpoint to the larger (an acyclic total order, so each triangle
+    * {a<b<c} is counted exactly once, at its base edge a→b with c in
+    * N⁺(a) ∩ N⁺(b)), then intersect out-neighbor lists per edge. Work is
+    * Σ_edges (|N⁺(u)|+|N⁺(w)|) with |N⁺| ≤ O(√m) — on a dense co-order
+    * graph that's ~100× fewer operations than materializing every wedge
+    * through a join, and `array_intersect` on primitive longs is codegen'd.
+    * Two shuffles (degree agg + adjacency agg); the adjacency side is
+    * compact (one row per vertex) so AQE broadcasts it when small.
     */
-  def bfsDistances(edges: DataFrame, seed: Long, maxDepth: Int = 10): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val parts = math.max(2, spark.sparkContext.defaultParallelism / 4)
-    val eRDD = edges.select("src", "dst").rdd
-      .flatMap(r => Seq(
-        Edge(r.getLong(0), r.getLong(1), 1),
-        Edge(r.getLong(1), r.getLong(0), 1)))
-      .coalesce(parts)
-    val g = Graph.fromEdges(eRDD, 0)
-      .mapVertices((id, _) => if (id == seed) 0 else Int.MaxValue)
-    val res = g.pregel(Int.MaxValue, maxIterations = maxDepth)(
-      (_, dist, msg) => math.min(dist, msg),
-      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
-        Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
-      (a, b) => math.min(a, b))
-    res.vertices.filter(_._2 != Int.MaxValue)
-      .map { case (id, d) => (id, d.toLong) }.toDF("id", "dist")
+  def triangleCountDF(canonicalEdges: DataFrame): Long = {
+    val e = canonicalEdges.select("src", "dst")
+    val deg = e.select(col("src").as("x")).unionAll(e.select(col("dst").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("x").as("src"), col("d").as("sd")), "src")
+      .join(deg.select(col("x").as("dst"), col("d").as("dd")), "dst")
+    val oriented = withDeg.select(
+      when(struct(col("sd"), col("src")) < struct(col("dd"), col("dst")),
+        struct(col("src").as("u"), col("dst").as("w")))
+        .otherwise(struct(col("dst").as("u"), col("src").as("w"))).as("o"))
+      .select(col("o.u").as("u"), col("o.w").as("w"))
+    val adj = oriented.groupBy("u").agg(collect_list(col("w")).as("nbrs"))
+    oriented
+      .join(adj.select(col("u"), col("nbrs").as("na")), Seq("u"))
+      .join(adj.select(col("u").as("w"), col("nbrs").as("nb")), Seq("w"))
+      .agg(coalesce(sum(size(array_intersect(col("na"), col("nb")))), lit(0L)).as("n"))
+      .head().getLong(0)
   }
 
   /** Parts co-ordered in the same order — a triangle-rich projection of the

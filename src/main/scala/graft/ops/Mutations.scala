@@ -48,15 +48,40 @@ object Mutations {
   }
 
   /** `update_vertex`/`update_edge` merge-patch (`\$set`, mongraph.py:195-213):
-    * left-join the patch set on the key, `coalesce(new, old)` per patched
-    * column; unpatched rows and columns pass through untouched.
+    * left-join the patch set on the key; per patched column,
+    * `coalesce(new, old)` for scalars and per-key field merge for maps —
+    * `\$set` merges individual fields into the document, it does not replace
+    * the whole attribute map, so patch keys win and unpatched map entries
+    * survive. Unpatched rows and columns pass through untouched.
+    *
+    * The patch batch is key-deduplicated here (keep-first per key, ordered
+    * by the orderable patch columns) — a left join against duplicate keys
+    * would multiply target rows and silently break the key-uniqueness
+    * invariant every other operator relies on.
     */
   def patch(target: DataFrame, patches: DataFrame, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.MapType
     val patchCols = patches.columns.filterNot(keyCols.contains)
-    val renamed = patchCols.foldLeft(patches)((df, c) => df.withColumnRenamed(c, s"__p_$c"))
+    val orderable = patches.schema.fields
+      .filter(f => patchCols.contains(f.name) && !f.dataType.isInstanceOf[MapType])
+      .map(_.name).toSeq
+    val deduped = dedupFirst(patches, keyCols,
+      if (orderable.nonEmpty) orderable else keyCols)
+    val renamed = patchCols.foldLeft(deduped)((df, c) => df.withColumnRenamed(c, s"__p_$c"))
     val joined = target.join(renamed, keyCols, "left")
-    val out = patchCols.foldLeft(joined)((df, c) =>
-      df.withColumn(c, coalesce(col(s"__p_$c"), col(c))))
+    val targetTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    val out = patchCols.foldLeft(joined) { (df, c) =>
+      val p = col(s"__p_$c")
+      targetTypes.get(c) match {
+        case Some(_: MapType) =>
+          // field-merge: old entries whose key the patch doesn't mention,
+          // plus all patch entries (patch wins on conflict). Built without
+          // duplicate keys so no dependence on spark.sql.mapKeyDedupPolicy.
+          df.withColumn(c, when(p.isNull, col(c)).otherwise(map_concat(
+            map_filter(coalesce(col(c), map()), (k, _) => !map_contains_key(p, k)), p)))
+        case _ => df.withColumn(c, coalesce(p, col(c)))
+      }
+    }
     out.drop(patchCols.map(c => s"__p_$c"): _*)
   }
 

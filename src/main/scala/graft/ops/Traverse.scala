@@ -16,20 +16,17 @@ import graft.model.DerivedGraph
   */
 object Traverse {
 
-  /** Undirected 1-hop neighborhood. Matches `find_neighbors` semantics:
-    * both endpoints of every incident edge are collected, so the seed
-    * itself is included (mongraph.py:243-245). The seed predicate is pushed
-    * into the edge scan on BOTH endpoint columns (no undirected-view
-    * materialization).
+  /** Undirected 1-hop neighborhood. Matches `find_neighbors` semantics
+    * exactly: only the endpoints of *found* incident edges are collected
+    * (mongraph.py:243-245) — the seed appears in its own result iff it has
+    * at least one incident edge, and an isolated vertex returns the empty
+    * set. The seed predicate is pushed into the edge scan on BOTH endpoint
+    * columns (no undirected-view materialization).
     */
-  def neighborIds(edges: DataFrame, seed: Long): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val incident = edges.filter(col("src") === seed || col("dst") === seed)
-    incident.select(explode(array(col("src"), col("dst"))).as("id"))
-      .union(Seq(seed).toDF("id"))
+  def neighborIds(edges: DataFrame, seed: Long): DataFrame =
+    edges.filter(col("src") === seed || col("dst") === seed)
+      .select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
-  }
 
   /** Depth-bounded k-hop closure with visited-set dedup — the *intent* of
     * `_explode_node` (mongraph.py:252-274; the letter crashes, SURVEY §2.3

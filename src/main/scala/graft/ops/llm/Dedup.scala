@@ -21,22 +21,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per normalized text. */
-  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(lower(trim(col(textCol))).as("__norm"))
+  /** Exact dedup: keep the smallest id per normalized text. Groups on a
+    * 64+32-bit content hash of the normalized text, not the text itself —
+    * the shuffle then moves ~12 bytes per row instead of the full document,
+    * which is the difference between a metadata-sized exchange and
+    * reshuffling the whole corpus at 100 TB. (96 collision bits: for 10¹²
+    * docs the collision probability is ~10⁻⁵; a collision-free variant
+    * would group on sha2-256 at 4× the key width.)
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val norm = lower(trim(col(textCol)))
+    docs.select(xxhash64(norm).as("__h1"), crc32(norm).as("__h2"), col(idCol))
+      .groupBy("__h1", "__h2")
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
+  }
 
   /** MinHash signature → LSH band buckets. One row per (doc, band); docs
     * sharing a (band, bucket) are near-dup candidates. `numHashes` minhash
     * functions are derived from xxhash64 by mixing in the function index;
     * shingles are `shingleLen`-token windows.
     *
-    * Shape: explode (doc × shingle × hash-index) then a map-side-combinable
-    * `min` aggregation — nested array lambdas would run interpreted
-    * (higher-order functions aren't codegen'd) and were ~8× slower; the
-    * explode/agg form is also the shape that scales, since the min combine
-    * happens before the shuffle.
+    * Shape: explode doc × shingle ONCE, then compute all `numHashes`
+    * min-aggregates in a single map-side-combinable groupBy — one codegen'd
+    * `min(xxhash64(i, shingle))` column per hash function. No ×numHashes
+    * row explosion (32× fewer shuffle rows than the explode-per-function
+    * form), no second shuffle, no collect_list/sort: the signature is just
+    * the agg output row, and band buckets hash fixed column slices of it.
+    * Nested array lambdas would run interpreted (higher-order functions
+    * aren't codegen'd) and were ~8× slower still.
     */
   def minhashBuckets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 3): DataFrame = {
@@ -47,17 +60,14 @@ object Dedup {
       .filter(size(col("__toks")) >= shingleLen)
       .select(col(idCol), explode(expr(
         s"array_distinct(transform(sequence(0, size(__toks)-$shingleLen), i -> concat_ws(' ', slice(__toks, i+1, $shingleLen))))")).as("__sh"))
-    val minPerFn = shingles
-      .select(col(idCol), explode(sequence(lit(0), lit(numHashes - 1))).as("__i"),
-        col("__sh"))
-      .select(col(idCol), col("__i"), xxhash64(col("__i"), col("__sh")).as("__h"))
-      .groupBy(idCol, "__i").agg(min("__h").as("__h"))
-    minPerFn
-      .groupBy(idCol)
-      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__h")))),
-        e => e.getField("__h")).as("__sig"))
-      .select(col(idCol), expr(
-        s"explode(transform(sequence(0, ${bands - 1}), b -> struct(CAST(b AS BIGINT) AS band, xxhash64(slice(__sig, b*$rowsPerBand+1, $rowsPerBand)) AS bucket)))").as("__b"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("__sh"))).as(s"__m$i"))
+    val sig = shingles.groupBy(idCol).agg(minAggs.head, minAggs.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}"))
+      struct(lit(b.toLong).as("band"), xxhash64(slice: _*).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
       .select(col(idCol), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
   }
 

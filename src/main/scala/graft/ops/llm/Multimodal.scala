@@ -24,7 +24,10 @@ object Multimodal {
     docs.select(
       col("doc_id"),
       col("text").cast("binary").as("payload"),
-      length(col("text")).cast("long").as("byte_len"),
+      // octet_length = UTF-8 byte count — must agree with the decoder's
+      // bytes.length (length() would count characters and diverge on
+      // non-ASCII text).
+      octet_length(col("text")).cast("long").as("byte_len"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"))
 
@@ -70,6 +73,6 @@ object Multimodal {
       .groupBy("lang", "label")
       .agg(count(lit(1)).as("n"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(length(col("text"))).cast("long").as("sum_bytes"),
+        sum(octet_length(col("text"))).cast("long").as("sum_bytes"),
         min(col("doc_id")).as("min_doc"))
 }

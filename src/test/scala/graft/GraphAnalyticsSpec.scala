@@ -32,6 +32,16 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(GraphAnalytics.triangleCount(canonical) == 1L)
   }
 
+  test("DataFrame degree-ordered triangle count agrees with GraphX") {
+    // K4 on 1-4 (4 triangles) + triangle 5-6-7 + tail 7-8
+    val canonical = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L), (7L, 8L)).toDF("src", "dst")
+    assert(GraphAnalytics.triangleCountDF(canonical) == 5L)
+    assert(GraphAnalytics.triangleCountDF(canonical) ==
+      GraphAnalytics.triangleCount(canonical))
+  }
+
   test("bfs distances on a path with an unreachable pair") {
     val dists = GraphAnalytics.bfsDistances(e, seed = 1L)
       .orderBy("id").as[(Long, Long)].collect().toSeq

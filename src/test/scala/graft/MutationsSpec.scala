@@ -54,6 +54,26 @@ class MutationsSpec extends SparkSpec {
     assert(out(1).getString(1) == "b")
   }
 
+  test("patch with duplicate patch keys does not multiply target rows") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "score")
+    val patches = Seq((2L, 99.0), (2L, 77.0)).toDF("id", "score")
+    val out = Mutations.patch(target, patches, Seq("id")).orderBy("id").collect()
+    assert(out.length == 2)                   // key-uniqueness invariant holds
+    assert(out(1).getDouble(2) == 77.0)       // keep-first by orderable cols
+  }
+
+  test("patch merges map columns per key like $set field-merge (mongraph.py:195-213)") {
+    val target = Seq(
+      (1L, Map("color" -> "red", "size" -> "xl")),
+      (2L, Map("color" -> "blue"))).toDF("id", "props")
+    val patches = Seq((1L, Map("size" -> "s", "new" -> "y"))).toDF("id", "props")
+    val out = Mutations.patch(target, patches, Seq("id")).orderBy("id")
+      .as[(Long, Map[String, String])].collect()
+    // patched row: unmentioned key survives, patch keys win / append
+    assert(out(0)._2 == Map("color" -> "red", "size" -> "s", "new" -> "y"))
+    assert(out(1)._2 == Map("color" -> "blue")) // unpatched row untouched
+  }
+
   test("deleteEdges removes exact (src,dst,label) only (mongraph.py:183-193)") {
     val e = Seq((1L, 2L, "a"), (1L, 2L, "b"), (2L, 1L, "a")).toDF("src", "dst", "label")
     val out = Mutations.deleteEdges(e, Seq((1L, 2L, "a")).toDF("src", "dst", "label"))

@@ -20,6 +20,10 @@ class TraverseSpec extends SparkSpec {
     assert(ids.toSeq == Seq(2L, 3L)) // 3 is only a dst; still sees its src
   }
 
+  test("1-hop of an isolated vertex is empty: only endpoints of found edges count (mongraph.py:243-245)") {
+    assert(Traverse.neighborIds(pathEdges, 9L).isEmpty)
+  }
+
   test("k-hop is depth-bounded with visited dedup; khop(k) ⊆ khop(k+1)") {
     val path6 = Seq((1L, 2L, "e"), (2L, 3L, "e"), (3L, 4L, "e"), (4L, 5L, "e"), (5L, 6L, "e"))
       .toDF("src", "dst", "label")
