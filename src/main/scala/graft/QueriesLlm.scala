@@ -190,6 +190,51 @@ object QueriesLlm {
         |  CAST(16 + (strlen(text) * 7) % 1024 AS INTEGER) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 120 ELSE 1 END AS INTEGER) AS n_frames,
         |  strlen(text) > 0 AS ok
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Embedding-cosine near-duplicate pairs (the 5th dedup strategy of the
+    // mandate) — same-label blocking, scores rounded to 4dp before the
+    // threshold cut. 0.35 is calibrated to the synthetic embeddings (the
+    // ~99th percentile of intra-label cosine; max observed ≈ 0.47).
+    "dedup_embedding" -> QueryDef(
+      (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), threshold = 0.35)
+        .orderBy("a_id", "b_id"),
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |        round(list_dot_product(a.emb, b.emb)/(na.nrm*nb.nrm), 4) AS cosine
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |      JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)
+        |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // Quantile-threshold quality filter: keep documents at or above the
+    // median token count. The median is exact-integer (percentile_disc
+    // style: smallest value whose cumulative count reaches ⌈n/2⌉) computed
+    // over the VALUE HISTOGRAM — the global window orders the tiny distinct
+    // token-count domain, never the corpus, so the plan scales: one
+    // histogram shuffle + a broadcast of the scalar threshold.
+    "quality_filter" -> QueryDef(
+      (s, d) => {
+        val q = t(s, d, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val hist = q.groupBy("n_tokens").agg(count(lit(1)).as("c"))
+        val wCum = Window.orderBy("n_tokens")
+        val thr = hist
+          .withColumn("cum", sum("c").over(wCum))
+          .withColumn("tot", sum("c").over(Window.partitionBy()))
+          .filter(col("cum") >= expr("(tot + 1) div 2"))
+          .agg(min("n_tokens").as("thr"))
+        q.join(broadcast(thr), q("n_tokens") >= thr("thr"))
+          .select("doc_id", "n_tokens").orderBy("doc_id")
+      },
+      """WITH q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |h AS (SELECT n_tokens, COUNT(*) AS c FROM q GROUP BY n_tokens),
+        |a AS (SELECT n_tokens, SUM(c) OVER (ORDER BY n_tokens) AS cum,
+        |        SUM(c) OVER () AS tot FROM h),
+        |t AS (SELECT MIN(n_tokens) AS thr FROM a WHERE cum >= (tot + 1) // 2)
+        |SELECT doc_id, n_tokens FROM q, t WHERE n_tokens >= thr
+        |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -327,6 +327,92 @@ object QueriesRelational {
         .orderBy("doc_id", "tok"),
       """SELECT doc_id, tok, COUNT(*) AS cnt FROM (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-        |GROUP BY doc_id, tok ORDER BY doc_id, tok""".stripMargin)
+        |GROUP BY doc_id, tok ORDER BY doc_id, tok""".stripMargin),
+
+    // As-of join: each non-purchase event picks up the same user's most
+    // recent strictly-prior purchase — the union+window single-shuffle
+    // formulation (ops.AsOf). Timestamps exported as epoch micros so both
+    // engines hash identical BIGINTs (TIMESTAMP_NS stringifies differently).
+    "asof_join" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val out = graft.ops.AsOf.joinStrictPrior(
+          ev.filter(col("event_type") =!= "purchase")
+            .select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value"),
+          keyCols = Seq("user_id"), timeCol = "ts", rightCols = Seq("ts", "value"))
+        out.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"),
+          col("asof_value"))
+          .orderBy("event_id")
+      },
+      """SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+        |  CAST(epoch_us(p.ts) AS BIGINT) AS asof_ts_us, p.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts > p.ts
+        |ORDER BY e.event_id""".stripMargin),
+
+    // Exact distribution statistics per group — stddev and corr recomputed
+    // from order-independent DECIMAL power sums (SUM x, x², y, y², xy), so
+    // Spark's partial aggregation and DuckDB's sequential scan feed the
+    // SAME exact inputs into the SAME double formula. Never the built-in
+    // stddev/corr: their streaming accumulation is order-dependent.
+    "agg_stats" -> QueryDef(
+      (s, d) => {
+        // power sums via dsum: the double product is rounded into
+        // DECIMAL(18,6) BEFORE the exact sum — mirroring dsumSql term for
+        // term (an exact decimal×decimal product would differ from the
+        // oracle's double multiply in the 7th decimal).
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        val nD = col("n").cast("double")
+        t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            dsum(x).as("sx"), dsum(x * x).as("sx2"),
+            dsum(y).as("sy"), dsum(y * y).as("sy2"),
+            dsum(x * y).as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("sx") / nD, 6).as("mean_qty"),
+            round(sqrt((nD * col("sx2") - col("sx") * col("sx")) / (nD * (nD - 1))), 6)
+              .as("stddev_qty"),
+            round((nD * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(nD * col("sx2") - col("sx") * col("sx")) *
+                sqrt(nD * col("sy2") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      s"""WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+         |  ${dsumSql("l_quantity")} AS sx, ${dsumSql("l_quantity*l_quantity")} AS sx2,
+         |  ${dsumSql("l_extendedprice")} AS sy,
+         |  ${dsumSql("l_extendedprice*l_extendedprice")} AS sy2,
+         |  ${dsumSql("l_quantity*l_extendedprice")} AS sxy
+         |FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  round(sx / CAST(n AS DOUBLE), 6) AS mean_qty,
+         |  round(sqrt((CAST(n AS DOUBLE)*sx2 - sx*sx)
+         |    / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1))), 6) AS stddev_qty,
+         |  round((CAST(n AS DOUBLE)*sxy - sx*sy)
+         |    / (sqrt(CAST(n AS DOUBLE)*sx2 - sx*sx)
+         |       * sqrt(CAST(n AS DOUBLE)*sy2 - sy*sy)), 6) AS corr_qty_price
+         |FROM s ORDER BY l_returnflag""".stripMargin),
+
+    // Pivot to wide: per-linestatus quantity totals, one column per return
+    // flag (explicit value list → no distinct-scan planning pass).
+    "pivot_wide" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 6))))
+        .select(col("l_linestatus"),
+          col("A").cast("double").as("qty_a"),
+          col("N").cast("double").as("qty_n"),
+          col("R").cast("double").as("qty_r"))
+        .orderBy("l_linestatus"),
+      """SELECT l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (l_returnflag = 'A') AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (l_returnflag = 'N') AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
   )
 }

@@ -115,7 +115,10 @@ object Dedup {
     val a = e.select(col(blockCol), col(idCol).as("a_id"), col(vecCol).as("a_emb"), col("__nrm").as("a_n"))
     val b = e.select(col(blockCol), col(idCol).as("b_id"), col(vecCol).as("b_emb"), col("__nrm").as("b_n"))
     a.join(b, Seq(blockCol)).filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", float_dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")))
+      // round BEFORE the threshold compare so float accumulation order can
+      // never flip a pair across the cut (same rule as Similarity ranking).
+      .withColumn("cosine", round(
+        float_dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 4))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }
