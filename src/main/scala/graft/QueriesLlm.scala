@@ -163,10 +163,26 @@ object QueriesLlm {
         |SELECT doc_id, p_lang AS pred_lang, p_lang = lang AS correct
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin),
 
-    // Winnowing fingerprints (xxhash64 → no oracle).
+    // Winnowing fingerprints — polynomial shingle hash, so DuckDB replays
+    // the identical fold and the full winnowing pipeline is oracle-checked
+    // (shingleLen=3, winnow=4, min-length filter = 3+4-1 = 6 tokens).
     "doc_fingerprint" -> QueryDef(
       (s, d) => TextAnalysis.fingerprint(t(s, d, "documents")).orderBy("doc_id"),
-      None),
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(toks)-2), i ->
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(array_to_string(list_slice(toks, i, i+2), ' '), ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        |       FROM tk WHERE len(toks) >= 6),
+        |fp AS (SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(hs)-3), i ->
+        |           list_aggregate(list_slice(hs, i, i+3), 'min'))) AS fps
+        |       FROM sh)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        |  list_aggregate(fps, 'min') AS min_fingerprint
+        |FROM fp ORDER BY doc_id""".stripMargin),
 
     // Documents ⋈ embeddings: text + vector in one frame, stats per
     // (lang, label).

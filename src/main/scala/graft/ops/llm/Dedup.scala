@@ -37,6 +37,26 @@ object Dedup {
       .select(idCol)
   }
 
+  /** Streaming exact dedup — the same content-hash identity as [[exact]]
+    * running under Structured Streaming: keep each arriving document only
+    * if its normalized-text hash was not seen within the watermark. State
+    * is 12 bytes of hash per kept document and is dropped once the
+    * watermark passes — bounded memory at unbounded input, the shape a
+    * continuous training-data ingest needs. First arrival wins (the
+    * streaming analog of the reference's first-write-wins upsert,
+    * mongraph.py:90-94).
+    */
+  def exactStreaming(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    val norm = lower(trim(col(textCol)))
+    docs
+      .withColumn("__h1", xxhash64(norm))
+      .withColumn("__h2", crc32(norm))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h1", "__h2")
+      .drop("__h1", "__h2")
+  }
+
   /** MinHash signature → LSH band buckets. One row per (doc, band); docs
     * sharing a (band, bucket) are near-dup candidates. `numHashes` minhash
     * functions are derived from xxhash64 by mixing in the function index;

@@ -73,16 +73,34 @@ object TextAnalysis {
   /** Winnowing document fingerprint: rolling shingle hashes, minimum per
     * sliding window of `winnow` — the MOSS scheme. Output: fingerprint-set
     * summary per doc.
+    *
+    * The shingle hash is a char-code polynomial fold
+    * (h = fold(0, (a,c) → (a·31 + ascii(c)) mod 1e9+7)) rather than
+    * xxhash64: DuckDB can replay the identical fold
+    * (`list_reduce(list_prepend(0, codes), …)`), which makes the whole
+    * winnowing pipeline oracle-checkable end to end. Swap `polyHash=false`
+    * for the codegen'd xxhash64 fast path when verifiability isn't needed
+    * (the winnowing algebra — shingle windows, minima, distinct — is
+    * identical either way).
     */
   def fingerprint(docs: DataFrame, shingleLen: Int = 3, winnow: Int = 4,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+      textCol: String = "text", idCol: String = "doc_id",
+      polyHash: Boolean = true): DataFrame = {
+    val shingleStr = s"concat_ws(' ', slice(__toks, i+1, $shingleLen))"
+    val hashOfShingle =
+      if (polyHash)
+        s"""aggregate(
+           |  transform(split($shingleStr, ''), c -> CAST(ascii(c) AS BIGINT)),
+           |  CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+      else s"xxhash64($shingleStr)"
     docs
       .withColumn("__toks", split(col(textCol), " "))
       .filter(size(col("__toks")) >= shingleLen + winnow - 1)
       .withColumn("__hs", expr(
-        s"transform(sequence(0, size(__toks)-$shingleLen), i -> xxhash64(concat_ws(' ', slice(__toks, i+1, $shingleLen))))"))
+        s"transform(sequence(0, size(__toks)-$shingleLen), i -> $hashOfShingle)"))
       .withColumn("__fps", expr(
         s"array_distinct(transform(sequence(0, size(__hs)-$winnow), i -> array_min(slice(__hs, i+1, $winnow))))"))
       .select(col(idCol), size(col("__fps")).cast("long").as("n_fingerprints"),
         array_min(col("__fps")).as("min_fingerprint"))
+  }
 }

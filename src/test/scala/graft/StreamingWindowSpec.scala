@@ -54,6 +54,28 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicate text across micro-batches is dropped, first arrival wins") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.ops.llm.Dedup.exactStreaming(
+      stream.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "the quick brown fox"),
+        (ts("2024-01-01 00:01:00"), 2L, "THE QUICK BROWN FOX "), // dup after normalization
+        (ts("2024-01-01 00:02:00"), 3L, "something else"))
+      q.processAllAvailable()
+      stream.addData(
+        (ts("2024-01-01 00:03:00"), 4L, "the quick brown fox"), // dup across batches
+        (ts("2024-01-01 00:04:00"), 5L, "genuinely new"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 5L)) // 2 (same batch) and 4 (cross-batch) dropped
+    } finally q.stop()
+  }
+
   test("sessions: merge is inclusive at exactly the gap; strictly greater splits") {
     val data = Seq(
       (ts("2024-01-01 00:00:00"), 1L, 1.0),
