@@ -156,11 +156,14 @@ object GraphAnalytics {
         struct(col("src").as("u"), col("dst").as("w")))
         .otherwise(struct(col("dst").as("u"), col("src").as("w"))).as("o"))
       .select(col("o.u").as("u"), col("o.w").as("w"))
-    val adj = oriented.groupBy("u").agg(collect_list(col("w")).as("nbrs"))
+    // sorted adjacency + the codegen'd two-pointer merge: zero allocation
+    // per row, vs array_intersect's per-row hash set + result array.
+    val adj = oriented.groupBy("u").agg(sort_array(collect_list(col("w"))).as("nbrs"))
     oriented
       .join(adj.select(col("u"), col("nbrs").as("na")), Seq("u"))
       .join(adj.select(col("u").as("w"), col("nbrs").as("nb")), Seq("w"))
-      .agg(coalesce(sum(size(array_intersect(col("na"), col("nb")))), lit(0L)).as("n"))
+      .agg(coalesce(sum(graft.functions.ArrayFunctions.sorted_intersect_count(
+        col("na"), col("nb"))), lit(0L)).as("n"))
       .head().getLong(0)
   }
 

@@ -61,4 +61,21 @@ class VectorFunctionsSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("sorted_intersect_count: two-pointer merge matches array_intersect; null-safe") {
+    import graft.functions.ArrayFunctions.sorted_intersect_count
+    val pairs = Seq(
+      (Array(1L, 3L, 5L, 7L), Array(3L, 4L, 5L, 9L)),   // {3,5} -> 2
+      (Array(1L, 2L), Array(3L, 4L)),                    // disjoint -> 0
+      (Array[Long](), Array(1L)),                        // empty -> 0
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L))             // identical -> 3
+    ).toDF("a", "b")
+    val got = pairs.select(sorted_intersect_count(col("a"), col("b"))).as[Long].collect().toSeq
+    assert(got == Seq(2L, 0L, 0L, 3L))
+    val viaBuiltin = pairs
+      .select(size(array_intersect(col("a"), col("b"))).cast("long")).as[Long].collect().toSeq
+    assert(got == viaBuiltin)
+    val withNull = Seq((Array(1L), null.asInstanceOf[Array[Long]])).toDF("a", "b")
+    assert(withNull.select(sorted_intersect_count(col("a"), col("b"))).head().isNullAt(0))
+  }
 }
