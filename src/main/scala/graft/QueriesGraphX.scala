@@ -30,6 +30,25 @@ object QueriesGraphX {
         .orderBy(col("n_vertices").desc, col("component")),
       None),
 
+    // Label-propagation communities on the affiliation subgraph
+    // (customer/supplier—nation—region), one row per member vertex.
+    // Restricting to the membership edges is deliberate twice over: it is
+    // the semantically meaningful community structure, and it keeps LPA's
+    // per-superstep label-histogram messages away from the ordered/supplies
+    // hub vertices (on the full graph those maps made LPA ~10× the cost of
+    // PageRank). Subgraph slices the CACHED GraphX build — no rebuild.
+    // Rows-only: LPA tie-breaking makes community ids run-unstable.
+    "graph_lpa" -> QueryDef(
+      (s, d) => {
+        val member = GraphAnalytics.derivedGraphX(s, d)
+          .subgraph(epred = t => t.attr == "in_nation" || t.attr == "in_region")
+        GraphAnalytics.labelPropagation(member, 5)
+          .join(DerivedGraph(s, d).vertices.filter(col("label") =!= "part"),
+            Seq("id"), "left_semi")
+          .orderBy("id")
+      },
+      None),
+
     // BFS distances from a nation seed via an explicit Pregel program;
     // oracle = min level over chained frontier joins (diameter of the
     // derived graph is well under the 10-superstep bound).

@@ -208,6 +208,18 @@ object QueriesLlm {
         |  strlen(text) > 0 AS ok
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Frame sampling over the decoded videos: every 10th frame index,
+    // one row per sampled frame — distributed fan-out, no per-video
+    // collect. The stub's n_frames arithmetic makes it oracle-checkable.
+    "multimodal_frames" -> QueryDef(
+      (s, d) => Multimodal.frameSample(
+        Multimodal.decodeStub(Multimodal.attachBinary(t(s, d, "documents"))))
+        .orderBy("doc_id", "frame_idx"),
+      """SELECT doc_id, n_frames, CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
+        |FROM (SELECT doc_id, CAST(1 + strlen(text) % 120 AS INTEGER) AS n_frames
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id, frame_idx""".stripMargin),
+
     // Embedding-cosine near-duplicate pairs (the 5th dedup strategy of the
     // mandate) — same-label blocking, scores rounded to 4dp before the
     // threshold cut. 0.35 is calibrated to the synthetic embeddings (the

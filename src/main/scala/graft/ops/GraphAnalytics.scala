@@ -81,6 +81,19 @@ object GraphAnalytics {
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame =
     connectedComponents(toGraphX(vertices, edges))
 
+  /** Label propagation (community detection) — GraphX LPA with a fixed
+    * superstep count. Tie-breaking inside LPA follows map iteration order,
+    * so community IDS are not run-stable — downstream consumers use the
+    * per-vertex row set (stable cardinality), never the raw ids; declared
+    * rows-only in the oracle contract like the other fixpoint algorithms.
+    */
+  def labelPropagation[VD: ClassTag, ED: ClassTag](g: Graph[VD, ED], numIter: Int): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    org.apache.spark.graphx.lib.LabelPropagation.run(g, numIter)
+      .vertices.toDF("id", "community")
+  }
+
   /** Unweighted undirected BFS distances from a seed via an explicit Pregel
     * program — the k-hop traversal (mongraph.py:252-274 intent) as message
     * passing. Each superstep relaxes dist(v) = min(dist(v), dist(u)+1); the

@@ -65,6 +65,19 @@ object Multimodal {
       ok = len > 0)
   }
 
+  /** Deterministic frame sampling over decoded video media: every
+    * `every`-th frame index of each video, exploded to one row per sampled
+    * frame — the Spark-side plumbing of a frame-extraction stage (the real
+    * decoder would seek to `frame_idx`; offsets here are the stub's
+    * arithmetic). Explode keeps it fully distributed: no per-video
+    * collect, fan-out bounded by n_frames/every.
+    */
+  def frameSample(decoded: Dataset[DecodedMedia], every: Int = 10): DataFrame =
+    decoded.toDF().filter(col("kind") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(every))).as("__f"))
+      .select(col("doc_id"), col("n_frames"), col("__f").cast("long").as("frame_idx"))
+
   /** Documents and embedding vectors joined into one multimodal frame:
     * text + vector columns side by side, per-(lang,label) stats.
     */
