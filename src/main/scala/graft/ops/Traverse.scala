@@ -31,22 +31,37 @@ object Traverse {
   /** Depth-bounded k-hop closure with visited-set dedup — the *intent* of
     * `_explode_node` (mongraph.py:252-274; the letter crashes, SURVEY §2.3
     * items 1-2). Returns the visited vertex-id set including the seed.
+    *
+    * Each hop joins the undirected edge view against the frontier. While
+    * the frontier is small (the ego-query regime) it is broadcast, so the
+    * hop is a map-side hash join — the edge table is never shuffled. Once
+    * the visited set outgrows [[broadcastRowLimit]] (possible at depth ≥
+    * graph diameter on a 100 TB graph) the hint is dropped and the hop
+    * falls back to AQE's join choice; the row counts are free — both
+    * frames are localCheckpoint'ed, so `count()` reads cached partition
+    * sizes, no recompute.
     */
+  val broadcastRowLimit: Long = 5000000L
+
   def kHopIds(edges: DataFrame, seed: Long, k: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val und = DerivedGraph.undirected(edges)
-    var visited = Seq(seed).toDF("id")
+    var visited = Seq(seed).toDF("id").localCheckpoint()
     var frontier = visited
-    for (_ <- 1 to k if !frontier.isEmpty) {
-      // ego frontiers are depth-bounded and small relative to the edge set:
-      // broadcast them so each hop is a map-side hash join over the edges —
-      // no shuffle of the (huge) edge table per hop. For frontiers beyond
-      // broadcast size, drop the hint and let AQE pick the shuffle join.
-      val next = und.join(broadcast(frontier.withColumnRenamed("id", "a")), Seq("a"))
+    var frontierRows = 1L
+    var visitedRows = 1L
+    for (_ <- 1 to k if frontierRows > 0) {
+      def maybeBroadcast(df: DataFrame, rows: Long) =
+        if (rows <= broadcastRowLimit) broadcast(df) else df
+      val next = und
+        .join(maybeBroadcast(frontier.withColumnRenamed("id", "a"), frontierRows), Seq("a"))
         .select(col("b").as("id")).distinct()
-      frontier = next.join(broadcast(visited), Seq("id"), "left_anti").localCheckpoint()
+      frontier = next.join(maybeBroadcast(visited, visitedRows), Seq("id"), "left_anti")
+        .localCheckpoint()
+      frontierRows = frontier.count()
       visited = visited.union(frontier).localCheckpoint()
+      visitedRows += frontierRows
     }
     visited
   }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.llm.Dedup
+
+/** Dedup-strategy behavior on a fixture with one known near-dup pair —
+  * including a cross-check of the custom MinHash banding against MLlib's
+  * MinHashLSH (both must surface the planted pair).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1 and 2 are near-identical (one token differs); 3-5 unrelated.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (2L, "the quick brown fox jumps over the lazy cat near the old river bank"),
+    (3L, "completely different content about spark graph engines and parquet scans"),
+    (4L, "yet another unrelated document mentioning streams windows and watermarks"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per normalized text, case/trim-insensitive") {
+    val dup = Seq((10L, "  THE QUICK brown fox jumps over the lazy dog near the old river bank "))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(docs.union(dup)).as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L)) // 10 collapses into 1
+  }
+
+  test("minhash LSH candidate pairs surface the planted near-dup, not unrelated docs") {
+    val pairs = Dedup.minhashCandidatePairs(Dedup.minhashBuckets(docs))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("custom minhash banding agrees with MLlib MinHashLSH on the planted pair") {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val shingled = docs
+      .withColumn("__toks", split(col("text"), " "))
+      .filter(size(col("__toks")) >= 3)
+      .withColumn("shingles", expr(
+        "transform(sequence(0, size(__toks)-3), i -> concat_ws(' ', slice(__toks, i+1, 3)))"))
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setBinary(true).setNumFeatures(1 << 14)
+    val feat = tf.transform(shingled)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L).fit(feat)
+    val mllibPairs = lsh.approxSimilarityJoin(feat, feat, 0.5, "dist")
+      .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"))
+      .filter(col("a") < col("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(mllibPairs.contains((1L, 2L)))
+    val ours = Dedup.minhashCandidatePairs(Dedup.minhashBuckets(docs))
+      .as[(Long, Long)].collect().toSet
+    assert(ours.contains((1L, 2L)))
+  }
+
+  test("simhash: near-dups land within small hamming distance, unrelated far apart") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(1L, 2L) <= 8, s"near-dup hamming ${ham(1L, 2L)}")
+    assert(ham(1L, 3L) > 8, s"unrelated hamming ${ham(1L, 3L)}")
+  }
+
+  test("embedding near-dups: threshold cut on rounded cosine, blocked") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(0.999f, 0.04f, 0.0f)), // cos ≈ 0.9992 → pair
+      (3L, 0, Array(0.0f, 1.0f, 0.0f)),    // orthogonal → no pair
+      (4L, 1, Array(1.0f, 0.0f, 0.0f))     // near-dup of 1 but other block
+    ).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, threshold = 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
