@@ -70,6 +70,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     PropertyGraph(v, e)
   }
 
+  /** `delete_node(None, filter)` (mongraph.py:164-171): resolve the victims
+    * by a Mongo filter document, then cascade — the filter-resolution path
+    * of the reference's delete, minus its crash when nothing matches
+    * (SURVEY §2.3 item 7; an empty match set deletes nothing here).
+    */
+  def deleteWhere(mongoFilterJson: String): PropertyGraph =
+    deleteVertices(searchVertices(mongoFilterJson).select("id"))
+
   /** `delete_edge` (mongraph.py:183-193). */
   def deleteEdges(toDelete: DataFrame): PropertyGraph =
     copy(edges = Mutations.deleteEdges(edges, toDelete))

@@ -40,4 +40,13 @@ class AsOfSpec extends SparkSpec {
     assert(out.count() == trades.count())
     assert(out.columns.toSeq == Seq("user_id", "ts", "event_id", "asof_value"))
   }
+
+  test("as-of is a single-shuffle plan: exactly one exchange, no join operator") {
+    val out = AsOf.joinStrictPrior(trades, quotes,
+      keyCols = Seq("user_id"), timeCol = "ts", rightCols = Seq("value"))
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "(?i)\\bexchange\\b".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"no join operator expected, plan:\n$plan")
+  }
 }

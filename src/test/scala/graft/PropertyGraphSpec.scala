@@ -46,6 +46,16 @@ class PropertyGraphSpec extends SparkSpec {
     assert(hits.count() == 2)
   }
 
+  test("deleteWhere: filter-resolved cascade delete; empty match deletes nothing (mongraph.py:164-171 intent)") {
+    val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
+    val g1 = g0.insertEdges(Seq(
+      (ids("evil.example"), ids("10.1.2.3"), "assign")).toDF("src", "dst", "label"))
+    val g2 = g1.deleteWhere("""{"label": "ip"}""")
+    assert(g2.vertices.count() == 2 && g2.edges.count() == 0) // cascade took the edge
+    val g3 = g1.deleteWhere("""{"key": "no.such.vertex"}""")
+    assert(g3.vertices.count() == 3 && g3.edges.count() == 1) // no crash, no-op
+  }
+
   test("updateVertices patches props by id") {
     val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
     val g1 = g0.updateVertices(Seq((ids("evil.example"), Map("score" -> "0.9")))
