@@ -17,7 +17,10 @@ import org.json4s.jackson.JsonMethods
   *
   * Supported operators: `\$eq \$ne \$gt \$gte \$lt \$lte \$in \$nin \$and
   * \$or \$nor \$not \$exists \$regex` — the set SURVEY.md §2.1 row 12 calls
-  * for. `\$regex` uses find-anywhere semantics (`rlike`), matching Mongo.
+  * for — plus the array/arithmetic operators `\$size \$all \$elemMatch
+  * \$mod` (array ones compile to codegen'd collection functions; the
+  * `\$elemMatch` lambda is a Catalyst HOF, still whole-plan optimizable).
+  * `\$regex` uses find-anywhere semantics (`rlike`), matching Mongo.
   * Dotted paths resolve through struct fields or map keys depending on the
   * DataFrame schema (the reference's documents are schemaless; our `props`
   * map plays that role).
@@ -61,6 +64,15 @@ object MongoFilter {
       if (arg == JBool(true)) c.isNotNull else c.isNull
     case "$regex" => c.rlike(arg.asInstanceOf[JString].s)
     case "$not" => !compileOps(c, arg.asInstanceOf[JObject])
+    case "$size" => size(c) === literal(arg).cast("int")
+    case "$all" =>
+      arg.asInstanceOf[JArray].arr.map(v => array_contains(c, raw(v)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    case "$elemMatch" =>
+      exists(c, e => compileOps(e, arg.asInstanceOf[JObject]))
+    case "$mod" =>
+      val Seq(d, r) = arg.asInstanceOf[JArray].arr.map(v => lit(raw(v)).cast("long"))
+      c.cast("long") % d === r
     case other  => throw new IllegalArgumentException(s"unsupported operator $other")
   }
 

@@ -59,4 +59,25 @@ class MongoFilterSpec extends SparkSpec {
     assert(ids("""{"props.country": {"$exists": true}}""") == Seq(1L, 2L))
     assert(ids("""{"props.country": {"$exists": false}}""") == Seq(3L, 4L, 5L))
   }
+
+  test("$mod on numeric fields") {
+    assert(ids("""{"id": {"$mod": [2, 0]}}""") == Seq(2L, 4L))
+  }
+
+  // array operators run against a frame with an array column
+  private lazy val arr = Seq(
+    (1L, Seq("phish", "malware")),
+    (2L, Seq("malware")),
+    (3L, Seq.empty[String])
+  ).toDF("id", "categories")
+
+  private def arrIds(json: String): Seq[Long] =
+    MongoFilter.where(arr, json).orderBy("id").select("id").as[Long].collect().toSeq
+
+  test("$size / $all / $elemMatch over array attributes") {
+    assert(arrIds("""{"categories": {"$size": 2}}""") == Seq(1L))
+    assert(arrIds("""{"categories": {"$all": ["malware"]}}""") == Seq(1L, 2L))
+    assert(arrIds("""{"categories": {"$all": ["malware", "phish"]}}""") == Seq(1L))
+    assert(arrIds("""{"categories": {"$elemMatch": {"$regex": "^ph"}}}""") == Seq(1L))
+  }
 }
