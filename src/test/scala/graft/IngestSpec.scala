@@ -110,4 +110,29 @@ class IngestSpec extends SparkSpec {
     assert(labels("8.8.8.8") == "ip")
     assert(labels("999.1.1.1") == "domain") // out-of-range octet → not an IP
   }
+
+  test("streaming ingest merges micro-batches with first-write-wins, same transform as batch") {
+    implicit val ctx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val ingest = new graft.ingest.StreamingThreatIngest
+    val q = ingest.start(stream.toDF().toDF("resource", "report"))
+    try {
+      stream.addData(("evil.example",
+        """{"detected-downloaded": [{"hash": "h1", "datetime": "d1", "prob": "2/4"}], "country": "VN"}"""))
+      q.processAllAvailable()
+      stream.addData(
+        // re-report of the same resource with different attrs -> first wins
+        ("evil.example", """{"country": "US"}"""),
+        ("fresh.example", """{"country": "DE"}"""))
+      q.processAllAvailable()
+      val g = ingest.snapshot.get
+      val byKey = g.vertices.collect().map(r => r.getString(2) -> r).toMap
+      assert(byKey.keySet == Set("evil.example", "h1", "fresh.example"))
+      // batch-1 state survives the batch-2 re-report
+      assert(byKey("evil.example").getDouble(3) == 0.5) // detected_prop from 2/4
+      assert(byKey("evil.example").getMap[String, String](4).get("country").contains("VN"))
+      assert(byKey("fresh.example").getMap[String, String](4).get("country").contains("DE"))
+      assert(g.edges.count() == 1) // the threat edge from batch 1
+    } finally q.stop()
+  }
 }
