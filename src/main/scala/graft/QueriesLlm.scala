@@ -208,6 +208,26 @@ object QueriesLlm {
         |  strlen(text) > 0 AS ok
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Deterministic stratified sampling — the data-mixing primitive of a
+    // training pipeline: every 10th document per language stratum in
+    // stable doc_id order. Rank-based, not rand()-based, so the sample is
+    // reproducible across runs/cluster layouts and oracle-checkable; one
+    // window shuffle on the stratum key.
+    "sample_stratified" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+        t(s, d, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter((col("rn") % 10) === 1)
+          .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
+          .orderBy("doc_id")
+      },
+      """SELECT lang, rn, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn % 10 = 1 ORDER BY doc_id""".stripMargin),
+
     // Frame sampling over the decoded videos: every 10th frame index,
     // one row per sampled frame — distributed fan-out, no per-video
     // collect. The stub's n_frames arithmetic makes it oracle-checkable.
