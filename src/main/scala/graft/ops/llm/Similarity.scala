@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *    column — the exactness baseline.
   *  - [[hyperplaneBuckets]] + [[lshCosineTopK]]: random-hyperplane LSH —
   *    the 100 TB path. Signature bits come from deterministic pseudo-random
-  *    hyperplanes (xxhash64-derived coefficients), so no fitted model, no
+  *    hyperplanes (splitmix64-derived coefficients), so no fitted model, no
   *    driver state, identical buckets on every run/cluster. Candidates only
   *    meet within a bucket: comparisons drop from O(N·M) to
   *    O(N·M / 2^bits) for ~uniform data.
@@ -44,15 +44,28 @@ object Similarity {
       .select("q_id", "rk", "c_id", "score")
   }
 
-  /** Random-hyperplane signature: bit i = sign(v · p_i), hyperplane
-    * coefficients p_i[j] derived from xxhash64(i, j) mapped to [-1, 1).
+  /** Random-hyperplane signature: bit i = sign(v · p_i). Hyperplane
+    * coefficients come from a splitmix64 mix of (i, j) — fixed, seedless,
+    * identical on every run and cluster layout. The planes are tiny
+    * (bits × dim floats) so they ship as LITERAL arrays and each
+    * projection is one codegen'd [[graft.functions.FloatDotProduct]] —
+    * the earlier HOF form evaluated an interpreted lambda per (vector,
+    * dimension, bit).
     */
-  def hyperplaneBuckets(emb: DataFrame, bits: Int = 8, vecCol: String = "embedding"): DataFrame = {
+  def hyperplaneBuckets(emb: DataFrame, bits: Int = 8, dim: Int = 64,
+      vecCol: String = "embedding"): DataFrame = {
+    def mix(z0: Long): Long = { // splitmix64 finalizer
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val planes = Array.tabulate(bits, dim) { (i, j) =>
+      ((mix(i.toLong * 1000003L + j) % 1000L) / 1000.0).toFloat
+    }
     val sigBits = (0 until bits).map { i =>
-      val proj = expr(
-        s"""aggregate(zip_with($vecCol, sequence(0, size($vecCol)-1),
-           |  (x, j) -> CAST(x AS DOUBLE) * ((CAST(xxhash64($i, j) % 1000 AS DOUBLE)) / 1000.0)),
-           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      val proj = graft.functions.VectorFunctions.float_dot(
+        col(vecCol), typedlit(planes(i).toSeq))
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }
     emb.withColumn("lsh_bucket", sigBits.reduce((a, b) => a.bitwiseOR(b)))
@@ -63,7 +76,7 @@ object Similarity {
     */
   def lshCosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    cosineTopK(hyperplaneBuckets(emb, bits, vecCol), queryPred, k, "lsh_bucket", idCol, vecCol)
+    cosineTopK(hyperplaneBuckets(emb, bits, vecCol = vecCol), queryPred, k, "lsh_bucket", idCol, vecCol)
 
   /** IVF (inverted-file) coarse quantization: fit KMeans centroids (fixed
     * seed → deterministic), assign each vector to its nearest centroid,
