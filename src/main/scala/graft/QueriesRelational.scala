@@ -397,6 +397,38 @@ object QueriesRelational {
          |       * sqrt(CAST(n AS DOUBLE)*sy2 - sy*sy)), 6) AS corr_qty_price
          |FROM s ORDER BY l_returnflag""".stripMargin),
 
+    // Salted skew-join through the correctness gate: salt only changes
+    // reducer routing, never semantics, so the salted join's aggregate
+    // must hash-match the oracle's PLAIN join — which is exactly what
+    // makes it safe to deploy against hot keys at 100 TB.
+    "skew_salted_join" -> QueryDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        val od = t(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.ops.Skew.saltedJoin(li, od, "l_orderkey", factor = 8)
+          .groupBy("l_returnflag", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag", "o_orderpriority")
+      },
+      s"""SELECT l_returnflag, o_orderpriority, COUNT(*) AS n,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY l_returnflag, o_orderpriority
+         |ORDER BY l_returnflag, o_orderpriority""".stripMargin),
+
+    // Sketch aggregates — the 100 TB path for distinct counts and
+    // quantiles (HLL++ register-merge and GK quantile summaries are
+    // mergeable → map-side combine, no exact-distinct shuffle explosion).
+    // approx_* is banned from the oracle by the determinism rules →
+    // rows-only (3 groups, cardinality deterministic).
+    "agg_sketch" -> QueryDef(
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("nd_parts_hll"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("median_qty_gk"))
+        .orderBy("l_returnflag"),
+      None),
+
     // Pivot to wide: per-linestatus quantity totals, one column per return
     // flag (explicit value list → no distinct-scan planning pass).
     "pivot_wide" -> QueryDef(
