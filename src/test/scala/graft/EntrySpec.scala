@@ -25,7 +25,13 @@ class EntrySpec extends SparkSpec {
       "flatten_attrs", "tumbling_window", "sliding_window", "session_window",
       "dedup_exact", "dedup_minhash", "similarity_topk", "text_tokens",
       "multimodal_cols", "graph_pagerank", "graph_cc", "graph_triangles",
-      "ego_subgraph", "mongo_filter")
+      "ego_subgraph", "mongo_filter",
+      // round-2 additions
+      "asof_join", "agg_stats", "pivot_wide", "skew_salted_join", "agg_sketch",
+      "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding",
+      "similarity_lsh", "similarity_ivf", "quality_filter", "sample_stratified",
+      "doc_fingerprint", "token_count_bpe", "lang_id", "text_quality",
+      "multimodal_decode", "multimodal_frames", "graph_bfs_dist", "graph_lpa")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

@@ -71,4 +71,29 @@ class PropertySpec extends SparkSpec {
       a.subsetOf(b) && a.contains(0L) && b.contains(0L)
     })
   }
+
+  test("as-of join equals the per-row brute-force answer on random inputs") {
+    // left rows: (event_id, key, t); right rows: (key, t, value) with
+    // (key, t) unique — the operator's documented precondition.
+    val leftGen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 20L)))
+      .map(_.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) })
+    val rightGen = Gen.listOfN(8,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 20L)))
+      .map(_.distinctBy(p => (p._1, p._2)))
+      .map(_.map { case (k, t) => (k, t, k * 100.0 + t) })
+    check(Prop.forAll(leftGen, rightGen) { (ls, rs) =>
+      val out = graft.ops.AsOf.joinStrictPrior(
+        ls.toDF("event_id", "k", "t"), rs.toDF("k", "t", "value"),
+        keyCols = Seq("k"), timeCol = "t", rightCols = Seq("t", "value"))
+        .select("event_id", "asof_t", "asof_value")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+      ls.forall { case (id, k, t) =>
+        val expected = rs.filter(r => r._1 == k && r._2 < t)
+          .sortBy(_._2).lastOption.map(r => (r._2, r._3))
+        out(id) == expected
+      }
+    })
+  }
 }
