@@ -28,6 +28,16 @@ object QueriesLlm {
         .orderBy("doc_id", "band"),
       None),
 
+    // Candidate pairs → dedup clusters via connected components; the
+    // cluster representative is the min doc_id (GraphX CC label), i.e.
+    // the doc the exact-dedup keep-min rule would keep. Deterministic
+    // output, but the pairs are xxhash64-minhash-derived → rows-only.
+    "dedup_clusters" -> QueryDef(
+      (s, d) => Dedup.clusters(
+        Dedup.minhashCandidatePairs(Dedup.minhashBuckets(t(s, d, "documents"))))
+        .orderBy("doc_id"),
+      None),
+
     // 64-bit SimHash fingerprints (no oracle).
     "dedup_simhash" -> QueryDef(
       (s, d) => Dedup.simhash(t(s, d, "documents"))

@@ -101,6 +101,27 @@ object Dedup {
       .select("a_id", "b_id").distinct()
   }
 
+  /** Near-dup clusters: connected components over the candidate-pair graph
+    * — the step that turns pairwise candidates into dedup groups (keep one
+    * representative per cluster, drop the rest). GraphX CC labels each
+    * component with its minimum member id, so the `cluster_rep` column is
+    * both the canonical survivor (smallest doc_id, matching [[exact]]'s
+    * keep-min rule) and fully deterministic given the pairs. Docs in no
+    * pair are unique by construction and are omitted (they keep
+    * themselves).
+    */
+  def clusters(candidatePairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id")
+      : DataFrame = {
+    val spark = candidatePairs.sparkSession
+    import spark.implicits._
+    val eRDD = candidatePairs.select(aCol, bCol).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    org.apache.spark.graphx.Graph.fromEdgeTuples(eRDD, 1)
+      .connectedComponents().vertices
+      .map { case (id, rep) => (id, rep) }
+      .toDF("doc_id", "cluster_rep")
+  }
+
   /** 64-bit SimHash: sign of the per-bit weighted sum of token hashes.
     * Explode tokens → hash → 64 conditional-count aggregates in ONE
     * map-side-combinable groupBy (no per-bit shuffle), then pack the sign

@@ -55,6 +55,12 @@ class DedupSpec extends SparkSpec {
     assert(ours.contains((1L, 2L)))
   }
 
+  test("clusters: components over candidate pairs, rep = min member id") {
+    val pairs = Seq((1L, 2L), (2L, 7L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (7L, 1L), (5L, 5L), (6L, 5L)))
+  }
+
   test("simhash: near-dups land within small hamming distance, unrelated far apart") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
