@@ -14,6 +14,59 @@ import graft.ops.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object QueriesLlm {
 
+  /** DuckDB replay of Dedup.polyFoldExpr over a string expression. */
+  private def duckFold(strExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($strExpr, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % ${Dedup.P})""".stripMargin
+
+  /** Generated oracle for dedup_minhash: base folds per shingle, 32
+    * universal-hash minima, per-band bucket folds — constants shared with
+    * the Spark implementation.
+    */
+  private lazy val minhashOracleSql: String = {
+    val (numHashes, bands) = (32, 8)
+    val rowsPerBand = numHashes / bands
+    val ab = Dedup.universalConstants(numHashes)
+    val minCols = ab.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % ${Dedup.P})) AS m$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until bands).map { bnd =>
+      val bucket = (0 until rowsPerBand)
+        .map(r => s"m${bnd * rowsPerBand + r}")
+        .foldLeft("CAST(0 AS BIGINT)")((acc, m) => s"(($acc) * 31 + $m) % ${Dedup.P}")
+      s"SELECT doc_id, CAST($bnd AS BIGINT) AS band, $bucket AS bucket FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shs
+       |       FROM tk WHERE len(toks) >= 3),
+       |hb AS (SELECT doc_id, list_transform(shs, s -> ${duckFold("s")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $minCols
+       |FROM hb)
+       |SELECT doc_id, band, bucket FROM ($bandSelects)
+       |ORDER BY doc_id, band""".stripMargin
+  }
+
+  /** Generated oracle for dedup_simhash: 62 conditional-sum bit terms over
+    * the replayable token hash (low 31 bits: the fold; high 31: its affine
+    * transform mod P2).
+    */
+  private lazy val simhashOracleSql: String = {
+    val bitTerms = (0 until 62).map { j =>
+      val (src, sh) = if (j < 31) ("h1", j) else ("h2", j - 31)
+      s"(CASE WHEN SUM(CASE WHEN (($src >> $sh) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${duckFold("tok")} AS h1 FROM toks),
+       |hh AS (SELECT doc_id, h1, (${Dedup.simhashA2} * h1 + ${Dedup.simhashB2}) % ${Dedup.P2} AS h2 FROM h)
+       |SELECT doc_id, CAST(
+       |  $bitTerms
+       |AS BIGINT) AS simhash
+       |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // Exact dedup: keep min doc_id per normalized text.
@@ -22,11 +75,14 @@ object QueriesLlm {
       """SELECT MIN(doc_id) AS doc_id FROM documents
         |GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin),
 
-    // MinHash+LSH band buckets (xxhash64-based → no oracle).
+    // MinHash+LSH band buckets — full value oracle: DuckDB replays the
+    // polynomial base fold per shingle and the same 32 affine universal
+    // hashes + band-bucket folds (SQL generated below from the shared
+    // constants in Dedup.universalConstants).
     "dedup_minhash" -> QueryDef(
       (s, d) => Dedup.minhashBuckets(t(s, d, "documents"))
         .orderBy("doc_id", "band"),
-      None),
+      minhashOracleSql),
 
     // Candidate pairs → dedup clusters via connected components; the
     // cluster representative is the min doc_id (GraphX CC label), i.e.
@@ -38,11 +94,12 @@ object QueriesLlm {
         .orderBy("doc_id"),
       None),
 
-    // 64-bit SimHash fingerprints (no oracle).
+    // 62-bit SimHash fingerprints — full value oracle (same replayable
+    // token hash; 62 conditional-sum bit terms generated below).
     "dedup_simhash" -> QueryDef(
       (s, d) => Dedup.simhash(t(s, d, "documents"))
         .orderBy("doc_id"),
-      None),
+      simhashOracleSql),
 
     // Exact token-bigram Jaccard: most-similar pair per source block.
     // Grams travel through the inverted-index join as 8-byte xxhash64 keys,

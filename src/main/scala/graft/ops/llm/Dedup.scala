@@ -16,10 +16,49 @@ import org.apache.spark.sql.functions._
   *    n-gram inverted-index join — exact but quadratic per blocking group,
   *    used to verify the approximate methods at small scale.
   *
-  * All hashes are Spark's codegen'd `xxhash64` (fixed seed 42) — fully
-  * deterministic across runs and cluster layouts.
+  * Hash scheme: [[exact]] and the LSH band buckets use Spark's codegen'd
+  * `xxhash64` where only run-to-run determinism matters; the MinHash and
+  * SimHash fingerprints instead use classic universal hashing over a
+  * 31-bit polynomial char fold (Broder's h_i = (a_i·base + b_i) mod p) —
+  * marginally weaker bits, but every arithmetic step is replayable in
+  * DuckDB, which puts BOTH sketches under the full value-compare oracle
+  * instead of a rows-only check. All constants are fixed (splitmix64-
+  * derived) → identical output on every run and cluster layout.
   */
 object Dedup {
+
+  /** Modulus of the polynomial base fold (and the universal hash family). */
+  val P: Long = 1000000007L
+
+  /** Second modulus for the SimHash high bits. */
+  val P2: Long = 998244353L
+
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Fixed (a_i, b_i) pairs of the universal hash family
+    * h_i(x) = (a_i·x + b_i) mod [[P]]; shared with the DuckDB oracle SQL.
+    */
+  def universalConstants(n: Int): Seq[(Long, Long)] =
+    (0 until n).map(i => (
+      1L + Math.floorMod(mix64(2L * i), P - 1),
+      Math.floorMod(mix64(2L * i + 1), P)))
+
+  /** SimHash high-bits affine constants (mod [[P2]]). */
+  val simhashA2: Long = 1L + Math.floorMod(mix64(201L), P2 - 1)
+  val simhashB2: Long = Math.floorMod(mix64(202L), P2)
+
+  /** Spark SQL fragment: 31-bit polynomial char fold of a string column —
+    * the same fold TextAnalysis.fingerprint uses, replayable in DuckDB via
+    * `list_reduce(list_prepend(0, codes), …)`.
+    */
+  def polyFoldExpr(strExpr: String): String =
+    s"""aggregate(transform(split($strExpr, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |  CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % $P)""".stripMargin
 
   /** Exact dedup: keep the smallest id per normalized text. Groups on a
     * 64+32-bit content hash of the normalized text, not the text itself —
@@ -75,17 +114,24 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
+    val ab = universalConstants(numHashes)
     val shingles = docs
       .withColumn("__toks", split(col(textCol), " "))
       .filter(size(col("__toks")) >= shingleLen)
       .select(col(idCol), explode(expr(
         s"array_distinct(transform(sequence(0, size(__toks)-$shingleLen), i -> concat_ws(' ', slice(__toks, i+1, $shingleLen))))")).as("__sh"))
-    val minAggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__sh"))).as(s"__m$i"))
+      // one char fold per shingle; the 32 hash functions are affine
+      // transforms of this base (Broder's universal-hash MinHash), so the
+      // per-function work is codegen'd arithmetic, not another text pass.
+      .withColumn("__hb", expr(polyFoldExpr("__sh")))
+    val minAggs = ab.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__hb") + lit(b)) % lit(P)).as(s"__m$i") }
     val sig = shingles.groupBy(idCol).agg(minAggs.head, minAggs.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}"))
-      struct(lit(b.toLong).as("band"), xxhash64(slice: _*).as("bucket"))
+      val bucket = slice.foldLeft(lit(0L): org.apache.spark.sql.Column)(
+        (acc, m) => (acc * 31 + m) % lit(P))
+      struct(lit(b.toLong).as("band"), bucket.as("bucket"))
     }
     sig.select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
       .select(col(idCol), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
@@ -122,19 +168,24 @@ object Dedup {
       .toDF("doc_id", "cluster_rep")
   }
 
-  /** 64-bit SimHash: sign of the per-bit weighted sum of token hashes.
-    * Explode tokens → hash → 64 conditional-count aggregates in ONE
+  /** 62-bit SimHash: sign of the per-bit weighted sum of token hashes —
+    * explode tokens → hash → 62 conditional-count aggregates in ONE
     * map-side-combinable groupBy (no per-bit shuffle), then pack the sign
-    * bits into a single long.
+    * bits into a single long. Token hash = the polynomial fold (low 31
+    * bits) plus its affine transform mod [[P2]] (high 31 bits), so the
+    * whole fingerprint replays in DuckDB under the value oracle.
     */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val tokenHashes = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
-      .select(col(idCol), xxhash64(col("__tok")).as("__h"))
-    val bitAggs = (0 until 64).map { j =>
-      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$j")
+      .withColumn("__h1", expr(polyFoldExpr("__tok")))
+      .withColumn("__h2", (lit(simhashA2) * col("__h1") + lit(simhashB2)) % lit(P2))
+    val bitAggs = (0 until 62).map { j =>
+      val src = if (j < 31) col("__h1") else col("__h2")
+      val sh = if (j < 31) j else j - 31
+      sum(when(shiftright(src, sh).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$j")
     }
-    val packed = (0 until 64)
+    val packed = (0 until 62)
       .map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     tokenHashes.groupBy(idCol).agg(bitAggs.head, bitAggs.tail: _*)
