@@ -20,11 +20,11 @@ object QueriesLlm {
        |  list_transform(string_split($strExpr, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (acc, c) -> (acc * 31 + c) % ${Dedup.P})""".stripMargin
 
-  /** Generated oracle for dedup_minhash: base folds per shingle, 32
-    * universal-hash minima, per-band bucket folds — constants shared with
-    * the Spark implementation.
+  /** Shared CTE body producing `bkts(doc_id, band, bucket)`: base folds
+    * per shingle, 32 universal-hash minima, per-band bucket folds —
+    * constants shared with the Spark implementation.
     */
-  private lazy val minhashOracleSql: String = {
+  private lazy val minhashCte: String = {
     val (numHashes, bands) = (32, 8)
     val rowsPerBand = numHashes / bands
     val ab = Dedup.universalConstants(numHashes)
@@ -37,17 +37,39 @@ object QueriesLlm {
         .foldLeft("CAST(0 AS BIGINT)")((acc, m) => s"(($acc) * 31 + $m) % ${Dedup.P}")
       s"SELECT doc_id, CAST($bnd AS BIGINT) AS band, $bucket AS bucket FROM sig"
     }.mkString("\n UNION ALL ")
-    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
        |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shs
        |       FROM tk WHERE len(toks) >= 3),
        |hb AS (SELECT doc_id, list_transform(shs, s -> ${duckFold("s")}) AS hs FROM sh),
        |sig AS (SELECT doc_id,
        |  $minCols
-       |FROM hb)
-       |SELECT doc_id, band, bucket FROM ($bandSelects)
-       |ORDER BY doc_id, band""".stripMargin
+       |FROM hb),
+       |bkts AS (SELECT doc_id, band, bucket FROM ($bandSelects))""".stripMargin
   }
+
+  private lazy val minhashOracleSql: String =
+    s"""WITH $minhashCte
+       |SELECT doc_id, band, bucket FROM bkts
+       |ORDER BY doc_id, band""".stripMargin
+
+  /** Generated oracle for dedup_clusters: the minhash buckets CTE → LSH
+    * candidate pairs → connected components as a RECURSIVE min-label
+    * reachability fixpoint (components are near-dup groups — a handful of
+    * docs each — so the closure stays tiny). GraphX CC labels components
+    * with the minimum member id; MIN(reachable id) reproduces it exactly.
+    */
+  private lazy val clustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashCte,
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |          FROM bkts a JOIN bkts b
+       |            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |und AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |        UNION SELECT b_id, a_id FROM pairs),
+       |reach(id, r) AS (SELECT DISTINCT u, u FROM und
+       |                 UNION SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
 
   /** Generated oracle for dedup_simhash: 62 conditional-sum bit terms over
     * the replayable token hash (low 31 bits: the fold; high 31: its affine
@@ -65,6 +87,34 @@ object QueriesLlm {
        |  $bitTerms
        |AS BIGINT) AS simhash
        |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Generated oracle for similarity_lsh: bucket bits from the literal
+    * hyperplanes (exact double text → bit-identical products), then the
+    * same blocked top-k as similarity_topk with lsh_bucket blocking.
+    */
+  private lazy val lshOracleSql: String = {
+    val planes = Similarity.hyperplanes()
+    val bitTerms = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(f => java.lang.Double.toString(f.toDouble)).mkString(", ")
+      s"(CASE WHEN list_dot_product(emb, [$lits]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n    ")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |e AS (SELECT vec_id, emb, CAST(
+       |    $bitTerms
+       |  AS BIGINT) AS bkt FROM e0),
+       |n AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |q AS (SELECT e.vec_id AS q_id, e.bkt, e.emb AS q_emb, n.nrm AS q_n
+       |      FROM e JOIN n ON e.vec_id = n.vec_id WHERE e.vec_id % 20 = 0),
+       |c AS (SELECT e.vec_id AS c_id, e.bkt, e.emb AS c_emb, n.nrm AS c_n
+       |      FROM e JOIN n ON e.vec_id = n.vec_id),
+       |sc AS (SELECT q_id, c_id,
+       |         round(list_dot_product(q_emb, c_emb)/(q_n*c_n), 4) AS score
+       |       FROM q JOIN c ON q.bkt = c.bkt AND q_id <> c_id),
+       |r AS (SELECT q_id, c_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS BIGINT) AS rk
+       |      FROM sc)
+       |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
   val defs: ListMap[String, QueryDef] = ListMap(
@@ -86,13 +136,14 @@ object QueriesLlm {
 
     // Candidate pairs → dedup clusters via connected components; the
     // cluster representative is the min doc_id (GraphX CC label), i.e.
-    // the doc the exact-dedup keep-min rule would keep. Deterministic
-    // output, but the pairs are xxhash64-minhash-derived → rows-only.
+    // the doc the exact-dedup keep-min rule would keep. Oracle: the
+    // replayable minhash pairs + a recursive min-label reachability
+    // fixpoint — an ITERATIVE graph algorithm value-checked end to end.
     "dedup_clusters" -> QueryDef(
       (s, d) => Dedup.clusters(
         Dedup.minhashCandidatePairs(Dedup.minhashBuckets(t(s, d, "documents"))))
         .orderBy("doc_id"),
-      None),
+      clustersOracleSql),
 
     // 62-bit SimHash fingerprints — full value oracle (same replayable
     // token hash; 62 conditional-sum bit terms generated below).
@@ -166,12 +217,14 @@ object QueriesLlm {
         |      FROM sc)
         |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
 
-    // Random-hyperplane LSH variant — the at-scale path (no oracle:
-    // xxhash64-derived hyperplanes).
+    // Random-hyperplane LSH variant — the at-scale path, now under the
+    // full value oracle: the generated SQL embeds each hyperplane
+    // coefficient as an exact round-trip double literal, so DuckDB's
+    // projections are bit-identical and the bucket bits (signs) agree.
     "similarity_lsh" -> QueryDef(
       (s, d) => Similarity.lshCosineTopK(t(s, d, "embeddings"), col("vec_id") % 20 === 0)
         .orderBy("q_id", "rk"),
-      None),
+      lshOracleSql),
 
     // IVF variant: KMeans coarse cells (fixed seed), per-cell search (no
     // oracle: iterative clustering).

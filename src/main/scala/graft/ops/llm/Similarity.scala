@@ -52,17 +52,26 @@ object Similarity {
     * the earlier HOF form evaluated an interpreted lambda per (vector,
     * dimension, bit).
     */
-  def hyperplaneBuckets(emb: DataFrame, bits: Int = 8, dim: Int = 64,
-      vecCol: String = "embedding"): DataFrame = {
-    def mix(z0: Long): Long = { // splitmix64 finalizer
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val planes = Array.tabulate(bits, dim) { (i, j) =>
+  private def mix(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The fixed hyperplane coefficient matrix — shared with the generated
+    * DuckDB oracle SQL (which embeds each coefficient as an exact
+    * round-trip double literal, so both engines multiply bit-identical
+    * values in the same order and the projection SIGNS agree exactly).
+    */
+  def hyperplanes(bits: Int = 8, dim: Int = 64): Array[Array[Float]] =
+    Array.tabulate(bits, dim) { (i, j) =>
       ((mix(i.toLong * 1000003L + j) % 1000L) / 1000.0).toFloat
     }
+
+  def hyperplaneBuckets(emb: DataFrame, bits: Int = 8, dim: Int = 64,
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(bits, dim)
     val sigBits = (0 until bits).map { i =>
       val proj = graft.functions.VectorFunctions.float_dot(
         col(vecCol), typedlit(planes(i).toSeq))
