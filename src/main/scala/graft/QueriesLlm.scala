@@ -25,7 +25,10 @@ object QueriesLlm {
     * constants shared with the Spark implementation.
     */
   private lazy val minhashCte: String = {
-    val (numHashes, bands) = (32, 8)
+    // every constant below derives from Dedup's defaults — the oracle
+    // cannot silently diverge from the implementation.
+    val (numHashes, bands, sl) =
+      (Dedup.DefaultNumHashes, Dedup.DefaultBands, Dedup.DefaultShingleLen)
     val rowsPerBand = numHashes / bands
     val ab = Dedup.universalConstants(numHashes)
     val minCols = ab.zipWithIndex.map { case ((a, b), i) =>
@@ -38,9 +41,9 @@ object QueriesLlm {
       s"SELECT doc_id, CAST($bnd AS BIGINT) AS band, $bucket AS bucket FROM sig"
     }.mkString("\n UNION ALL ")
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
-       |         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shs
-       |       FROM tk WHERE len(toks) >= 3),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - ${sl - 1}),
+       |         i -> array_to_string(list_slice(toks, i, i + ${sl - 1}), ' '))) AS shs
+       |       FROM tk WHERE len(toks) >= $sl),
        |hb AS (SELECT doc_id, list_transform(shs, s -> ${duckFold("s")}) AS hs FROM sh),
        |sig AS (SELECT doc_id,
        |  $minCols
@@ -71,13 +74,14 @@ object QueriesLlm {
        |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
-  /** Generated oracle for dedup_simhash: 62 conditional-sum bit terms over
-    * the replayable token hash (low 31 bits: the fold; high 31: its affine
-    * transform mod P2).
+  /** Generated oracle for dedup_simhash: one conditional-sum bit term per
+    * SimhashBits over the replayable token hash (low half: the fold; high
+    * half: its affine transform mod P2).
     */
   private lazy val simhashOracleSql: String = {
-    val bitTerms = (0 until 62).map { j =>
-      val (src, sh) = if (j < 31) ("h1", j) else ("h2", j - 31)
+    val half = Dedup.SimhashBits / 2
+    val bitTerms = (0 until Dedup.SimhashBits).map { j =>
+      val (src, sh) = if (j < half) ("h1", j) else ("h2", j - half)
       s"(CASE WHEN SUM(CASE WHEN (($src >> $sh) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" +\n  ")
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -288,13 +292,9 @@ object QueriesLlm {
     // (shingleLen=3, winnow=4, min-length filter = 3+4-1 = 6 tokens).
     "doc_fingerprint" -> QueryDef(
       (s, d) => TextAnalysis.fingerprint(t(s, d, "documents")).orderBy("doc_id"),
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(toks)-2), i ->
-        |         list_reduce(
-        |           list_prepend(CAST(0 AS BIGINT),
-        |             list_transform(string_split(array_to_string(list_slice(toks, i, i+2), ' '), ''),
-        |               c -> CAST(ascii(c) AS BIGINT))),
-        |           (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        |         ${duckFold("array_to_string(list_slice(toks, i, i+2), ' ')")}) AS hs
         |       FROM tk WHERE len(toks) >= 6),
         |fp AS (SELECT doc_id,
         |         list_distinct(list_transform(generate_series(1, len(hs)-3), i ->

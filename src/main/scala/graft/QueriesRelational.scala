@@ -336,10 +336,16 @@ object QueriesRelational {
     "asof_join" -> QueryDef(
       (s, d) => {
         val ev = t(s, d, "events")
+        // enforce AsOf's (key, time)-unique right-side precondition — the
+        // testdata holds it, but a regenerated fixture must not turn the
+        // carried payload order-dependent silently.
+        val purchases = graft.ops.Mutations.dedupFirst(
+          ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value"),
+          Seq("user_id", "ts"), Seq("value"))
         val out = graft.ops.AsOf.joinStrictPrior(
           ev.filter(col("event_type") =!= "purchase")
             .select("event_id", "user_id", "ts"),
-          ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value"),
+          purchases,
           keyCols = Seq("user_id"), timeCol = "ts", rightCols = Seq("ts", "value"))
         out.select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"),

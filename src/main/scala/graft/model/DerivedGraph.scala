@@ -40,12 +40,13 @@ object DerivedGraph {
 
   final case class G(vertices: DataFrame, edges: DataFrame)
 
-  // keyed by (session, sfDir): DataFrames are session-bound, so a cache hit
-  // from a different (possibly stopped) session would be stale.
-  private val cache = scala.collection.concurrent.TrieMap.empty[(Int, String), G]
+  // session-scoped via SessionCache: DataFrames are session-bound, so a
+  // cache hit from a different (possibly stopped) session would be stale;
+  // the weak session key rules out aliasing and pins nothing after GC.
+  private val cache = new SessionCache[String, G]
 
   def apply(spark: SparkSession, sfDir: String): G =
-    cache.getOrElseUpdate((System.identityHashCode(spark), sfDir), build(spark, sfDir))
+    cache.getOrElseUpdate(spark, sfDir)(build(spark, sfDir))
 
   private def build(spark: SparkSession, sfDir: String): G = {
     def t(n: String) = Tables(spark, sfDir, n)

@@ -18,13 +18,15 @@ object Tables {
   // directory and reads the footer for schema on every call — with ~50
   // queries each touching 1-3 tables that's hundreds of redundant footer
   // reads per Verify/Bench run. The returned DataFrame is still lazy.
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  // Session-scoped via SessionCache (weak session key: no aliasing after
+  // GC, no pinned dead sessions).
+  private val cache = new SessionCache[(String, String), DataFrame]
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), sfDir, name),
+    cache.getOrElseUpdate(spark, (sfDir, name)) {
       if (name == "events") events(spark, sfDir)
-      else spark.read.parquet(s"$sfDir/$name.parquet"))
+      else spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects outright. Read nanos as raw INT64 (legacy

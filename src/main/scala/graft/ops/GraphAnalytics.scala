@@ -45,14 +45,15 @@ object GraphAnalytics {
     Graph(vRDD, eRDD).partitionBy(PartitionStrategy.EdgePartition2D)
   }
 
-  // keyed by (session, sfDir) like DerivedGraph's memo: one cached GraphX
-  // build serves pagerank + cc + bfs in a single Verify/Bench session.
+  // session-scoped like DerivedGraph's memo (weak session key): one cached
+  // GraphX build serves pagerank + cc + bfs in a single Verify/Bench
+  // session.
   private val gxCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Graph[(String, String), String]]
+    new graft.model.SessionCache[String, Graph[(String, String), String]]
 
   /** The derived property graph as a cached GraphX graph. */
   def derivedGraphX(spark: SparkSession, sfDir: String): Graph[(String, String), String] =
-    gxCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+    gxCache.getOrElseUpdate(spark, sfDir)({
       val g = graft.model.DerivedGraph(spark, sfDir)
       val gx = toGraphX(g.vertices, g.edges)
       gx.cache()

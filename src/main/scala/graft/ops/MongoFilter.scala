@@ -66,8 +66,9 @@ object MongoFilter {
     case "$not" => !compileOps(c, arg.asInstanceOf[JObject])
     case "$size" => size(c) === literal(arg).cast("int")
     case "$all" =>
+      // Mongo: {field: {$all: []}} matches NO documents.
       arg.asInstanceOf[JArray].arr.map(v => array_contains(c, raw(v)))
-        .reduceOption(_ && _).getOrElse(lit(true))
+        .reduceOption(_ && _).getOrElse(lit(false))
     case "$elemMatch" =>
       exists(c, e => compileOps(e, arg.asInstanceOf[JObject]))
     case "$mod" =>

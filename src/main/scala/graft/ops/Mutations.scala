@@ -61,12 +61,24 @@ object Mutations {
     */
   def patch(target: DataFrame, patches: DataFrame, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.MapType
+    import org.apache.spark.sql.Column
     val patchCols = patches.columns.filterNot(keyCols.contains)
-    val orderable = patches.schema.fields
-      .filter(f => patchCols.contains(f.name) && !f.dataType.isInstanceOf[MapType])
-      .map(_.name).toSeq
-    val deduped = dedupFirst(patches, keyCols,
-      if (orderable.nonEmpty) orderable else keyCols)
+    // deterministic keep-first per key: maps aren't orderable, so a
+    // map-valued patch column orders by its canonical JSON of sorted
+    // entries — duplicate keys then resolve identically on every run and
+    // partitioning, even for map-only patch batches.
+    val orderCols: Seq[Column] = patches.schema.fields
+      .filter(f => patchCols.contains(f.name))
+      .map(f => f.dataType match {
+        case _: MapType => to_json(array_sort(map_entries(col(f.name))))
+        case _ => col(f.name)
+      }).toSeq
+    val deduped = {
+      val ord: Seq[Column] = if (orderCols.nonEmpty) orderCols else keyCols.map(col)
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+      patches.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
     val renamed = patchCols.foldLeft(deduped)((df, c) => df.withColumnRenamed(c, s"__p_$c"))
     val joined = target.join(renamed, keyCols, "left")
     val targetTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap

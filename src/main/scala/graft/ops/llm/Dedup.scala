@@ -30,6 +30,13 @@ object Dedup {
   /** Modulus of the polynomial base fold (and the universal hash family). */
   val P: Long = 1000000007L
 
+  /** MinHash defaults — the generated DuckDB oracle derives its SQL from
+    * THESE values, so implementation and oracle cannot silently diverge.
+    */
+  val DefaultNumHashes: Int = 32
+  val DefaultBands: Int = 8
+  val DefaultShingleLen: Int = 3
+
   /** Second modulus for the SimHash high bits. */
   val P2: Long = 998244353L
 
@@ -111,7 +118,8 @@ object Dedup {
     * aren't codegen'd) and were ~8× slower still.
     */
   def minhashBuckets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 3): DataFrame = {
+      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands,
+      shingleLen: Int = DefaultShingleLen): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val ab = universalConstants(numHashes)
@@ -168,24 +176,29 @@ object Dedup {
       .toDF("doc_id", "cluster_rep")
   }
 
-  /** 62-bit SimHash: sign of the per-bit weighted sum of token hashes —
-    * explode tokens → hash → 62 conditional-count aggregates in ONE
+  /** 60-bit SimHash: sign of the per-bit weighted sum of token hashes —
+    * explode tokens → hash → 60 conditional-count aggregates in ONE
     * map-side-combinable groupBy (no per-bit shuffle), then pack the sign
-    * bits into a single long. Token hash = the polynomial fold (low 31
-    * bits) plus its affine transform mod [[P2]] (high 31 bits), so the
-    * whole fingerprint replays in DuckDB under the value oracle.
+    * bits into a single long. Token hash = the polynomial fold (low 30
+    * bits) plus its affine transform mod [[P2]] (high 30 bits) — both
+    * moduli are below 2³⁰, so 30 bits per half carry signal (bit 30 of
+    * either hash would be structurally zero) — and every step replays in
+    * DuckDB under the value oracle.
     */
+  val SimhashBits: Int = 60
+
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val half = SimhashBits / 2
     val tokenHashes = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
       .withColumn("__h1", expr(polyFoldExpr("__tok")))
       .withColumn("__h2", (lit(simhashA2) * col("__h1") + lit(simhashB2)) % lit(P2))
-    val bitAggs = (0 until 62).map { j =>
-      val src = if (j < 31) col("__h1") else col("__h2")
-      val sh = if (j < 31) j else j - 31
+    val bitAggs = (0 until SimhashBits).map { j =>
+      val src = if (j < half) col("__h1") else col("__h2")
+      val sh = if (j < half) j else j - half
       sum(when(shiftright(src, sh).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$j")
     }
-    val packed = (0 until 62)
+    val packed = (0 until SimhashBits)
       .map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     tokenHashes.groupBy(idCol).agg(bitAggs.head, bitAggs.tail: _*)

@@ -87,11 +87,9 @@ object TextAnalysis {
       textCol: String = "text", idCol: String = "doc_id",
       polyHash: Boolean = true): DataFrame = {
     val shingleStr = s"concat_ws(' ', slice(__toks, i+1, $shingleLen))"
+    // single source of truth for the fold (and its modulus): Dedup.polyFoldExpr
     val hashOfShingle =
-      if (polyHash)
-        s"""aggregate(
-           |  transform(split($shingleStr, ''), c -> CAST(ascii(c) AS BIGINT)),
-           |  CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+      if (polyHash) Dedup.polyFoldExpr(shingleStr)
       else s"xxhash64($shingleStr)"
     docs
       .withColumn("__toks", split(col(textCol), " "))

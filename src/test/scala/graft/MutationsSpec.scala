@@ -62,6 +62,16 @@ class MutationsSpec extends SparkSpec {
     assert(out(1).getDouble(2) == 77.0)       // keep-first by orderable cols
   }
 
+  test("patch with duplicate keys and ONLY map columns still resolves deterministically") {
+    val target = Seq((1L, Map("color" -> "red"))).toDF("id", "props")
+    val patches = Seq((1L, Map("a" -> "2")), (1L, Map("a" -> "1"))).toDF("id", "props")
+    val out = Mutations.patch(target, patches, Seq("id"))
+      .as[(Long, Map[String, String])].collect()
+    assert(out.length == 1)
+    // keep-first by canonical JSON of sorted entries: {"a":"1"} < {"a":"2"}
+    assert(out(0)._2 == Map("color" -> "red", "a" -> "1"))
+  }
+
   test("patch merges map columns per key like $set field-merge (mongraph.py:195-213)") {
     val target = Seq(
       (1L, Map("color" -> "red", "size" -> "xl")),
