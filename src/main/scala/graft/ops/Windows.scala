@@ -50,4 +50,13 @@ object Windows {
   def streamingTumbling(streamingEvents: DataFrame, every: String = "10 minutes",
       watermark: String = "1 hour"): DataFrame =
     tumbling(streamingEvents.withWatermark("ts", watermark), every)
+
+  /** [[sessions]] under Structured Streaming: the watermark both bounds
+    * session state and decides when a gap-closed session becomes final
+    * (append mode emits a session only once the watermark passes its
+    * close — the streaming-correct semantics for merging session windows).
+    */
+  def streamingSessions(streamingEvents: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    sessions(streamingEvents.withWatermark("ts", watermark), gap)
 }

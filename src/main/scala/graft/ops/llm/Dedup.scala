@@ -5,13 +5,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines
-  * (north-star mandate, BASELINE.json). Four strategies, cheapest first:
+  * (north-star mandate, BASELINE.json). Five strategies, cheapest first:
   *
   *  - [[exact]]: hash-groupBy on normalized text — one shuffle.
   *  - [[minhashBuckets]]/[[minhashCandidatePairs]]: MinHash+LSH — candidate
   *    pairs only ever meet inside an LSH band bucket, so the join is
   *    band-partitioned, never all-pairs. Scales to billions of docs.
-  *  - [[simhash]]: 64-bit fingerprint; near-dups = small Hamming distance.
+  *  - [[simhash]]: 60-bit fingerprint; near-dups = small Hamming distance.
+  *  - [[embeddingNearDups]]: blocked embedding-cosine pairs above a
+  *    threshold — semantic (vector-space) near-dup detection.
   *  - n-gram Jaccard (exact, see QueriesLlm `dedup_ngram_jaccard`): token
   *    n-gram inverted-index join — exact but quadratic per blocking group,
   *    used to verify the approximate methods at small scale.
@@ -19,7 +21,10 @@ import org.apache.spark.sql.functions._
   * Hash scheme: [[exact]] and the LSH band buckets use Spark's codegen'd
   * `xxhash64` where only run-to-run determinism matters; the MinHash and
   * SimHash fingerprints instead use classic universal hashing over a
-  * 31-bit polynomial char fold (Broder's h_i = (a_i·base + b_i) mod p) —
+  * 31-bit polynomial char fold (Broder, "On the resemblance and
+  * containment of documents", 1997: h_i = (a_i·base + b_i) mod p;
+  * SimHash per Charikar, "Similarity estimation techniques from
+  * rounding algorithms", STOC 2002) —
   * marginally weaker bits, but every arithmetic step is replayable in
   * DuckDB, which puts BOTH sketches under the full value-compare oracle
   * instead of a rows-only check. All constants are fixed (splitmix64-
@@ -104,13 +109,14 @@ object Dedup {
   }
 
   /** MinHash signature → LSH band buckets. One row per (doc, band); docs
-    * sharing a (band, bucket) are near-dup candidates. `numHashes` minhash
-    * functions are derived from xxhash64 by mixing in the function index;
-    * shingles are `shingleLen`-token windows.
+    * sharing a (band, bucket) are near-dup candidates. The `numHashes`
+    * minhash functions are affine universal hashes of a per-shingle
+    * polynomial fold ([[universalConstants]]); shingles are
+    * `shingleLen`-token windows.
     *
     * Shape: explode doc × shingle ONCE, then compute all `numHashes`
     * min-aggregates in a single map-side-combinable groupBy — one codegen'd
-    * `min(xxhash64(i, shingle))` column per hash function. No ×numHashes
+    * `min((a_i·base + b_i) mod p)` column per hash function. No ×numHashes
     * row explosion (32× fewer shuffle rows than the explode-per-function
     * form), no second shuffle, no collect_list/sort: the signature is just
     * the agg output row, and band buckets hash fixed column slices of it.

@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   *
   *  - [[cosineTopK]]: brute-force cosine top-k, blocked by a partition
   *    column — the exactness baseline.
-  *  - [[hyperplaneBuckets]] + [[lshCosineTopK]]: random-hyperplane LSH —
-  *    the 100 TB path. Signature bits come from deterministic pseudo-random
+  *  - [[hyperplaneBuckets]] + [[lshCosineTopK]]: random-hyperplane LSH
+  *    (Charikar, STOC 2002) — the 100 TB path. Signature bits come from deterministic pseudo-random
   *    hyperplanes (splitmix64-derived coefficients), so no fitted model, no
   *    driver state, identical buckets on every run/cluster. Candidates only
   *    meet within a bucket: comparisons drop from O(N·M) to

@@ -71,8 +71,9 @@ object TextAnalysis {
   }
 
   /** Winnowing document fingerprint: rolling shingle hashes, minimum per
-    * sliding window of `winnow` — the MOSS scheme. Output: fingerprint-set
-    * summary per doc.
+    * sliding window of `winnow` — the MOSS scheme (Schleimer, Wilkerson,
+    * Aiken, "Winnowing: local algorithms for document fingerprinting",
+    * SIGMOD 2003). Output: fingerprint-set summary per doc.
     *
     * The shingle hash is a char-code polynomial fold
     * (h = fold(0, (a,c) → (a·31 + ascii(c)) mod 1e9+7)) rather than

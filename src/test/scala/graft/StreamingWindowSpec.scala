@@ -76,6 +76,26 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessions: a session is emitted once the watermark passes its close") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val q = graft.ops.Windows.streamingSessions(
+      stream.toDF().toDF("ts", "user_id", "value"), gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      stream.addData(
+        (ts("2024-01-01 00:00:00"), 1L, 1.0),
+        (ts("2024-01-01 00:10:00"), 1L, 1.0)) // one session, closes 00:40
+      q.processAllAvailable()
+      // advance the watermark far past the session close → session finalizes
+      stream.addData((ts("2024-01-01 02:00:00"), 2L, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select("user_id", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(out == Seq((1L, 2L))) // user 1's merged 2-event session; user 2 still open
+    } finally q.stop()
+  }
+
   test("sessions: merge is inclusive at exactly the gap; strictly greater splits") {
     val data = Seq(
       (ts("2024-01-01 00:00:00"), 1L, 1.0),
