@@ -72,6 +72,27 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("kHop frontier-join agrees with GraphX Pregel BFS on random graphs") {
+    check(Prop.forAll(edgesGen, Gen.choose(1, 3)) { (es, k) =>
+      val edf = (if (es.isEmpty) List((0L, 1L)) else es)
+        .map { case (s, d) => (s, d, "e") }.toDF("src", "dst", "label")
+      val viaJoin = Traverse.kHopIds(edf, 0L, k).as[Long].collect().toSet
+      val viaBfs = graft.ops.GraphAnalytics.bfsDistances(edf, 0L, maxDepth = k)
+        .as[(Long, Long)].collect().map(_._1).toSet + 0L
+      viaJoin == viaBfs
+    })
+  }
+
+  test("patch is idempotent: applying the same patch twice ≡ once") {
+    check(Prop.forAll(kvsGen, kvsGen) { (t0, p0) =>
+      val target = t0.toDF("id", "v")
+      val patches = p0.toDF("id", "v")
+      val once = Mutations.patch(target, patches, Seq("id"))
+      val twice = Mutations.patch(once, patches, Seq("id"))
+      once.orderBy("id", "v").collect().toSeq == twice.orderBy("id", "v").collect().toSeq
+    })
+  }
+
   test("as-of join equals the per-row brute-force answer on random inputs") {
     // left rows: (event_id, key, t); right rows: (key, t, value) with
     // (key, t) unique — the operator's documented precondition.
