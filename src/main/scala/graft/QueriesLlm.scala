@@ -149,8 +149,8 @@ object QueriesLlm {
         .orderBy("doc_id"),
       clustersOracleSql),
 
-    // 62-bit SimHash fingerprints — full value oracle (same replayable
-    // token hash; 62 conditional-sum bit terms generated below).
+    // 60-bit SimHash fingerprints — full value oracle (same replayable
+    // token hash; one conditional-sum bit term per SimhashBits below).
     "dedup_simhash" -> QueryDef(
       (s, d) => Dedup.simhash(t(s, d, "documents"))
         .orderBy("doc_id"),

@@ -42,8 +42,13 @@ object Mutations {
   /** Keep the first row per key, ordering ties by `orderCols` — the batch
     * analog of the reference's sequential insert order.
     */
-  def dedupFirst(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+  def dedupFirst(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame =
+    dedupFirstBy(df, keyCols, orderCols.map(col))
+
+  /** [[dedupFirst]] with arbitrary order expressions. */
+  def dedupFirstBy(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -60,25 +65,30 @@ object Mutations {
     * invariant every other operator relies on.
     */
   def patch(target: DataFrame, patches: DataFrame, keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.MapType
+    import org.apache.spark.sql.types.{MapType, StructField, StructType}
     import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
     val patchCols = patches.columns.filterNot(keyCols.contains)
     // deterministic keep-first per key: maps aren't orderable, so a
     // map-valued patch column orders by its canonical JSON of sorted
-    // entries — duplicate keys then resolve identically on every run and
-    // partitioning, even for map-only patch batches.
-    val orderCols: Seq[Column] = patches.schema.fields
+    // entries (when the entry struct is orderable — a nested-map value
+    // isn't, and such columns are skipped from the tie-break rather than
+    // crashing array_sort at analysis). Duplicate keys then resolve
+    // identically on every run and partitioning for any orderable or
+    // flat-map patch batch.
+    val orderCols: Seq[Column] = patches.schema.fields.toSeq
       .filter(f => patchCols.contains(f.name))
-      .map(f => f.dataType match {
-        case _: MapType => to_json(array_sort(map_entries(col(f.name))))
-        case _ => col(f.name)
-      }).toSeq
-    val deduped = {
-      val ord: Seq[Column] = if (orderCols.nonEmpty) orderCols else keyCols.map(col)
-      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
-      patches.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-    }
+      .flatMap(f => f.dataType match {
+        case MapType(k, v, nullable) =>
+          val entry = StructType(Seq(StructField("key", k), StructField("value", v, nullable)))
+          if (RowOrdering.isOrderable(entry))
+            Some(to_json(array_sort(map_entries(col(f.name)))))
+          else None
+        case dt if RowOrdering.isOrderable(dt) => Some(col(f.name))
+        case _ => None
+      })
+    val deduped = dedupFirstBy(patches, keyCols,
+      if (orderCols.nonEmpty) orderCols else keyCols.map(col))
     val renamed = patchCols.foldLeft(deduped)((df, c) => df.withColumnRenamed(c, s"__p_$c"))
     val joined = target.join(renamed, keyCols, "left")
     val targetTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
