@@ -121,6 +121,35 @@ object QueriesLlm {
        |SELECT q_id, rk, c_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** Generated oracle for dedup_embedding (LSH-blocked): per-table bucket
+    * bits from the literal hyperplanes (table 0 is similarity_lsh's plane
+    * set), pairs meet on label ∧ any-table collision — the OR here replays
+    * Spark's exploded (table, bucket) equi-join + distinct exactly.
+    */
+  private lazy val embNearDupOracleSql: String = {
+    val (bits, tables) = (Dedup.EmbLshBits, Dedup.EmbLshTables)
+    val bktCols = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(bits, table = t)
+      val bitTerms = planes.zipWithIndex.map { case (p, i) =>
+        val lits = p.map(f => java.lang.Double.toString(f.toDouble)).mkString(", ")
+        s"(CASE WHEN list_dot_product(emb, [$lits]) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" +\n    ")
+      s"CAST($bitTerms AS BIGINT) AS bkt$t"
+    }.mkString(",\n  ")
+    val collide = (0 until tables).map(t => s"a.bkt$t = b.bkt$t").mkString(" OR ")
+    s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |e AS (SELECT vec_id, label, emb,
+       |  $bktCols
+       |  FROM e0),
+       |n AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm FROM e0),
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |        round(list_dot_product(a.emb, b.emb)/(na.nrm*nb.nrm), 4) AS cosine
+       |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id AND ($collide)
+       |      JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)
+       |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // Exact dedup: keep min doc_id per normalized text.
@@ -159,16 +188,24 @@ object QueriesLlm {
     // Exact token-bigram Jaccard: most-similar pair per source block.
     // Grams travel through the inverted-index join as 8-byte xxhash64 keys,
     // not strings — same intersection counts (collisions: ~n²/2⁶⁴ per
-    // block, negligible), a fraction of the shuffle width.
+    // block, negligible), a fraction of the shuffle width. Hot grams
+    // (DF > Dedup.MaxGramDf) are dropped from the join AND the sizes —
+    // without the cap a single stop-bigram shared by K docs yields K² join
+    // rows (the quadratic blowup natural text guarantees at scale). The
+    // hot-gram list is tiny by construction → broadcast anti-join.
     "dedup_ngram_jaccard" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val grams = docs
+        val rawGrams = docs
           .withColumn("__toks", split(col("text"), " "))
           .filter(size(col("__toks")) >= 2)
           .select(col("source"), col("doc_id"), explode(expr(
             "array_distinct(transform(sequence(0, size(__toks)-2), i -> concat(__toks[i], ' ', __toks[i+1])))")).as("__g"))
           .select(col("source"), col("doc_id"), xxhash64(col("__g")).as("gram"))
+        val hot = rawGrams.groupBy("source", "gram")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > Dedup.MaxGramDf).select("source", "gram")
+        val grams = rawGrams.join(broadcast(hot), Seq("source", "gram"), "left_anti")
         val sizes = grams.groupBy("source", "doc_id").agg(count(lit(1)).as("sz"))
         val inter = grams.select(col("source"), col("doc_id").as("a_id"), col("gram"))
           .join(grams.select(col("source"), col("doc_id").as("b_id"), col("gram")),
@@ -183,10 +220,14 @@ object QueriesLlm {
         j.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
           .select("source", "a_id", "b_id", "jac").orderBy("source")
       },
-      """WITH tk AS (SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents),
-        |g AS (SELECT DISTINCT source, doc_id, toks[i] || ' ' || toks[i+1] AS gram
+      s"""WITH tk AS (SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT DISTINCT source, doc_id, toks[i] || ' ' || toks[i+1] AS gram
         |      FROM (SELECT source, doc_id, toks,
         |            unnest(generate_series(1, len(toks)-1)) AS i FROM tk)),
+        |gdf AS (SELECT source, gram, COUNT(*) AS df FROM g0 GROUP BY 1, 2),
+        |g AS (SELECT g0.source, g0.doc_id, g0.gram FROM g0
+        |      JOIN gdf ON g0.source = gdf.source AND g0.gram = gdf.gram
+        |      WHERE gdf.df <= ${Dedup.MaxGramDf}),
         |sz AS (SELECT source, doc_id, COUNT(*) AS sz FROM g GROUP BY 1, 2),
         |pr AS (SELECT g1.source, g1.doc_id AS a_id, g2.doc_id AS b_id, COUNT(*) AS inter
         |       FROM g g1 JOIN g g2 ON g1.source = g2.source AND g1.gram = g2.gram
@@ -361,38 +402,41 @@ object QueriesLlm {
         |ORDER BY doc_id, frame_idx""".stripMargin),
 
     // Embedding-cosine near-duplicate pairs (the 5th dedup strategy of the
-    // mandate) — same-label blocking, scores rounded to 4dp before the
-    // threshold cut. 0.35 is calibrated to the synthetic embeddings (the
+    // mandate) — label ∧ LSH-bucket blocking (4 tables × 8 bits,
+    // OR-amplified), scores rounded to 4dp before the threshold cut. The
+    // label-only all-pairs variant (Dedup.embeddingNearDups) is quadratic
+    // per block and survives only as the small-scale recall verifier in
+    // SimilaritySpec. 0.35 is calibrated to the synthetic embeddings (the
     // ~99th percentile of intra-label cosine; max observed ≈ 0.47).
     "dedup_embedding" -> QueryDef(
-      (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), threshold = 0.35)
+      (s, d) => Dedup.embeddingNearDupsLsh(t(s, d, "embeddings"), threshold = 0.35)
         .orderBy("a_id", "b_id"),
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |n AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |        round(list_dot_product(a.emb, b.emb)/(na.nrm*nb.nrm), 4) AS cosine
-        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |      JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)
-        |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.35
-        |ORDER BY a_id, b_id""".stripMargin),
+      embNearDupOracleSql),
 
     // Quantile-threshold quality filter: keep documents at or above the
     // median token count. The median is exact-integer (percentile_disc
     // style: smallest value whose cumulative count reaches ⌈n/2⌉) computed
-    // over the VALUE HISTOGRAM — the global window orders the tiny distinct
-    // token-count domain, never the corpus, so the plan scales: one
-    // histogram shuffle + a broadcast of the scalar threshold.
+    // over the VALUE HISTOGRAM, never the corpus: a map-side-combinable
+    // histogram aggregate, then ONE single-row fold over the sorted
+    // histogram array (distinct token counts are bounded by document
+    // length — a few thousand structs). No global window → no WindowExec
+    // single-partition red flag in bench triage; the corpus-side work stays
+    // one shuffle + a broadcast of the scalar threshold.
     "quality_filter" -> QueryDef(
       (s, d) => {
         val q = t(s, d, "documents")
           .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        val hist = q.groupBy("n_tokens").agg(count(lit(1)).as("c"))
-        val wCum = Window.orderBy("n_tokens")
-        val thr = hist
-          .withColumn("cum", sum("c").over(wCum))
-          .withColumn("tot", sum("c").over(Window.partitionBy()))
-          .filter(col("cum") >= expr("(tot + 1) div 2"))
-          .agg(min("n_tokens").as("thr"))
+        val thr = q.groupBy("n_tokens").agg(count(lit(1)).as("c"))
+          .agg(sort_array(collect_list(struct(col("n_tokens"), col("c")))).as("h"),
+            sum(col("c")).as("tot"))
+          .select(expr(
+            """aggregate(h,
+              |  named_struct('cum', CAST(0 AS BIGINT), 'thr', CAST(NULL AS BIGINT)),
+              |  (acc, x) -> named_struct(
+              |    'cum', acc.cum + x.c,
+              |    'thr', CASE WHEN acc.thr IS NULL AND acc.cum + x.c >= (tot + 1) div 2
+              |           THEN x.n_tokens ELSE acc.thr END),
+              |  acc -> acc.thr) AS thr""".stripMargin))
         q.join(broadcast(thr), q("n_tokens") >= thr("thr"))
           .select("doc_id", "n_tokens").orderBy("doc_id")
       },

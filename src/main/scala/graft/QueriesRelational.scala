@@ -336,9 +336,11 @@ object QueriesRelational {
     "asof_join" -> QueryDef(
       (s, d) => {
         val ev = t(s, d, "events")
-        // enforce AsOf's (key, time)-unique right-side precondition — the
-        // testdata holds it, but a regenerated fixture must not turn the
-        // carried payload order-dependent silently.
+        // AsOf requires a (key, time)-unique right side; the DECLARED
+        // semantics on ties is keep-min-value, applied IDENTICALLY in the
+        // oracle SQL below — so a regenerated fixture with duplicate
+        // (user_id, ts) purchases stays deterministic AND oracle-matched
+        // instead of silently diverging.
         val purchases = graft.ops.Mutations.dedupFirst(
           ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value"),
           Seq("user_id", "ts"), Seq("value"))
@@ -356,7 +358,11 @@ object QueriesRelational {
       """SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
         |  CAST(epoch_us(p.ts) AS BIGINT) AS asof_ts_us, p.value AS asof_value
         |FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts ORDER BY value) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1) p
         |  ON e.user_id = p.user_id AND e.ts > p.ts
         |ORDER BY e.event_id""".stripMargin),
 

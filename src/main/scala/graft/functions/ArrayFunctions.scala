@@ -50,18 +50,25 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh locals: with non-nullable inputs nullSafeCodeGen emits no
+      // enclosing braces, so fixed names would collide (duplicate Java
+      // declarations → Janino failure → silent interpreted fallback) if the
+      // expression appears twice in one codegen scope.
+      val (na, nb) = (ctx.freshName("na"), ctx.freshName("nb"))
+      val (i, j, n) = (ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("n"))
+      val (x, y) = (ctx.freshName("x"), ctx.freshName("y"))
       s"""
-         |int na = $a.numElements();
-         |int nb = $b.numElements();
-         |int i = 0; int j = 0;
-         |long n = 0L;
-         |while (i < na && j < nb) {
-         |  long x = $a.getLong(i);
-         |  long y = $b.getLong(j);
-         |  if (x == y) { n++; i++; j++; }
-         |  else if (x < y) { i++; } else { j++; }
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |long $n = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $n++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
          |}
-         |${ev.value} = n;
+         |${ev.value} = $n;
        """.stripMargin
     })
 

@@ -42,7 +42,8 @@ object DerivedGraph {
 
   // session-scoped via SessionCache: DataFrames are session-bound, so a
   // cache hit from a different (possibly stopped) session would be stale;
-  // the weak session key rules out aliasing and pins nothing after GC.
+  // identity keying rules out hash aliasing. References are STRONG — the
+  // entry (and its session) stays pinned until SessionCache.evict(session).
   private val cache = new SessionCache[String, G]
 
   def apply(spark: SparkSession, sfDir: String): G =

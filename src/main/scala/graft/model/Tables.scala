@@ -14,18 +14,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Tables persisted (MEMORY_AND_DISK, deserialized once per session) on
+    * first use: `documents` feeds ~14 text/dedup/fingerprint queries and
+    * `embeddings` 5 ANN/dedup queries per Verify/Bench run — each a
+    * separate ACTION, so the persist is cross-action reuse (the only kind
+    * that pays; intra-query reuse is already covered by ReuseExchange).
+    * The relational tables stay unpersisted ON PURPOSE: their queries
+    * filter/prune into the parquet scan, and a cache would pin wide
+    * row-group reads instead. At cluster scale the analog of this persist
+    * is a hot cached/bucketed table shared by the pipeline's jobs.
+    */
+  private val persisted: Set[String] = Set("documents", "embeddings")
+
   // Memoized per (session, dir, table): `spark.read.parquet` lists the
   // directory and reads the footer for schema on every call — with ~50
   // queries each touching 1-3 tables that's hundreds of redundant footer
   // reads per Verify/Bench run. The returned DataFrame is still lazy.
-  // Session-scoped via SessionCache (weak session key: no aliasing after
-  // GC, no pinned dead sessions).
+  // Session-scoped via SessionCache (identity-keyed, STRONG references:
+  // entries live until SessionCache.evict(session) — see its scaladoc).
   private val cache = new SessionCache[(String, String), DataFrame]
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate(spark, (sfDir, name)) {
-      if (name == "events") events(spark, sfDir)
-      else spark.read.parquet(s"$sfDir/$name.parquet")
+      val df =
+        if (name == "events") events(spark, sfDir)
+        else spark.read.parquet(s"$sfDir/$name.parquet")
+      if (persisted(name))
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     }
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's

@@ -45,9 +45,9 @@ object GraphAnalytics {
     Graph(vRDD, eRDD).partitionBy(PartitionStrategy.EdgePartition2D)
   }
 
-  // session-scoped like DerivedGraph's memo (weak session key): one cached
-  // GraphX build serves pagerank + cc + bfs in a single Verify/Bench
-  // session.
+  // session-scoped like DerivedGraph's memo (identity-keyed, strong refs —
+  // pinned until SessionCache.evict): one cached GraphX build serves
+  // pagerank + cc + bfs in a single Verify/Bench session.
   private val gxCache =
     new graft.model.SessionCache[String, Graph[(String, String), String]]
 

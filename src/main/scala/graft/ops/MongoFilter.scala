@@ -70,15 +70,33 @@ object MongoFilter {
       arg.asInstanceOf[JArray].arr.map(v => array_contains(c, raw(v)))
         .reduceOption(_ && _).getOrElse(lit(false))
     case "$elemMatch" =>
-      exists(c, e => compileOps(e, arg.asInstanceOf[JObject]))
+      exists(c, e => compileElemMatch(e, arg.asInstanceOf[JObject]))
     case "$mod" =>
-      val Seq(d, r) = arg.asInstanceOf[JArray].arr.map(v => lit(raw(v)).cast("long"))
+      // Mongo raises on a zero divisor; a null-producing comparison here
+      // would silently match nothing instead — fail at compile time.
+      val args = arg.asInstanceOf[JArray].arr
+      if (args.headOption.exists(v => raw(v) == 0L || raw(v) == 0.0))
+        throw new IllegalArgumentException("$mod divisor must be non-zero")
+      val Seq(d, r) = args.map(v => lit(raw(v)).cast("long"))
       c.cast("long") % d === r
     case other  => throw new IllegalArgumentException(s"unsupported operator $other")
   }
 
   private def compileOps(c: Column, ops: JObject): Column =
     ops.obj.map { case (op, arg) => compileOp(c, op, arg) }.reduce(_ && _)
+
+  /** `\$elemMatch` body: Mongo accepts BOTH the operator form
+    * (`{\$gt: 5}` — predicates on the element itself) and the
+    * field-document form (`{score: {\$gt: 5}, ok: true}` — predicates on
+    * fields of struct elements). Keys starting with `\$` are operators on
+    * the element; any other key resolves as a field of the element struct.
+    */
+  private def compileElemMatch(e: Column, doc: JObject): Column =
+    doc.obj.map {
+      case (op, arg) if op.startsWith("$") => compileOp(e, op, arg)
+      case (field, JObject(ops)) => compileOps(e.getField(field), JObject(ops))
+      case (field, value) => e.getField(field) === literal(value)
+    }.reduce(_ && _)
 
   /** Resolve a possibly dotted field path: `props.x` is map access when
     * `props` is a MapType (schemaless attributes), struct access otherwise.

@@ -95,12 +95,15 @@ object Mutations {
     val out = patchCols.foldLeft(joined) { (df, c) =>
       val p = col(s"__p_$c")
       targetTypes.get(c) match {
-        case Some(_: MapType) =>
+        case Some(mt: MapType) =>
           // field-merge: old entries whose key the patch doesn't mention,
           // plus all patch entries (patch wins on conflict). Built without
           // duplicate keys so no dependence on spark.sql.mapKeyDedupPolicy.
+          // The empty-map fallback is cast to the TARGET map type — a bare
+          // map() literal is MAP<STRING,STRING> and would silently coerce
+          // (or fail analysis on) any other key/value type.
           df.withColumn(c, when(p.isNull, col(c)).otherwise(map_concat(
-            map_filter(coalesce(col(c), map()), (k, _) => !map_contains_key(p, k)), p)))
+            map_filter(coalesce(col(c), map().cast(mt)), (k, _) => !map_contains_key(p, k)), p)))
         case _ => df.withColumn(c, coalesce(p, col(c)))
       }
     }

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt in [0, factor): a content hash of ALL the
+    * row's columns, never `monotonically_increasing_id()` — the id is a
+    * non-deterministic expression, so under a stage retry the same row could
+    * re-route to a different reducer mid-job; a content hash replays
+    * identically on every attempt and cluster layout. Fully duplicate rows
+    * share a salt (their replicas land on one reducer) — acceptable: hot
+    * KEYS are the skew target and their rows differ in payload columns.
+    */
+  private def contentSalt(df: DataFrame, factor: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(factor.toLong))
+
   /** Salted equi-join: the left (large, skewed) side gets a per-row salt in
     * [0, factor); the right side is replicated `factor` times, once per
     * salt value. Each hot key's rows then spread over `factor` reducers.
@@ -23,8 +34,7 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       factor: Int = 8): DataFrame = {
-    val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong)))
+    val saltedLeft = left.withColumn("__salt", contentSalt(left, factor))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
@@ -38,8 +48,7 @@ object Skew {
     */
   def saltedAggregate(df: DataFrame, key: String, factor: Int,
       partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame =
-    df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong)))
+    df.withColumn("__salt", contentSalt(df, factor))
       .groupBy(col(key), col("__salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(col(key))

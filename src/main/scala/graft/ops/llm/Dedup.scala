@@ -45,6 +45,19 @@ object Dedup {
   /** Second modulus for the SimHash high bits. */
   val P2: Long = 998244353L
 
+  /** Document-frequency cap for the exact n-gram Jaccard inverted-index
+    * join (`dedup_ngram_jaccard`): a gram shared by K documents of a block
+    * contributes K² join rows, and natural text guarantees stop-bigrams
+    * ("of the") with K ≈ block size — a near-cartesian inside the biggest
+    * buckets. Grams with DF > this cap are dropped from BOTH the
+    * intersection join and the per-doc gram sizes (the oracle SQL mirrors
+    * the same filter), bounding any single gram's join contribution at
+    * cap² rows. Standard practice in inverted-index similarity (cf. DF
+    * cut-offs in Broder-style shingling); ubiquitous grams carry no
+    * similarity signal anyway.
+    */
+  val MaxGramDf: Int = 1000
+
   private def mix64(z0: Long): Long = { // splitmix64 finalizer
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -216,8 +229,9 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
-    * blocked by a grouping column (same-label blocking here; swap in LSH
-    * buckets from [[graft.ops.llm.Similarity.hyperplaneBuckets]] at scale).
+    * blocked by a grouping column. EXACT within its blocks but O(N²/blocks)
+    * pairs — the small-scale verifier for [[embeddingNearDupsLsh]], which
+    * is the declared at-scale path.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double, blockCol: String = "label",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -232,5 +246,46 @@ object Dedup {
         float_dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 4))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
+  }
+
+  /** Default LSH amplification for [[embeddingNearDupsLsh]] — shared with
+    * the generated DuckDB oracle SQL in QueriesLlm.
+    */
+  val EmbLshBits: Int = 8
+  val EmbLshTables: Int = 4
+
+  /** [[embeddingNearDups]] with LSH-bucket ∧ block-column blocking — the
+    * 100 TB shape: candidate pairs only meet when they share the blocking
+    * column AND collide in at least one of `tables` independent
+    * random-hyperplane tables ([[Similarity.hyperplaneBuckets]]), so the
+    * per-block pair count drops from O(N²) to the bucket-local collisions
+    * while true near-dups (cosine → 1) are retained with probability
+    * 1 − (1 − p^bits)^tables, p = 1 − θ/π — OR-amplification pushes the
+    * miss rate down exponentially in `tables` for linear extra compute.
+    * Deterministic (fixed seedless planes) and oracle-replayable: the
+    * DuckDB SQL embeds the identical plane literals.
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double,
+      bits: Int = EmbLshBits, tables: Int = EmbLshTables,
+      blockCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.{float_dot, float_norm}
+    val bucketed = (0 until tables).foldLeft(emb)((df, t) =>
+      Similarity.hyperplaneBuckets(df, bits, vecCol = vecCol, table = t, outCol = s"__bkt$t"))
+    val tb = explode(array((0 until tables).map(t =>
+      struct(lit(t).as("t"), col(s"__bkt$t").as("b"))): _*)).as("__tb")
+    val e = bucketed.withColumn("__nrm", float_norm(col(vecCol)))
+    val a = e.select(col(blockCol), tb, col(idCol).as("a_id"),
+      col(vecCol).as("a_emb"), col("__nrm").as("a_n"))
+    val b = e.select(col(blockCol), tb, col(idCol).as("b_id"),
+      col(vecCol).as("b_emb"), col("__nrm").as("b_n"))
+    a.join(b, Seq(blockCol, "__tb")).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(
+        float_dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+      // a pair colliding in several tables repeats with the identical
+      // rounded cosine — collapse to one row.
+      .distinct()
   }
 }

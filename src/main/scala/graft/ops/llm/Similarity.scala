@@ -36,9 +36,20 @@ object Similarity {
     val q = e.filter(queryPred)
       .select(col(blockCol), col(idCol).as("q_id"), col(vecCol).as("q_emb"), col("__nrm").as("q_n"))
     val c = e.select(col(blockCol), col(idCol).as("c_id"), col(vecCol).as("c_emb"), col("__nrm").as("c_n"))
+    topKJoin(q, c, k, Seq(blockCol))
+  }
+
+  /** Shared scoring tail: join prepared query/candidate frames on the
+    * blocking key(s), score, rank, cut at k. The scored rows are projected
+    * down to (q_id, c_id, score) BEFORE the rank window so the window
+    * exchange shuffles 24-byte rows, never the embedding arrays.
+    */
+  private def topKJoin(q: DataFrame, c: DataFrame, k: Int,
+      blockCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    q.join(c, Seq(blockCol)).filter(col("q_id") =!= col("c_id"))
-      .withColumn("score", round(float_dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 4))
+    q.join(c, blockCols).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(float_dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 4).as("score"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("q_id", "rk", "c_id", "score")
@@ -63,39 +74,84 @@ object Similarity {
     * DuckDB oracle SQL (which embeds each coefficient as an exact
     * round-trip double literal, so both engines multiply bit-identical
     * values in the same order and the projection SIGNS agree exactly).
+    * `table` selects an independent plane set for multi-table
+    * OR-amplification: table 0 is bit-identical to the original single
+    * table (plane index = table·bits + i, so existing oracles are
+    * unchanged).
     */
-  def hyperplanes(bits: Int = 8, dim: Int = 64): Array[Array[Float]] =
+  def hyperplanes(bits: Int = 8, dim: Int = 64, table: Int = 0): Array[Array[Float]] =
     Array.tabulate(bits, dim) { (i, j) =>
-      ((mix(i.toLong * 1000003L + j) % 1000L) / 1000.0).toFloat
+      ((mix((table.toLong * bits + i) * 1000003L + j) % 1000L) / 1000.0).toFloat
     }
 
   def hyperplaneBuckets(emb: DataFrame, bits: Int = 8, dim: Int = 64,
-      vecCol: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(bits, dim)
+      vecCol: String = "embedding", table: Int = 0,
+      outCol: String = "lsh_bucket"): DataFrame = {
+    val planes = hyperplanes(bits, dim, table)
     val sigBits = (0 until bits).map { i =>
       val proj = graft.functions.VectorFunctions.float_dot(
         col(vecCol), typedlit(planes(i).toSeq))
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }
-    emb.withColumn("lsh_bucket", sigBits.reduce((a, b) => a.bitwiseOR(b)))
+    emb.withColumn(outCol, sigBits.reduce((a, b) => a.bitwiseOR(b)))
   }
 
-  /** Top-k within LSH buckets — the scale path. Recall is tunable via
-    * `bits` (fewer bits → bigger buckets → higher recall, more compute).
+  /** Top-k within LSH buckets — the scale path. Recall is tunable along
+    * BOTH standard LSH axes: `bits` (fewer bits → bigger buckets → higher
+    * recall, more compute) and `tables` (OR-amplification: each vector
+    * hashes into one bucket PER independent plane table, candidates meet if
+    * they collide in ANY table — miss probability decays exponentially with
+    * table count while compute grows only linearly). `tables = 1`
+    * reproduces the original single-table behavior bit for bit.
+    *
+    * Shape at scale: the per-table buckets explode the candidate side
+    * `tables`×, but every comparison still happens inside a bucket — never
+    * all-pairs — and the same (q, c) pair meeting in several tables is
+    * collapsed by rank-dedup (`row_number` keeps one row per (q_id, c_id)
+    * before the top-k cut).
     */
   def lshCosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5, bits: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    cosineTopK(hyperplaneBuckets(emb, bits, vecCol = vecCol), queryPred, k, "lsh_bucket", idCol, vecCol)
+      tables: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    if (tables == 1) {
+      cosineTopK(hyperplaneBuckets(emb, bits, vecCol = vecCol), queryPred, k,
+        "lsh_bucket", idCol, vecCol)
+    } else {
+      val bucketed = (0 until tables).foldLeft(emb)((df, t) =>
+        hyperplaneBuckets(df, bits, vecCol = vecCol, table = t, outCol = s"__bkt$t"))
+      val tb = explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), col(s"__bkt$t").as("b"))): _*)).as("__tb")
+      val e = bucketed.withColumn("__nrm", float_norm(col(vecCol)))
+      val q = e.filter(queryPred)
+        .select(tb, col(idCol).as("q_id"), col(vecCol).as("q_emb"), col("__nrm").as("q_n"))
+      val c = e
+        .select(tb, col(idCol).as("c_id"), col(vecCol).as("c_emb"), col("__nrm").as("c_n"))
+      // same pair may collide in several tables, always with the identical
+      // rounded score → distinct() collapses the duplicates before the
+      // k-cut (otherwise a multi-collision pair would eat several ranks).
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+      q.join(c, Seq("__tb")).filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          round(float_dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 4).as("score"))
+        .distinct()
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select("q_id", "rk", "c_id", "score")
+    }
+  }
 
   /** IVF (inverted-file) coarse quantization: fit KMeans centroids (fixed
     * seed → deterministic), assign each vector to its nearest centroid,
-    * then search only within the probe cell. The classic ANN index shape:
-    * the fit touches a sample-sized driver model, the assignment and the
-    * per-cell search are fully distributed. `nCells` trades recall for
-    * compute exactly like IVF nlist.
+    * then search the `nprobe` nearest cells per query. The classic ANN
+    * index shape: the fit touches a sample-sized driver model, the
+    * assignment and the per-cell search are fully distributed. `nCells`
+    * trades recall for compute exactly like IVF nlist; `nprobe > 1` fixes
+    * the recall cliff at cell boundaries (a query near a Voronoi face also
+    * searches the adjacent cells) at `nprobe`× the per-query compute.
     */
   def ivfCosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5, nCells: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      nprobe: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = emb.withColumn("__mlvec", array_to_vector(col(vecCol)))
@@ -106,6 +162,27 @@ object Similarity {
       .setFeaturesCol("__mlvec").setPredictionCol("ivf_cell")
       .fit(withVec)
     val assigned = model.transform(withVec).drop("__mlvec")
-    cosineTopK(assigned, queryPred, k, "ivf_cell", idCol, vecCol)
+    val e = assigned.withColumn("__nrm", float_norm(col(vecCol)))
+    val c = e.select(col("ivf_cell"), col(idCol).as("c_id"),
+      col(vecCol).as("c_emb"), col("__nrm").as("c_n"))
+    // query-side multi-probe: distance to every centroid is a handful of
+    // codegen'd dot products against LITERAL center arrays (the model is
+    // nCells × dim floats — driver-tiny, shipped in the plan), then the
+    // nprobe (dist, cell) structs with the smallest distance explode into
+    // one probe row each. ||q−c||² = q·q − 2·q·c + c·c; q·q is hoisted.
+    val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val distStructs = centers.zipWithIndex.map { case (ctr, i) =>
+      val c2 = ctr.map(x => x.toDouble * x.toDouble).sum
+      struct((col("__qq") - lit(2.0) * float_dot(col(vecCol), typedlit(ctr.toSeq)) + lit(c2)).as("d"),
+        lit(i).as("cell"))
+    }
+    val q = e.filter(queryPred)
+      .withColumn("__qq", float_dot(col(vecCol), col(vecCol)))
+      .withColumn("__probe", explode(slice(array_sort(array(distStructs: _*)), 1, nprobe)))
+      .select(col("__probe.cell").as("ivf_cell"), col(idCol).as("q_id"),
+        col(vecCol).as("q_emb"), col("__nrm").as("q_n"))
+    // a candidate lives in exactly ONE cell, so probe fan-out never
+    // duplicates a (q, c) pair — the shared top-k tail applies unchanged.
+    topKJoin(q, c, k, Seq("ivf_cell"))
   }
 }
