@@ -186,31 +186,37 @@ object QueriesLlm {
       simhashOracleSql),
 
     // Exact token-bigram Jaccard: most-similar pair per source block.
-    // Grams travel through the inverted-index join as 8-byte xxhash64 keys,
-    // not strings — same intersection counts (collisions: ~n²/2⁶⁴ per
-    // block, negligible), a fraction of the shuffle width. Hot grams
-    // (DF > Dedup.MaxGramDf) are dropped from the join AND the sizes —
-    // without the cap a single stop-bigram shared by K docs yields K² join
-    // rows (the quadratic blowup natural text guarantees at scale). The
-    // hot-gram list is tiny by construction → broadcast anti-join.
+    // Grams travel through the inverted index as 8-byte xxhash64 keys, not
+    // strings — same intersection counts (collisions: ~n²/2⁶⁴ per block,
+    // negligible), a fraction of the shuffle width. The index is built by
+    // ONE groupBy into per-gram posting lists; candidate pairs come from a
+    // double explode over each list (i < j via slice), never a self-join —
+    // and the document-frequency cap falls out FREE as a size() filter on
+    // the posting list. Without the cap a stop-bigram shared by K docs
+    // yields K²/2 pair rows (the quadratic blowup natural text guarantees
+    // at scale); with it, any gram contributes at most MaxGramDf²/2.
     "dedup_ngram_jaccard" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val rawGrams = docs
+        val grams = docs
           .withColumn("__toks", split(col("text"), " "))
           .filter(size(col("__toks")) >= 2)
           .select(col("source"), col("doc_id"), explode(expr(
             "array_distinct(transform(sequence(0, size(__toks)-2), i -> concat(__toks[i], ' ', __toks[i+1])))")).as("__g"))
           .select(col("source"), col("doc_id"), xxhash64(col("__g")).as("gram"))
-        val hot = rawGrams.groupBy("source", "gram")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") > Dedup.MaxGramDf).select("source", "gram")
-        val grams = rawGrams.join(broadcast(hot), Seq("source", "gram"), "left_anti")
-        val sizes = grams.groupBy("source", "doc_id").agg(count(lit(1)).as("sz"))
-        val inter = grams.select(col("source"), col("doc_id").as("a_id"), col("gram"))
-          .join(grams.select(col("source"), col("doc_id").as("b_id"), col("gram")),
-            Seq("source", "gram"))
-          .filter(col("a_id") < col("b_id"))
+        // posting lists, DF-capped; sizes count every capped gram
+        // (singletons included — they belong to the Jaccard union).
+        val postings = grams.groupBy("source", "gram")
+          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")) <= Dedup.MaxGramDf)
+        val sizes = postings
+          .select(col("source"), explode(col("docs")).as("doc_id"))
+          .groupBy("source", "doc_id").agg(count(lit(1)).as("sz"))
+        val inter = postings
+          .filter(size(col("docs")) >= 2)
+          .select(col("source"), posexplode(col("docs")).as(Seq("__i", "a_id")), col("docs"))
+          .select(col("source"), col("a_id"),
+            explode(slice(col("docs"), col("__i") + 2, size(col("docs")))).as("b_id"))
           .groupBy("source", "a_id", "b_id").agg(count(lit(1)).as("inter"))
         val j = inter
           .join(sizes.select(col("source"), col("doc_id").as("a_id"), col("sz").as("sza")), Seq("source", "a_id"))

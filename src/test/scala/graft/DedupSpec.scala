@@ -79,4 +79,42 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  // LSH-blocked variant: 64-dim so the hyperplane tables have real signal.
+  private lazy val emb64 = {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    Seq(
+      (1L, 0, base),
+      (2L, 0, base.clone()),                                // identical → guaranteed pair
+      (3L, 0, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)), // near-dup
+      (4L, 0, vec()), (5L, 0, vec()), (6L, 1, base.clone()) // unrelated / other block
+    ).toDF("vec_id", "label", "embedding")
+  }
+
+  test("embeddingNearDupsLsh: identical vectors ALWAYS collide (theta=0 -> same bucket in every table)") {
+    val pairs = Dedup.embeddingNearDupsLsh(emb64, threshold = 0.9999)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    // cross-block identical vectors stay blocked apart
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 6L) })
+  }
+
+  test("embeddingNearDupsLsh is a subset of the exact blocked pairs, with identical scores") {
+    val exact = Dedup.embeddingNearDups(emb64, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.embeddingNearDupsLsh(emb64, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH produced pairs the exact path lacks: ${lsh -- exact}")
+  }
+
+  test("embeddingNearDupsLsh plan joins on LSH buckets, never label-only all-pairs") {
+    val plan = Dedup.embeddingNearDupsLsh(emb64, threshold = 0.5)
+      .queryExecution.optimizedPlan.toString
+    // the candidate join must key on the exploded (table, bucket) struct —
+    // a label-only equi-join would be the quadratic shape this variant
+    // exists to avoid.
+    assert(plan.contains("__tb"), s"expected (table,bucket) join key in plan:\n$plan")
+  }
 }

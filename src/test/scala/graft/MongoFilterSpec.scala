@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.ops.MongoFilter
 
 /** Mongo filter-document surface (FIXTURES.md §C fixture 8;
@@ -79,5 +80,29 @@ class MongoFilterSpec extends SparkSpec {
     assert(arrIds("""{"categories": {"$all": ["malware"]}}""") == Seq(1L, 2L))
     assert(arrIds("""{"categories": {"$all": ["malware", "phish"]}}""") == Seq(1L))
     assert(arrIds("""{"categories": {"$elemMatch": {"$regex": "^ph"}}}""") == Seq(1L))
+  }
+
+  test("$mod with a zero divisor fails at compile time, like Mongo's error") {
+    val e = intercept[IllegalArgumentException] {
+      MongoFilter.where(df, """{"id": {"$mod": [0, 0]}}""")
+    }
+    assert(e.getMessage.contains("divisor"))
+  }
+
+  // $elemMatch field-document form runs against struct-array elements
+  private lazy val structArr = Seq(
+    (1L, Seq((8L, true), (2L, false))),
+    (2L, Seq((9L, false))),
+    (3L, Seq.empty[(Long, Boolean)])
+  ).toDF("id", "hits")
+    .withColumn("hits", col("hits").cast("array<struct<score:bigint,ok:boolean>>"))
+
+  test("$elemMatch field-document form (Mongo's {field: pred} body) over struct arrays") {
+    def sIds(json: String): Seq[Long] =
+      MongoFilter.where(structArr, json).orderBy("id").select("id").as[Long].collect().toSeq
+    // operator predicate on a field of the element
+    assert(sIds("""{"hits": {"$elemMatch": {"score": {"$gt": 5}, "ok": true}}}""") == Seq(1L))
+    // bare field equality inside the body
+    assert(sIds("""{"hits": {"$elemMatch": {"score": 9}}}""") == Seq(2L))
   }
 }

@@ -45,4 +45,75 @@ class SimilaritySpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs.exists { case (a, b) => b == a + 100000 })
   }
+
+  // ---- recall guarantees, on a CLUSTERED fixture -------------------------
+  // The sf embeddings are near-uniform random 64-dim vectors: cosine
+  // near-neighbors barely exist there (curse of dimensionality), so recall
+  // against them measures the data, not the index. ANN indexes exist for
+  // data WITH neighborhood structure — this fixture plants it: 20 tight
+  // clusters (unit center + 0.02σ per-dim noise → pairwise intra-cluster
+  // cosine ≈ 0.97), fixed seed, so each vector's true top-5 is in-cluster
+  // and recall is a property of the index mechanics (for 8-bit hyperplane
+  // tables: p_collide ≈ (1 − θ/π)^8 ≈ 0.55 per table → 4-table
+  // OR-amplification ≈ 0.96).
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(20)(unit(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val rows = for (c <- 0 until 20; i <- 0 until 25) yield {
+      val v = unit(centers(c).map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+      (c.toLong * 25 + i, c, v)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+  }
+  private val cpred = col("vec_id") % 25 === 0 // one query per cluster
+
+  private def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+  private def recall(got: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double =
+    truth.map { case (q, ts) =>
+      got.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size
+    }.sum / truth.size
+
+  private lazy val clusteredTruth = top5(Similarity.cosineTopK(
+    clustered.withColumn("all", lit(1)), cpred, blockCol = "all"))
+
+  test("IVF multi-probe: recall@5 >= 0.95 on clustered data, and strictly above nprobe=1") {
+    val multi = recall(top5(Similarity.ivfCosineTopK(clustered, cpred,
+      nCells = 16, nprobe = 3)), clusteredTruth)
+    val single = recall(top5(Similarity.ivfCosineTopK(clustered, cpred,
+      nCells = 16, nprobe = 1)), clusteredTruth)
+    assert(multi >= 0.95, s"nprobe=3 recall $multi")
+    assert(multi >= single, s"multi-probe must not lose recall ($multi vs $single)")
+  }
+
+  test("LSH OR-amplification: tables=4 recall >= tables=1, and >= 0.9 on clustered data") {
+    val one = recall(top5(Similarity.lshCosineTopK(clustered, cpred, tables = 1)),
+      clusteredTruth)
+    val four = recall(top5(Similarity.lshCosineTopK(clustered, cpred, tables = 4)),
+      clusteredTruth)
+    assert(four >= one, s"OR-amplification lost recall: $four < $one")
+    assert(four >= 0.9, s"tables=4 recall $four")
+  }
+
+  test("multi-table LSH candidates dominate single-table: per-query best score never drops") {
+    // table 0 of the multi-table scheme IS the single table (plane index
+    // = table·bits + i), so every single-table candidate pair also meets in
+    // the multi-table join — the per-query best-hit score is monotone in
+    // the table count.
+    def best(tables: Int): Map[Long, Double] =
+      Similarity.lshCosineTopK(emb, pred, tables = tables).filter(col("rk") === 1)
+        .select("q_id", "score").as[(Long, Double)].collect().toMap
+    val one = best(1)
+    val four = best(4)
+    one.foreach { case (q, s) =>
+      assert(four.contains(q) && four(q) >= s - 1e-9,
+        s"query $q: tables=4 best ${four.get(q)} < tables=1 best $s")
+    }
+  }
 }

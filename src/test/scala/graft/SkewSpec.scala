@@ -19,6 +19,14 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salt is deterministic: no nondeterministic expression in the salted plan") {
+    // a monotonically_increasing_id/rand salt re-routes rows on stage
+    // retry; the content-hash salt must keep the plan fully deterministic.
+    val plan = Skew.saltedJoin(facts, dim, "k").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("monotonically_increasing_id") && !plan.contains("rand("),
+      s"nondeterministic salt in plan:\n$plan")
+  }
+
   test("saltedAggregate equals the plain aggregate") {
     val plain = facts.groupBy("k")
       .agg(count(lit(1)).as("n"), sum("v").as("s"))
