@@ -24,6 +24,10 @@ final class StreamingThreatIngest {
 
   @volatile private var current: Option[ThreatGraph] = None
 
+  // serializes snapshot merges: the report stream and an edge side-stream
+  // ([[startEdges]]) each merge from their own micro-batch thread.
+  private val lock = new Object
+
   /** The running snapshot (None until the first batch lands). */
   def snapshot: Option[ThreatGraph] = current
 
@@ -34,13 +38,42 @@ final class StreamingThreatIngest {
     reports.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val g = ThreatIntel.fromReports(batch)
-        val merged = current match {
-          case None => ThreatGraph(g.vertices.localCheckpoint(), g.edges.localCheckpoint())
-          case Some(prev) => ThreatGraph(
-            Mutations.upsert(prev.vertices, g.vertices, Seq("id")).localCheckpoint(),
-            Mutations.upsertEdges(prev.edges, g.edges).localCheckpoint())
+        lock.synchronized {
+          val merged = current match {
+            case None => ThreatGraph(g.vertices.localCheckpoint(), g.edges.localCheckpoint())
+            case Some(prev) => ThreatGraph(
+              Mutations.upsert(prev.vertices, g.vertices, Seq("id")).localCheckpoint(),
+              Mutations.upsertEdges(prev.edges, g.edges).localCheckpoint())
+          }
+          current = Some(merged)
         }
-        current = Some(merged)
+      }
+      .start()
+
+  /** Start ingesting a streaming DataFrame of pre-built edges
+    * (src BIGINT, dst BIGINT, label STRING, props MAP<STRING,STRING> — the
+    * [[graft.sources.GraphSnapshots.streamEdges]] schema): a continuously
+    * ingested graph streams BOTH sides. Each micro-batch merges with the
+    * same first-write-wins (src, dst, label) rule as the report path —
+    * an edge re-streamed in a later batch keeps its first-seen props,
+    * exactly as if all batches had arrived as one (mongraph.py:120-124
+    * dedup intent under unbounded input).
+    */
+  def startEdges(edges: DataFrame): StreamingQuery =
+    edges.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = Mutations.dedupFirst(batch,
+          Seq("src", "dst", "label"), Seq("src"))
+        lock.synchronized {
+          val merged = current match {
+            case None => ThreatGraph(
+              ThreatIntel.emptyVertices(batch.sparkSession),
+              deduped.localCheckpoint())
+            case Some(prev) => ThreatGraph(prev.vertices,
+              Mutations.upsertEdges(prev.edges, deduped).localCheckpoint())
+          }
+          current = Some(merged)
+        }
       }
       .start()
 }

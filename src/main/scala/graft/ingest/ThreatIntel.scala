@@ -85,6 +85,20 @@ object ThreatIntel {
   private def vid(label: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
     xxhash64(label, key)
 
+  /** An empty vertex frame with the ThreatGraph vertex schema — the seed
+    * for an edges-first streaming ingest
+    * ([[StreamingThreatIngest.startEdges]] before any report batch).
+    */
+  def emptyVertices(spark: SparkSession): DataFrame = {
+    val schema = new StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("label", StringType)
+      .add("key", StringType)
+      .add("detected_prop", org.apache.spark.sql.types.DoubleType)
+      .add("props", MapType(StringType, StringType))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** Ingest a batch of JSON documents, each shaped
     * `{"<resource>": {<report>}, ...}` ("Cyradar json standard",
     * graph_importer.py:170-175).

@@ -20,6 +20,35 @@ import graft.ops.{MongoFilter, Mutations, Traverse}
   */
 final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
+  /** Vertex columns beyond the canonical four are PROMOTED typed hot
+    * attributes ([[promote]]) — functionally derived from `props`, so every
+    * mutation re-derives them and they can never drift from the map.
+    */
+  private def promotedAttrs: Seq[org.apache.spark.sql.types.StructField] =
+    vertices.schema.fields.toSeq
+      .filterNot(f => PropertyGraph.CanonicalVertexCols.contains(f.name))
+
+  private def derivePromoted(df: DataFrame): DataFrame =
+    promotedAttrs.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, col("props").getItem(f.name).cast(f.dataType)))
+
+  /** Promote hot attributes to typed top-level vertex columns
+    * (SURVEY §1.2's declared mapping: `name`/`address`/`hash` STRING,
+    * `detected_prop` DOUBLE). The column is physically materialized — a
+    * snapshot saved via GraphSnapshots stores it as a parquet column, so
+    * `searchVertices` equality/range predicates on it compile to
+    * pushed-down columnar scan filters (row-group pruning at 100 TB)
+    * instead of map probes. `props` keeps the long tail unchanged; the
+    * promoted copy re-derives on every mutation.
+    */
+  def promote(attrs: (String, String)*): PropertyGraph = {
+    attrs.foreach { case (a, _) =>
+      require(!PropertyGraph.CanonicalVertexCols.contains(a),
+        s"cannot promote canonical column '$a'") }
+    copy(vertices = attrs.foldLeft(vertices)((df, at) =>
+      df.withColumn(at._1, col("props").getItem(at._1).cast(at._2))))
+  }
+
   /** Batch `insert_vertex` (mongraph.py:71-97): validates the label against
     * the registry (81-82 intent — raising on unknown labels) and requires
     * the key column non-null (84-85), stamps ids, dedups first-write-wins
@@ -36,7 +65,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       xxhash64(col("label"), col("key")).as("id"),
       col("label"), col("key"), col("props"))
     copy(vertices = Mutations.upsert(vertices,
-      Mutations.dedupFirst(stamped, Seq("id"), Seq("label", "key")), Seq("id")))
+      Mutations.dedupFirst(derivePromoted(stamped), Seq("id"), Seq("label", "key")),
+      Seq("id")))
   }
 
   /** Batch `insert_edge` (mongraph.py:99-130): dedup on exact
@@ -53,10 +83,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   }
 
   /** `update_vertex` merge-patch by id (mongraph.py:195-203); patch columns
-    * beyond `id` overwrite when non-null.
+    * beyond `id` overwrite when non-null. Promoted hot-attribute columns
+    * re-derive from the merged `props` afterwards (patch attributes via
+    * `props` — the typed copies are views, not writable state).
     */
   def updateVertices(patches: DataFrame): PropertyGraph =
-    copy(vertices = Mutations.patch(vertices, patches, Seq("id")))
+    copy(vertices = derivePromoted(Mutations.patch(vertices, patches, Seq("id"))))
 
   /** `update_edge` merge-patch by exact (src, dst, label)
     * (mongraph.py:205-213).
@@ -137,6 +169,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 }
 
 object PropertyGraph {
+
+  /** The canonical vertex schema; anything beyond these is a promoted
+    * typed hot attribute (see [[PropertyGraph.promote]]).
+    */
+  val CanonicalVertexCols: Set[String] = Set("id", "label", "key", "props")
 
   /** Label registry — the reference's `_type_dependency` (mongraph.py:22-27)
     * plus the `owner`/`whois` labels its importer needs but forgot to

@@ -100,12 +100,21 @@ object MongoFilter {
 
   /** Resolve a possibly dotted field path: `props.x` is map access when
     * `props` is a MapType (schemaless attributes), struct access otherwise.
+    * A bare field prefers a real schema column when one exists — a PROMOTED
+    * typed hot attribute (PropertyGraph.promote, SURVEY §1.2) then compiles
+    * to a pushdown-able column predicate instead of a map probe — and falls
+    * back to the `props` map for everything else, preserving the
+    * reference's schemaless attribute surface.
     */
   private def resolve(df: DataFrame, field: String): Column =
     field.split("\\.", 2) match {
       case Array(head, rest) if df.schema.fieldNames.contains(head)
           && df.schema(head).dataType.isInstanceOf[MapType] =>
         col(head).getItem(rest)
+      case Array(head) if !df.schema.fieldNames.contains(head)
+          && df.schema.fieldNames.contains("props")
+          && df.schema("props").dataType.isInstanceOf[MapType] =>
+        col("props").getItem(head)
       case _ => col(field)
     }
 

@@ -50,4 +50,15 @@ object GraphSnapshots {
     spark.readStream
       .schema(PropertyGraph.empty(spark).vertices.schema)
       .parquet(s"$dir/vertices")
+
+  /** Streaming edge source — the mirror of [[streamVertices]]: a
+    * continuously ingested graph (graph_importer.py's whole purpose)
+    * streams BOTH sides. Feed into
+    * [[graft.ingest.StreamingThreatIngest.startEdges]] for cross-batch
+    * first-write-wins merging into a running snapshot.
+    */
+  def streamEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(PropertyGraph.empty(spark).edges.schema)
+      .parquet(s"$dir/edges")
 }

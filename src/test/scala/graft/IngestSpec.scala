@@ -135,4 +135,30 @@ class IngestSpec extends SparkSpec {
       assert(g.edges.count() == 1) // the threat edge from batch 1
     } finally q.stop()
   }
+
+  test("streaming edge source merges cross-batch with first-write-wins on (src,dst,label)") {
+    implicit val ctx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Map[String, String])]
+    val ingest = new graft.ingest.StreamingThreatIngest
+    val q = ingest.startEdges(stream.toDF().toDF("src", "dst", "label", "props"))
+    try {
+      stream.addData((1L, 2L, "assign", Map("date" -> "2016-01-01")))
+      q.processAllAvailable()
+      stream.addData(
+        // same (src,dst,label) re-streamed with different props → first wins
+        (1L, 2L, "assign", Map("date" -> "2024-12-31")),
+        // same endpoints, new label → distinct edge (per-label digraph)
+        (1L, 2L, "observed", Map.empty[String, String]),
+        (3L, 4L, "assign", Map.empty[String, String]))
+      q.processAllAvailable()
+      val g = ingest.snapshot.get
+      assert(g.vertices.count() == 0) // edges-first ingest: empty vertex side
+      val edges = g.edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) ->
+          r.getMap[String, String](3).get("date")).toMap
+      assert(edges.keySet == Set((1L, 2L, "assign"), (1L, 2L, "observed"), (3L, 4L, "assign")))
+      assert(edges((1L, 2L, "assign")).contains("2016-01-01")) // batch-1 props survive
+    } finally q.stop()
+  }
 }

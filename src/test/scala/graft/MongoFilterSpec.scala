@@ -105,4 +105,42 @@ class MongoFilterSpec extends SparkSpec {
     // bare field equality inside the body
     assert(sIds("""{"hits": {"$elemMatch": {"score": 9}}}""") == Seq(2L))
   }
+
+  // ---- promoted typed hot attributes (SURVEY §1.2) -----------------------
+  import graft.model.PropertyGraph
+  import graft.sources.GraphSnapshots
+
+  private def mkGraph() = PropertyGraph.empty(spark).insertVertices(Seq(
+    ("domain", "evil.example", Map("name" -> "evil.example", "detected_prop" -> "0.9")),
+    ("domain", "good.example", Map("name" -> "good.example", "detected_prop" -> "0.0"))
+  ).toDF("label", "key", "props"))
+
+  test("promoted hot attribute: search_vertex equality compiles to a pushed-down parquet filter") {
+    val g = mkGraph().promote("name" -> "string", "detected_prop" -> "double")
+    val dir = java.nio.file.Files.createTempDirectory("graft-promo").toString
+    GraphSnapshots.save(g, dir)
+    val loaded = GraphSnapshots.load(spark, dir)
+    val q = loaded.searchVertices(
+      """{"name": "evil.example", "detected_prop": {"$gt": 0.5}}""")
+    assert(q.count() == 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(name,evil.example)"),
+      s"promoted attr must reach the scan as a pushed filter:\n$plan")
+  }
+
+  test("unpromoted attributes fall back to the schemaless props map probe") {
+    assert(mkGraph().searchVertices("""{"name": "evil.example"}""").count() == 1)
+    assert(mkGraph().searchVertices("""{"name": "nope"}""").count() == 0)
+  }
+
+  test("promoted columns re-derive from props after update_vertex, never drift") {
+    val g = mkGraph().promote("name" -> "string")
+    val id = g.searchVertices("""{"key": "evil.example"}""")
+      .select("id").as[Long].head()
+    val patched = g.updateVertices(
+      Seq((id, Map("name" -> "renamed.example"))).toDF("id", "props"))
+    val row = patched.vertices.filter(col("id") === id)
+      .select("name", "props.name").as[(String, String)].head()
+    assert(row == ("renamed.example", "renamed.example"))
+  }
 }

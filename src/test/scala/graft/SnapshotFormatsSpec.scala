@@ -41,4 +41,20 @@ class SnapshotFormatsSpec extends SparkSpec {
       assert(counts == Map("domain" -> 1L, "ip" -> 1L))
     } finally q.stop()
   }
+
+  test("streaming edge source mirrors streamVertices over the edges directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-estream").toString
+    val ids = sample.vertices.orderBy("key").select("id").as[Long].collect()
+    val g = sample.insertEdges(
+      Seq((ids(0), ids(1), "resolve")).toDF("src", "dst", "label"))
+    GraphSnapshots.save(g, dir)
+    val q = GraphSnapshots.streamEdges(spark, dir)
+      .groupBy("label").count()
+      .writeStream.outputMode("complete").format("memory").queryName("estream").start()
+    try {
+      q.processAllAvailable()
+      val counts = spark.table("estream").as[(String, Long)].collect().toMap
+      assert(counts == Map("resolve" -> 1L))
+    } finally q.stop()
+  }
 }
