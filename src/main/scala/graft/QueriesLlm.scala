@@ -93,16 +93,24 @@ object QueriesLlm {
        |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of one hyperplane table's bucket bits: each coefficient
+    * is an exact round-trip double literal, so both engines multiply
+    * bit-identical values in the same order and the SIGNS agree exactly.
+    * Shared by the similarity_lsh and dedup_embedding oracles — one
+    * generator, so the Spark bucketing and its SQL replay cannot diverge.
+    */
+  private def duckBucketBits(planes: Array[Array[Float]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(f => java.lang.Double.toString(f.toDouble)).mkString(", ")
+      s"(CASE WHEN list_dot_product(emb, [$lits]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n    ")
+
   /** Generated oracle for similarity_lsh: bucket bits from the literal
     * hyperplanes (exact double text → bit-identical products), then the
     * same blocked top-k as similarity_topk with lsh_bucket blocking.
     */
   private lazy val lshOracleSql: String = {
-    val planes = Similarity.hyperplanes()
-    val bitTerms = planes.zipWithIndex.map { case (p, i) =>
-      val lits = p.map(f => java.lang.Double.toString(f.toDouble)).mkString(", ")
-      s"(CASE WHEN list_dot_product(emb, [$lits]) > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" +\n    ")
+    val bitTerms = duckBucketBits(Similarity.hyperplanes())
     s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |e AS (SELECT vec_id, emb, CAST(
        |    $bitTerms
@@ -129,12 +137,7 @@ object QueriesLlm {
   private lazy val embNearDupOracleSql: String = {
     val (bits, tables) = (Dedup.EmbLshBits, Dedup.EmbLshTables)
     val bktCols = (0 until tables).map { t =>
-      val planes = Similarity.hyperplanes(bits, table = t)
-      val bitTerms = planes.zipWithIndex.map { case (p, i) =>
-        val lits = p.map(f => java.lang.Double.toString(f.toDouble)).mkString(", ")
-        s"(CASE WHEN list_dot_product(emb, [$lits]) > 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" +\n    ")
-      s"CAST($bitTerms AS BIGINT) AS bkt$t"
+      s"CAST(${duckBucketBits(Similarity.hyperplanes(bits, table = t))} AS BIGINT) AS bkt$t"
     }.mkString(",\n  ")
     val collide = (0 until tables).map(t => s"a.bkt$t = b.bkt$t").mkString(" OR ")
     s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -205,9 +208,14 @@ object QueriesLlm {
             "array_distinct(transform(sequence(0, size(__toks)-2), i -> concat(__toks[i], ' ', __toks[i+1])))")).as("__g"))
           .select(col("source"), col("doc_id"), xxhash64(col("__g")).as("gram"))
         // posting lists, DF-capped; sizes count every capped gram
-        // (singletons included — they belong to the Jaccard union).
+        // (singletons included — they belong to the Jaccard union). The
+        // bounded aggregator holds at most cap+1 doc_ids per gram, so a
+        // stop-gram shared by millions of docs can never OOM a reducer
+        // buffer on its way to being discarded; kept lists are complete,
+        // so the sort is deterministic.
         val postings = grams.groupBy("source", "gram")
-          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+          .agg(sort_array(graft.functions.ArrayFunctions.bounded_collect_list(
+            col("doc_id"), Dedup.MaxGramDf + 1)).as("docs"))
           .filter(size(col("docs")) <= Dedup.MaxGramDf)
         val sizes = postings
           .select(col("source"), explode(col("docs")).as("doc_id"))

@@ -361,7 +361,8 @@ object QueriesRelational {
         |ASOF LEFT JOIN (
         |  SELECT user_id, ts, value FROM (
         |    SELECT user_id, ts, value,
-        |      row_number() OVER (PARTITION BY user_id, ts ORDER BY value) AS rn
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY value NULLS FIRST) AS rn
         |    FROM events WHERE event_type = 'purchase') WHERE rn = 1) p
         |  ON e.user_id = p.user_id AND e.ts > p.ts
         |ORDER BY e.event_id""".stripMargin),

@@ -82,4 +82,61 @@ object ArrayFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftShim.column(SortedLongIntersectCount(
       GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** `collect_list` over BIGINT with a HARD per-group buffer bound, as an
+    * untyped-usable aggregate column. See [[BoundedLongList]].
+    */
+  def bounded_collect_list(c: Column, maxKeep: Int): Column =
+    org.apache.spark.sql.functions.udaf(BoundedLongList(maxKeep)).apply(c)
+}
+
+/** Growable primitive buffer for [[BoundedLongList]]. */
+final case class LongBuf(var xs: Array[Long], var n: Int)
+
+/** `collect_list` over BIGINT with a HARD per-group buffer bound: at most
+  * `maxKeep` elements are ever held per group, in arrival order.
+  *
+  * Rationale: plain `collect_list` accumulates the WHOLE group in one
+  * non-spillable buffer — for inverted-index posting lists a stop-gram
+  * shared by millions of documents OOMs a reducer before any downstream
+  * size-cap filter runs. With `maxKeep = cap + 1`, a caller filtering
+  * `size(list) <= cap` gets exactly the capped semantics (an overflowing
+  * group surfaces as `cap + 1` and is dropped) while every reducer buffer
+  * stays bounded. For kept groups nothing is dropped, so sorting the
+  * result is fully deterministic; overflowing groups may keep an
+  * arrival-order-dependent subset — callers must DISCARD those, never
+  * consume their contents.
+  */
+case class BoundedLongList(maxKeep: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Long, LongBuf, Array[Long]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  override def zero: LongBuf = LongBuf(Array.empty, 0)
+
+  private def add(b: LongBuf, a: Long): LongBuf = {
+    if (b.n < maxKeep) {
+      if (b.n == b.xs.length) {
+        val grown = new Array[Long](math.max(8, math.min(maxKeep, b.xs.length * 2)))
+        System.arraycopy(b.xs, 0, grown, 0, b.n)
+        b.xs = grown
+      }
+      b.xs(b.n) = a
+      b.n += 1
+    }
+    b
+  }
+
+  override def reduce(b: LongBuf, a: Long): LongBuf = add(b, a)
+
+  override def merge(x: LongBuf, y: LongBuf): LongBuf = {
+    var i = 0
+    while (i < y.n && x.n < maxKeep) { add(x, y.xs(i)); i += 1 }
+    x
+  }
+
+  override def finish(b: LongBuf): Array[Long] = b.xs.take(b.n)
+
+  override def bufferEncoder: Encoder[LongBuf] = Encoders.product[LongBuf]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

@@ -62,8 +62,12 @@ final class StreamingThreatIngest {
   def startEdges(edges: DataFrame): StreamingQuery =
     edges.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val deduped = Mutations.dedupFirst(batch,
-          Seq("src", "dst", "label"), Seq("src"))
+        // tie-break on canonical props JSON — the key columns can't order
+        // rows inside their own group, and "first" must not depend on
+        // partitioning or stage retries.
+        val deduped = Mutations.dedupFirstBy(batch,
+          Seq("src", "dst", "label"),
+          Seq(Mutations.propsOrder(org.apache.spark.sql.functions.col("props"))))
         lock.synchronized {
           val merged = current match {
             case None => ThreatGraph(

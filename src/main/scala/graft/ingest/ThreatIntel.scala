@@ -199,9 +199,12 @@ object ThreatIntel {
       .filter(col("dept").isin("admin", "tech", "registrant"))
       .withColumn("email", col("contact").getItem("email"))
       .filter(col("email").isNotNull)
-    val ownerVertices = Mutations.dedupFirst(
+    val ownerVertices = Mutations.dedupFirstBy(
       owners.select(lit("owner").as("label"), col("email").as("key"), col("contact")),
-      Seq("label", "key"), Seq("key"))
+      // canonical-JSON tie-break: the same email can appear with different
+      // contact maps (admin vs tech dept) — the keep-first winner must not
+      // depend on partitioning.
+      Seq("label", "key"), Seq(Mutations.propsOrder(col("contact"))))
       .select(vid(col("label"), col("key")).as("id"), col("label"), col("key"),
         lit(null).cast("double").as("detected_prop"), col("contact").as("props"),
         lit(1).as("__pri"))
@@ -226,9 +229,12 @@ object ThreatIntel {
     val belongEdges = owners.select(vid(lit("owner"), col("email")).as("src"),
       resId().as("dst"), lit("belongTo").as("label"), map().as("props"))
 
-    val edges = Mutations.dedupFirst(
+    // canonical-JSON tie-break: two resolutions of the same (src,dst) pair
+    // can carry different dates — the surviving assign-edge props must be
+    // the same on every run and partitioning.
+    val edges = Mutations.dedupFirstBy(
       observedEdges.unionByName(assignEdges).unionByName(detectEdges).unionByName(belongEdges),
-      Seq("src", "dst", "label"), Seq("src"))
+      Seq("src", "dst", "label"), Seq(Mutations.propsOrder(col("props"))))
 
     ThreatGraph(vertices, edges)
   }

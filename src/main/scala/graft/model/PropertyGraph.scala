@@ -64,8 +64,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     val stamped = validated.select(
       xxhash64(col("label"), col("key")).as("id"),
       col("label"), col("key"), col("props"))
+    // tie-break on canonical props JSON: (label, key) determine the id, so
+    // ordering by them alone would leave the surviving props arbitrary when
+    // one batch repeats a key with different attributes.
     copy(vertices = Mutations.upsert(vertices,
-      Mutations.dedupFirst(derivePromoted(stamped), Seq("id"), Seq("label", "key")),
+      Mutations.dedupFirstBy(derivePromoted(stamped), Seq("id"),
+        Seq(Mutations.propsOrder(col("props")))),
       Seq("id")))
   }
 
@@ -78,8 +82,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       if (incoming.columns.contains("props")) incoming
       else incoming.withColumn("props", map())
     copy(edges = Mutations.upsertEdges(edges,
-      Mutations.dedupFirst(withProps.select("src", "dst", "label", "props"),
-        Seq("src", "dst", "label"), Seq("src"))))
+      Mutations.dedupFirstBy(withProps.select("src", "dst", "label", "props"),
+        Seq("src", "dst", "label"), Seq(Mutations.propsOrder(col("props"))))))
   }
 
   /** `update_vertex` merge-patch by id (mongraph.py:195-203); patch columns

@@ -34,6 +34,12 @@ object Tables {
   // entries live until SessionCache.evict(session) — see its scaladoc).
   private val cache = new SessionCache[(String, String), DataFrame]
 
+  /** Materialize every session-persisted table — the bench warmup hook.
+    * Owned HERE so the warm inventory can never drift from [[persisted]].
+    */
+  def warm(spark: SparkSession, sfDir: String): Unit =
+    persisted.foreach(n => apply(spark, sfDir, n).count())
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate(spark, (sfDir, name)) {
       val df =

@@ -51,6 +51,17 @@ object GraphAnalytics {
   private val gxCache =
     new graft.model.SessionCache[String, Graph[(String, String), String]]
 
+  /** Materialize the session-shared graph caches (the persisted
+    * DerivedGraph DataFrames and the cached GraphX build) — the bench
+    * warmup hook, owned here so it tracks what this module actually caches.
+    */
+  def warm(spark: SparkSession, sfDir: String): Unit = {
+    val g = graft.model.DerivedGraph(spark, sfDir)
+    g.vertices.count(); g.edges.count()
+    val gx = derivedGraphX(spark, sfDir)
+    gx.vertices.count(); gx.edges.count()
+  }
+
   /** The derived property graph as a cached GraphX graph. */
   def derivedGraphX(spark: SparkSession, sfDir: String): Graph[(String, String), String] =
     gxCache.getOrElseUpdate(spark, sfDir)({

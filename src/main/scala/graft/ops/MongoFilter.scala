@@ -73,9 +73,17 @@ object MongoFilter {
       exists(c, e => compileElemMatch(e, arg.asInstanceOf[JObject]))
     case "$mod" =>
       // Mongo raises on a zero divisor; a null-producing comparison here
-      // would silently match nothing instead — fail at compile time.
+      // would silently match nothing instead — fail at compile time. The
+      // check runs on the TRUNCATED long (Mongo truncates $mod args), so a
+      // fractional 0.5 divisor is caught too; non-numeric divisors throw.
       val args = arg.asInstanceOf[JArray].arr
-      if (args.headOption.exists(v => raw(v) == 0L || raw(v) == 0.0))
+      val divisor = args.headOption.map(raw) match {
+        case Some(l: Long) => l
+        case Some(d: Double) => d.toLong
+        case other => throw new IllegalArgumentException(
+          s"$$mod requires a numeric [divisor, remainder], got $other")
+      }
+      if (divisor == 0L)
         throw new IllegalArgumentException("$mod divisor must be non-zero")
       val Seq(d, r) = args.map(v => lit(raw(v)).cast("long"))
       c.cast("long") % d === r

@@ -52,6 +52,15 @@ object Mutations {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Canonical orderable rendering of a `MAP<STRING,STRING>` column — the
+    * deterministic tie-break for keep-first dedups whose key columns cannot
+    * distinguish rows differing only in their props map (maps are not
+    * orderable, and ordering by a key column is a no-op inside its own
+    * window partition — the winner would depend on partitioning/retries).
+    */
+  def propsOrder(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_json(array_sort(map_entries(coalesce(c, map()))))
+
   /** `update_vertex`/`update_edge` merge-patch (`\$set`, mongraph.py:195-213):
     * left-join the patch set on the key; per patched column,
     * `coalesce(new, old)` for scalars and per-key field merge for maps —

@@ -15,16 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt in [0, factor): a content hash of ALL the
-    * row's columns, never `monotonically_increasing_id()` — the id is a
-    * non-deterministic expression, so under a stage retry the same row could
-    * re-route to a different reducer mid-job; a content hash replays
-    * identically on every attempt and cluster layout. Fully duplicate rows
-    * share a salt (their replicas land on one reducer) — acceptable: hot
-    * KEYS are the skew target and their rows differ in payload columns.
+  /** Deterministic per-row salt in [0, factor): a content hash of the
+    * row's hashable columns, never `monotonically_increasing_id()` — the id
+    * is a non-deterministic expression, so under a stage retry the same row
+    * could re-route to a different reducer mid-job; a content hash replays
+    * identically on every attempt and cluster layout. Map-typed columns
+    * (e.g. the canonical `props`) are excluded — `xxhash64` rejects
+    * MapType — and rows identical on every hashable column share a salt
+    * (their replicas land on one reducer): acceptable, hot KEYS are the
+    * skew target and their rows differ in payload columns.
     */
-  private def contentSalt(df: DataFrame, factor: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(factor.toLong))
+  private def contentSalt(df: DataFrame, factor: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    val hashable = df.schema.fields.toSeq
+      .filter(f => RowOrdering.isOrderable(f.dataType)).map(f => col(f.name))
+    if (hashable.isEmpty) pmod(xxhash64(lit(0L)), lit(factor.toLong))
+    else pmod(xxhash64(hashable: _*), lit(factor.toLong))
+  }
 
   /** Salted equi-join: the left (large, skewed) side gets a per-row salt in
     * [0, factor); the right side is replicated `factor` times, once per

@@ -269,15 +269,11 @@ object Dedup {
       bits: Int = EmbLshBits, tables: Int = EmbLshTables,
       blockCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorFunctions.{float_dot, float_norm}
-    val bucketed = (0 until tables).foldLeft(emb)((df, t) =>
-      Similarity.hyperplaneBuckets(df, bits, vecCol = vecCol, table = t, outCol = s"__bkt$t"))
-    val tb = explode(array((0 until tables).map(t =>
-      struct(lit(t).as("t"), col(s"__bkt$t").as("b"))): _*)).as("__tb")
-    val e = bucketed.withColumn("__nrm", float_norm(col(vecCol)))
-    val a = e.select(col(blockCol), tb, col(idCol).as("a_id"),
+    import graft.functions.VectorFunctions.float_dot
+    val e = Similarity.multiTableKeyed(emb, bits, tables, vecCol)
+    val a = e.select(col(blockCol), col("__tb"), col(idCol).as("a_id"),
       col(vecCol).as("a_emb"), col("__nrm").as("a_n"))
-    val b = e.select(col(blockCol), tb, col(idCol).as("b_id"),
+    val b = e.select(col(blockCol), col("__tb"), col(idCol).as("b_id"),
       col(vecCol).as("b_emb"), col("__nrm").as("b_n"))
     a.join(b, Seq(blockCol, "__tb")).filter(col("a_id") < col("b_id"))
       .withColumn("cosine", round(

@@ -117,15 +117,11 @@ object Similarity {
       cosineTopK(hyperplaneBuckets(emb, bits, vecCol = vecCol), queryPred, k,
         "lsh_bucket", idCol, vecCol)
     } else {
-      val bucketed = (0 until tables).foldLeft(emb)((df, t) =>
-        hyperplaneBuckets(df, bits, vecCol = vecCol, table = t, outCol = s"__bkt$t"))
-      val tb = explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), col(s"__bkt$t").as("b"))): _*)).as("__tb")
-      val e = bucketed.withColumn("__nrm", float_norm(col(vecCol)))
+      val e = multiTableKeyed(emb, bits, tables, vecCol)
       val q = e.filter(queryPred)
-        .select(tb, col(idCol).as("q_id"), col(vecCol).as("q_emb"), col("__nrm").as("q_n"))
+        .select(col("__tb"), col(idCol).as("q_id"), col(vecCol).as("q_emb"), col("__nrm").as("q_n"))
       val c = e
-        .select(tb, col(idCol).as("c_id"), col(vecCol).as("c_emb"), col("__nrm").as("c_n"))
+        .select(col("__tb"), col(idCol).as("c_id"), col(vecCol).as("c_emb"), col("__nrm").as("c_n"))
       // same pair may collide in several tables, always with the identical
       // rounded score → distinct() collapses the duplicates before the
       // k-cut (otherwise a multi-collision pair would eat several ranks).
@@ -138,6 +134,24 @@ object Similarity {
         .filter(col("rk") <= k)
         .select("q_id", "rk", "c_id", "score")
     }
+  }
+
+  /** The shared multi-table LSH scaffold: one row per (vector, table) with
+    * the exploded (table, bucket) struct key `__tb` and the precomputed
+    * norm `__nrm` — candidates meet iff they share `__tb` for ANY table.
+    * Used by the multi-table [[lshCosineTopK]] and
+    * [[graft.ops.llm.Dedup.embeddingNearDupsLsh]], so the two paths can
+    * never diverge on the bucketing scheme.
+    */
+  private[llm] def multiTableKeyed(emb: DataFrame, bits: Int, tables: Int,
+      vecCol: String): DataFrame = {
+    val bucketed = (0 until tables).foldLeft(emb)((df, t) =>
+      hyperplaneBuckets(df, bits, vecCol = vecCol, table = t, outCol = s"__bkt$t"))
+    bucketed
+      .withColumn("__nrm", float_norm(col(vecCol)))
+      .withColumn("__tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), col(s"__bkt$t").as("b"))): _*)))
+      .drop((0 until tables).map(t => s"__bkt$t"): _*)
   }
 
   /** IVF (inverted-file) coarse quantization: fit KMeans centroids (fixed
