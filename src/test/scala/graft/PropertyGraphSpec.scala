@@ -28,6 +28,27 @@ class PropertyGraphSpec extends SparkSpec {
     intercept[Exception] { bad.vertices.count() }
   }
 
+  test("within-batch key conflicts resolve by canonical props JSON, not partitioning") {
+    // two rows with the same natural key but different props in ONE batch:
+    // the survivor is the canonical-JSON minimum — identical on every run,
+    // partitioning, and stage retry.
+    val g1 = g0.insertVertices(Seq(
+      ("domain", "dup.example", Map("country" -> "VN")),
+      ("domain", "dup.example", Map("country" -> "AU"))
+    ).toDF("label", "key", "props"))
+    val props = g1.vertices.filter(col("key") === "dup.example")
+      .select("props").as[Map[String, String]].head()
+    assert(props == Map("country" -> "AU")) // "AU" < "VN" in the sorted-entry JSON
+    // same rule on the edge side: (src,dst,label) conflict keeps min props
+    val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
+    val g2 = g0.insertEdges(Seq(
+      (ids("evil.example"), ids("10.1.2.3"), "assign", Map("date" -> "2024-12-31")),
+      (ids("evil.example"), ids("10.1.2.3"), "assign", Map("date" -> "2016-01-01"))
+    ).toDF("src", "dst", "label", "props"))
+    val eprops = g2.edges.select("props").as[Map[String, String]].head()
+    assert(eprops == Map("date" -> "2016-01-01"))
+  }
+
   test("edges + neighbors + cascade delete round trip") {
     val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
     val g1 = g0.insertEdges(Seq(
