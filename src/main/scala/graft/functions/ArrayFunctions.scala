@@ -88,6 +88,13 @@ object ArrayFunctions {
     */
   def bounded_collect_list(c: Column, maxKeep: Int): Column =
     org.apache.spark.sql.functions.udaf(BoundedLongList(maxKeep)).apply(c)
+
+  /** Make `sorted_intersect_count` callable from SQL in an existing
+    * session (cluster-wide: GraftExtensions).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftShim.registerFunction(spark, "sorted_intersect_count",
+      exprs => SortedLongIntersectCount(exprs.head, exprs(1)))
 }
 
 /** Growable primitive buffer for [[BoundedLongList]]. */

@@ -90,14 +90,21 @@ object VectorFunctions {
       exprs => FloatDotProduct(exprs.head, exprs(1)))
 }
 
-/** `spark.sql.extensions` entry point for cluster-wide registration:
+/** `spark.sql.extensions` entry point for cluster-wide registration of
+  * BOTH custom codegen expressions:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatDotProduct].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedLongIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs.head, exprs(1))))
+  }
 }

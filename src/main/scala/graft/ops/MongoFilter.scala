@@ -44,7 +44,12 @@ object MongoFilter {
     case ("$or", JArray(docs)) =>
       docs.map(d => compileDoc(df, d.asInstanceOf[JObject])).reduce(_ || _)
     case ("$nor", JArray(docs)) =>
-      !docs.map(d => compileDoc(df, d.asInstanceOf[JObject])).reduce(_ || _)
+      // NULL→false BEFORE negating: a missing props key makes the inner
+      // match SQL-NULL, and ¬NULL = NULL would silently drop the document
+      // where Mongo's match/no-match semantics says $nor MATCHES it. (Same
+      // normalization at every negation head: $not, $nin; $ne uses <=>.)
+      !coalesce(docs.map(d => compileDoc(df, d.asInstanceOf[JObject])).reduce(_ || _),
+        lit(false))
     case (field, JObject(ops)) if ops.forall(_._1.startsWith("$")) =>
       ops.map { case (op, arg) => compileOp(resolve(df, field), op, arg) }.reduce(_ && _)
     case (field, value) => // bare equality
@@ -59,11 +64,13 @@ object MongoFilter {
     case "$lt"  => c < literal(arg)
     case "$lte" => c <= literal(arg)
     case "$in"  => c.isin(arg.asInstanceOf[JArray].arr.map(raw): _*)
-    case "$nin" => !c.isin(arg.asInstanceOf[JArray].arr.map(raw): _*)
+    case "$nin" => // NULL→false pre-negation (missing field → $nin matches, like Mongo)
+      !coalesce(c.isin(arg.asInstanceOf[JArray].arr.map(raw): _*), lit(false))
     case "$exists" =>
       if (arg == JBool(true)) c.isNotNull else c.isNull
     case "$regex" => c.rlike(arg.asInstanceOf[JString].s)
-    case "$not" => !compileOps(c, arg.asInstanceOf[JObject])
+    case "$not" => // NULL→false pre-negation (missing field → $not matches, like Mongo)
+      !coalesce(compileOps(c, arg.asInstanceOf[JObject]), lit(false))
     case "$size" => size(c) === literal(arg).cast("int")
     case "$all" =>
       // Mongo: {field: {$all: []}} matches NO documents.

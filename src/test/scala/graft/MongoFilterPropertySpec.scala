@@ -69,6 +69,18 @@ class MongoFilterPropertySpec extends SparkSpec {
     Gen.choose(0, 25).map { x =>
       val t = x / 10.0
       F(s"""{"score": {"$$not": {"$$gt": $t}}}""", d => !(d._3 > t))
+    },
+    // negation over a possibly-MISSING map key: Mongo's match/no-match
+    // semantics says the negation MATCHES the document — the compiler must
+    // default the inner SQL-NULL to false before negating.
+    Gen.zip(Gen.oneOf("k1", "k2"), Gen.oneOf("x", "y", "z")).map { case (k, v) =>
+      F(s"""{"props.$k": {"$$not": {"$$eq": "$v"}}}""", d => !d._4.get(k).contains(v))
+    },
+    Gen.zip(Gen.oneOf("k1", "k2"), Gen.oneOf("x", "y", "z")).map { case (k, v) =>
+      F(s"""{"props.$k": {"$$nin": ["$v"]}}""", d => !d._4.get(k).contains(v))
+    },
+    Gen.zip(Gen.oneOf("k1", "k2"), Gen.oneOf("x", "y", "z")).map { case (k, v) =>
+      F(s"""{"props.$k": {"$$ne": "$v"}}""", d => !d._4.get(k).contains(v))
     })
 
   private def filterGen(depth: Int): Gen[F] =

@@ -49,6 +49,15 @@ class VectorFunctionsSpec extends SparkSpec {
     new graft.functions.GraftExtensions()(e) // must not throw
   }
 
+  test("sorted_intersect_count is callable from SQL after registration") {
+    graft.functions.ArrayFunctions.register(spark)
+    val n = spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 3L, 5L, 7L),
+        |                              array(2L, 3L, 5L, 9L)) AS n""".stripMargin)
+      .head().getLong(0)
+    assert(n == 2L)
+  }
+
   test("interpreted eval path (wholestage codegen off) agrees") {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
