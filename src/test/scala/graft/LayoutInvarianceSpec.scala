@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.llm.{Dedup, Similarity, TextAnalysis}
+
+/** Cluster-layout independence: every deterministic operator must produce
+  * IDENTICAL results regardless of how its input is partitioned — the
+  * property the whole oracle story rests on (a 1000-executor cluster is
+  * just another partitioning). Each case runs the same operator over
+  * 1-partition and 7-partition copies of the input and compares collected
+  * results exactly.
+  */
+class LayoutInvarianceSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    (0L until 40L).map { i =>
+      (i, s"src${i % 3}", "en",
+        Seq.tabulate(6 + (i % 5).toInt)(j => s"tok${(i * 7 + j * 3) % 11}").mkString(" "))
+    }.toDF("doc_id", "source", "lang", "text")
+  }
+
+  private lazy val emb = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    (0L until 30L).map { i =>
+      (i, (i % 3).toInt, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  private def assertInvariant(name: String)(f: DataFrame => DataFrame, in: DataFrame): Unit = {
+    val a = f(in.repartition(1)).collect().toSeq
+    val b = f(in.repartition(7)).collect().toSeq
+    assert(a == b, s"$name differs across partitionings")
+    assert(a.nonEmpty, s"$name produced no rows — vacuous invariance")
+  }
+
+  test("minhash band buckets are partitioning-invariant") {
+    assertInvariant("minhashBuckets")(
+      d => Dedup.minhashBuckets(d).orderBy("doc_id", "band"), docs)
+  }
+
+  test("simhash fingerprints are partitioning-invariant") {
+    assertInvariant("simhash")(d => Dedup.simhash(d).orderBy("doc_id"), docs)
+  }
+
+  test("winnowing fingerprints are partitioning-invariant") {
+    assertInvariant("fingerprint")(
+      d => TextAnalysis.fingerprint(d).orderBy("doc_id"), docs)
+  }
+
+  test("LSH top-k (multi-table) is partitioning-invariant") {
+    assertInvariant("lshCosineTopK")(
+      d => Similarity.lshCosineTopK(d, col("vec_id") % 10 === 0, bits = 4, tables = 2)
+        .orderBy("q_id", "rk"), emb)
+  }
+
+  test("LSH-blocked embedding near-dups are partitioning-invariant") {
+    assertInvariant("embeddingNearDupsLsh")(
+      d => Dedup.embeddingNearDupsLsh(d, threshold = -1.0, bits = 4, tables = 2)
+        .orderBy("a_id", "b_id"), emb)
+  }
+
+  test("exact dedup keep-min is partitioning-invariant") {
+    assertInvariant("exact")(d => Dedup.exact(d).orderBy("doc_id"), docs)
+  }
+}
