@@ -85,6 +85,10 @@ object ArrayFunctions {
 
   /** `collect_list` over BIGINT with a HARD per-group buffer bound, as an
     * untyped-usable aggregate column. See [[BoundedLongList]].
+    *
+    * PRECONDITION: the input column must be non-null — the primitive Long
+    * input encoder fails on NULLs where `collect_list` would skip them.
+    * Filter nulls out first if the column is nullable.
     */
   def bounded_collect_list(c: Column, maxKeep: Int): Column =
     org.apache.spark.sql.functions.udaf(BoundedLongList(maxKeep)).apply(c)

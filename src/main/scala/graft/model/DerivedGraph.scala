@@ -49,6 +49,15 @@ object DerivedGraph {
   def apply(spark: SparkSession, sfDir: String): G =
     cache.getOrElseUpdate(spark, sfDir)(build(spark, sfDir))
 
+  /** Materialize the persisted vertex/edge DataFrames — the warmup hook,
+    * owned HERE next to the persist calls it warms so the inventory cannot
+    * drift (GraphAnalytics.warm composes it with the GraphX build).
+    */
+  def warm(spark: SparkSession, sfDir: String): Unit = {
+    val g = apply(spark, sfDir)
+    g.vertices.count(); g.edges.count()
+  }
+
   private def build(spark: SparkSession, sfDir: String): G = {
     def t(n: String) = Tables(spark, sfDir, n)
 

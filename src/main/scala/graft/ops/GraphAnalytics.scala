@@ -51,13 +51,12 @@ object GraphAnalytics {
   private val gxCache =
     new graft.model.SessionCache[String, Graph[(String, String), String]]
 
-  /** Materialize the session-shared graph caches (the persisted
-    * DerivedGraph DataFrames and the cached GraphX build) — the bench
-    * warmup hook, owned here so it tracks what this module actually caches.
+  /** Materialize the session-shared graph caches — DerivedGraph warms its
+    * own persisted DataFrames (the persist lives there), this module warms
+    * the GraphX build it caches.
     */
   def warm(spark: SparkSession, sfDir: String): Unit = {
-    val g = graft.model.DerivedGraph(spark, sfDir)
-    g.vertices.count(); g.edges.count()
+    graft.model.DerivedGraph.warm(spark, sfDir)
     val gx = derivedGraphX(spark, sfDir)
     gx.vertices.count(); gx.edges.count()
   }

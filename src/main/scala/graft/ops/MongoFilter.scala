@@ -84,11 +84,14 @@ object MongoFilter {
       // check runs on the TRUNCATED long (Mongo truncates $mod args), so a
       // fractional 0.5 divisor is caught too; non-numeric divisors throw.
       val args = arg.asInstanceOf[JArray].arr
-      val divisor = args.headOption.map(raw) match {
-        case Some(l: Long) => l
-        case Some(d: Double) => d.toLong
+      if (args.length != 2)
+        throw new IllegalArgumentException(
+          s"$$mod requires exactly [divisor, remainder], got ${args.length} argument(s)")
+      val divisor = raw(args.head) match {
+        case l: Long => l
+        case d: Double => d.toLong
         case other => throw new IllegalArgumentException(
-          s"$$mod requires a numeric [divisor, remainder], got $other")
+          s"$$mod requires a numeric divisor, got $other")
       }
       if (divisor == 0L)
         throw new IllegalArgumentException("$mod divisor must be non-zero")

@@ -52,14 +52,17 @@ object Mutations {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Canonical orderable rendering of a `MAP<STRING,STRING>` column — the
-    * deterministic tie-break for keep-first dedups whose key columns cannot
-    * distinguish rows differing only in their props map (maps are not
-    * orderable, and ordering by a key column is a no-op inside its own
-    * window partition — the winner would depend on partitioning/retries).
+  /** Canonical orderable rendering of a map column — the deterministic
+    * tie-break for keep-first dedups whose key columns cannot distinguish
+    * rows differing only in their props map (maps are not orderable, and
+    * ordering by a key column is a no-op inside its own window partition —
+    * the winner would depend on partitioning/retries). A NULL map renders
+    * as SQL NULL, which sorts deterministically BEFORE every JSON string
+    * (Spark ASC = nulls first) — no coalesce, so NULL and empty-map rows
+    * get DISTINCT order keys instead of tying arbitrarily.
     */
   def propsOrder(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    to_json(array_sort(map_entries(coalesce(c, map()))))
+    to_json(array_sort(map_entries(c)))
 
   /** `update_vertex`/`update_edge` merge-patch (`\$set`, mongraph.py:195-213):
     * left-join the patch set on the key; per patched column,
@@ -90,8 +93,7 @@ object Mutations {
       .flatMap(f => f.dataType match {
         case MapType(k, v, nullable) =>
           val entry = StructType(Seq(StructField("key", k), StructField("value", v, nullable)))
-          if (RowOrdering.isOrderable(entry))
-            Some(to_json(array_sort(map_entries(col(f.name)))))
+          if (RowOrdering.isOrderable(entry)) Some(propsOrder(col(f.name)))
           else None
         case dt if RowOrdering.isOrderable(dt) => Some(col(f.name))
         case _ => None

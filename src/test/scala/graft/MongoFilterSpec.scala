@@ -87,6 +87,15 @@ class MongoFilterSpec extends SparkSpec {
       MongoFilter.where(df, """{"id": {"$mod": [0, 0]}}""")
     }
     assert(e.getMessage.contains("divisor"))
+    // fractional divisor truncating to zero is caught too
+    intercept[IllegalArgumentException] {
+      MongoFilter.where(df, """{"id": {"$mod": [0.5, 0]}}""")
+    }
+    // wrong arity is a clean error, not a MatchError
+    val a = intercept[IllegalArgumentException] {
+      MongoFilter.where(df, """{"id": {"$mod": [4]}}""")
+    }
+    assert(a.getMessage.contains("exactly"))
   }
 
   // $elemMatch field-document form runs against struct-array elements

@@ -49,6 +49,19 @@ class PropertyGraphSpec extends SparkSpec {
     assert(eprops == Map("date" -> "2016-01-01"))
   }
 
+  test("NULL props vs empty props get distinct tie-break keys (NULL wins, deterministically)") {
+    val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
+    val batch = Seq(
+      (ids("evil.example"), ids("10.1.2.3"), "assign", Some(Map.empty[String, String])),
+      (ids("evil.example"), ids("10.1.2.3"), "assign", None)
+    ).toDF("src", "dst", "label", "props")
+    val g2 = g0.insertEdges(batch)
+    assert(g2.edges.count() == 1)
+    // NULL orders before "[]" (Spark ASC nulls-first) → the NULL-props row
+    // survives, identically on every partitioning.
+    assert(g2.edges.select("props").head().isNullAt(0))
+  }
+
   test("edges + neighbors + cascade delete round trip") {
     val ids = g0.vertices.select("key", "id").as[(String, Long)].collect().toMap
     val g1 = g0.insertEdges(Seq(
