@@ -150,7 +150,10 @@ object Dedup {
       // one char fold per shingle; the 32 hash functions are affine
       // transforms of this base (Broder's universal-hash MinHash), so the
       // per-function work is codegen'd arithmetic, not another text pass.
-      .withColumn("__hb", expr(polyFoldExpr("__sh")))
+      // The fold itself is the codegen'd PolyFold expression — identical
+      // arithmetic to polyFoldExpr (TextHashSpec pins it), minus the two
+      // interpreted lambdas per character.
+      .withColumn("__hb", graft.functions.TextHash.poly_fold(col("__sh"), P))
     val minAggs = ab.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__hb") + lit(b)) % lit(P)).as(s"__m$i") }
     val sig = shingles.groupBy(idCol).agg(minAggs.head, minAggs.tail: _*)
@@ -210,7 +213,7 @@ object Dedup {
     val half = SimhashBits / 2
     val tokenHashes = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
-      .withColumn("__h1", expr(polyFoldExpr("__tok")))
+      .withColumn("__h1", graft.functions.TextHash.poly_fold(col("__tok"), P))
       .withColumn("__h2", (lit(simhashA2) * col("__h1") + lit(simhashB2)) % lit(P2))
     val bitAggs = (0 until SimhashBits).map { j =>
       val src = if (j < half) col("__h1") else col("__h2")

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+import graft.ops.llm.Dedup
+
+/** PolyFold must be bit-identical to the HOF form it replaces — the DuckDB
+  * oracle replays THAT arithmetic, so any divergence would silently break
+  * minhash/simhash oracle parity.
+  */
+class TextHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    "", "a", "the quick brown fox", "tok1 tok2 tok3",
+    "unicode: héllo wörld", "emoji: 😀 pair", // surrogate pair
+    "numbers 12345 and punct !?;")
+
+  test("poly_fold equals the aggregate/transform/split HOF form on every sample") {
+    val df = samples.toDF("s")
+    val rows = df.select(
+      TextHash.poly_fold(col("s"), Dedup.P).as("fast"),
+      expr(Dedup.polyFoldExpr("s")).as("hof")).collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1), s"fold mismatch for '$s'")
+    }
+  }
+
+  test("poly_fold survives the interpreted path (codegen off) identically") {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val got = samples.toDF("s")
+        .select(TextHash.poly_fold(col("s"), Dedup.P)).as[Long].collect().toSeq
+      val want = samples.map(s =>
+        s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % Dedup.P))
+      assert(got == want)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("null input folds to null") {
+    val r = Seq(Option.empty[String]).toDF("s")
+      .select(TextHash.poly_fold(col("s"), Dedup.P)).collect()
+    assert(r.head.isNullAt(0))
+  }
+}
