@@ -106,5 +106,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SortedLongIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs.head, exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("poly_fold"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PolyFold].getName, "poly_fold"),
+      (exprs: Seq[Expression]) => PolyFold(exprs.head,
+        exprs(1).eval().asInstanceOf[Long])))
   }
 }

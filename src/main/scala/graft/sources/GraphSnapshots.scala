@@ -34,6 +34,22 @@ object GraphSnapshots {
     g.edges.write.mode("overwrite").json(s"$dir/edges")
   }
 
+  /** ORC snapshot — same canonical schemas as the parquet form, for
+    * deployments standardized on ORC (both formats are columnar,
+    * predicate-pushdown-capable, vectorized-read Spark natives; the engine
+    * is format-agnostic by construction since every reader goes through
+    * `spark.read`).
+    */
+  def saveOrc(g: PropertyGraph, dir: String): Unit = {
+    g.vertices.write.mode("overwrite").orc(s"$dir/vertices")
+    g.edges.write.mode("overwrite").orc(s"$dir/edges")
+  }
+
+  def loadOrc(spark: SparkSession, dir: String): PropertyGraph =
+    PropertyGraph(
+      spark.read.orc(s"$dir/vertices"),
+      spark.read.orc(s"$dir/edges"))
+
   /** CSV export for interchange (props map flattened to JSON text). */
   def saveCsv(g: PropertyGraph, dir: String): Unit = {
     g.vertices.withColumn("props", to_json(col("props")))

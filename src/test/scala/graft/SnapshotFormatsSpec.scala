@@ -29,6 +29,15 @@ class SnapshotFormatsSpec extends SparkSpec {
     assert(back.filter(col("props").contains("\"k\":\"v\"")).count() == 1)
   }
 
+  test("orc snapshot round-trips the graph like parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    GraphSnapshots.saveOrc(sample, dir)
+    val back = GraphSnapshots.loadOrc(spark, dir)
+    assert(back.vertices.orderBy("id").collect().toSeq ==
+      sample.vertices.orderBy("id").collect().toSeq)
+    assert(back.edges.count() == sample.edges.count())
+  }
+
   test("streaming vertex source consumes a snapshot directory incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     GraphSnapshots.save(sample, dir)
