@@ -161,4 +161,27 @@ class IngestSpec extends SparkSpec {
       assert(edges((1L, 2L, "assign")).contains("2016-01-01")) // batch-1 props survive
     } finally q.stop()
   }
+
+  test("report stream and edge stream merge into ONE snapshot (both graph sides streamed)") {
+    implicit val ctx = spark.sqlContext
+    val rStream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val eStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Map[String, String])]
+    val ingest = new graft.ingest.StreamingThreatIngest
+    val q1 = ingest.start(rStream.toDF().toDF("resource", "report"))
+    val q2 = ingest.startEdges(eStream.toDF().toDF("src", "dst", "label", "props"))
+    try {
+      rStream.addData(("evil.example",
+        """{"detected-downloaded": [{"hash": "h1", "datetime": "d1", "prob": "1/2"}]}"""))
+      q1.processAllAvailable()
+      eStream.addData((111L, 222L, "assign", Map("date" -> "x")))
+      q2.processAllAvailable()
+      val g = ingest.snapshot.get
+      // vertices came from the report path...
+      assert(g.vertices.filter(col("key") === "evil.example").count() == 1)
+      // ...edges from BOTH paths coexist in the same snapshot
+      val labels = g.edges.select("label").as[String].collect().toSet
+      assert(labels == Set("threat", "assign"))
+    } finally { q1.stop(); q2.stop() }
+  }
 }
