@@ -61,4 +61,27 @@ object TextHash {
   /** Polynomial codepoint fold of a STRING column mod `p` → BIGINT. */
   def poly_fold(c: Column, p: Long): Column =
     GraftShim.column(PolyFold(GraftShim.expression(c), p))
+
+  /** SQL builder shared by `GraftExtensions` and [[register]]. A SQL integer
+    * literal ≤ Int.MaxValue (e.g. the project's own P = 1000000007) evaluates
+    * to a boxed Integer, not Long — accept any foldable numeric modulus and
+    * fail analysis loudly otherwise.
+    */
+  def builder(exprs: Seq[Expression]): PolyFold = {
+    def fail(msg: String) = throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+    if (exprs.length != 2)
+      fail(s"poly_fold expects 2 arguments (str, modulus), got ${exprs.length}")
+    if (!exprs(1).foldable)
+      fail("poly_fold modulus must be a foldable numeric literal")
+    val p = exprs(1).eval() match {
+      case n: java.lang.Number => n.longValue()
+      case other => fail(s"poly_fold modulus must be numeric, got $other")
+    }
+    PolyFold(exprs.head, p)
+  }
+
+  /** Make `poly_fold` callable from SQL in an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftShim.registerFunction(spark, "poly_fold", builder)
 }

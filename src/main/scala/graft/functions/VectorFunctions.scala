@@ -110,7 +110,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("poly_fold"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PolyFold].getName, "poly_fold"),
-      (exprs: Seq[Expression]) => PolyFold(exprs.head,
-        exprs(1).eval().asInstanceOf[Long])))
+      (exprs: Seq[Expression]) => TextHash.builder(exprs)))
   }
 }

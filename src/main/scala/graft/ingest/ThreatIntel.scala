@@ -85,19 +85,25 @@ object ThreatIntel {
   private def vid(label: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
     xxhash64(label, key)
 
+  /** Canonical ThreatGraph vertex schema — the single definition shared by
+    * the report path ([[fromReports]] conforms its output to it) and
+    * [[emptyVertices]], so the two can never drift apart and fail later at
+    * a distant `unionByName` inside upsert.
+    */
+  val vertexSchema: StructType = new StructType()
+    .add("id", org.apache.spark.sql.types.LongType)
+    .add("label", StringType)
+    .add("key", StringType)
+    .add("detected_prop", org.apache.spark.sql.types.DoubleType)
+    .add("props", MapType(StringType, StringType))
+
   /** An empty vertex frame with the ThreatGraph vertex schema — the seed
     * for an edges-first streaming ingest
     * ([[StreamingThreatIngest.startEdges]] before any report batch).
     */
-  def emptyVertices(spark: SparkSession): DataFrame = {
-    val schema = new StructType()
-      .add("id", org.apache.spark.sql.types.LongType)
-      .add("label", StringType)
-      .add("key", StringType)
-      .add("detected_prop", org.apache.spark.sql.types.DoubleType)
-      .add("props", MapType(StringType, StringType))
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+  def emptyVertices(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vertexSchema)
 
   /** Ingest a batch of JSON documents, each shaped
     * `{"<resource>": {<report>}, ...}` ("Cyradar json standard",
@@ -213,6 +219,13 @@ object ThreatIntel {
       resourceVertices.unionByName(childVertices)
         .unionByName(detectionVertices).unionByName(ownerVertices),
       Seq("id"), Seq("__pri")).drop("__pri")
+      // conform to the shared canonical schema (fails HERE at analysis if
+      // the report path ever drifts from vertexSchema, not later in a
+      // distant streaming merge)
+      .select(vertexSchema.fieldNames.toIndexedSeq.map(col): _*)
+    require(vertices.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      vertexSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"fromReports vertex schema drifted from ThreatIntel.vertexSchema: ${vertices.schema.simpleString}")
 
     // ---- edges (dedup on (src,dst,label) exactly as mongraph.py:120-124)
     def resId(labelCol: String = "res_label") = vid(col(labelCol), col("resource"))

@@ -24,6 +24,14 @@ import org.json4s.jackson.JsonMethods
   * Dotted paths resolve through struct fields or map keys depending on the
   * DataFrame schema (the reference's documents are schemaless; our `props`
   * map plays that role).
+  *
+  * Schemaless caveat (Mongo-faithful, deliberate): a bare field name absent
+  * from the DataFrame schema falls back to a `props` map probe, so a TYPO'D
+  * schema column (e.g. `labell`) does not fail analysis — it compiles to a
+  * NULL map probe and matches nothing, exactly as Mongo returns an empty
+  * cursor for a filter on a field no document has. Empty results from a
+  * misspelled schema column are this fallback, not an engine bug; filters
+  * on schema columns should spell them as the schema does.
   */
 object MongoFilter {
 

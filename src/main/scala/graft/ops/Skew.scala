@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Deterministic per-row salt in [0, factor): a content hash of the
     * row's hashable columns, never `monotonically_increasing_id()` — the id
     * is a non-deterministic expression, so under a stage retry the same row
@@ -24,13 +26,22 @@ object Skew {
     * MapType — and rows identical on every hashable column share a salt
     * (their replicas land on one reducer): acceptable, hot KEYS are the
     * skew target and their rows differ in payload columns.
+    *
+    * When NO column is hashable (all-map schema) the salt degrades to a
+    * single constant: the join still pays factor× right-side replication
+    * but the hot key gets zero spread — warn so callers learn their salted
+    * join silently became a plain replicated join.
     */
   private def contentSalt(df: DataFrame, factor: Int): Column = {
     import org.apache.spark.sql.catalyst.expressions.RowOrdering
     val hashable = df.schema.fields.toSeq
       .filter(f => RowOrdering.isOrderable(f.dataType)).map(f => col(f.name))
-    if (hashable.isEmpty) pmod(xxhash64(lit(0L)), lit(factor.toLong))
-    else pmod(xxhash64(hashable: _*), lit(factor.toLong))
+    if (hashable.isEmpty) {
+      log.warn(
+        s"Skew.contentSalt: no orderable columns in schema ${df.schema.simpleString}; " +
+          s"salt degrades to a constant — replication cost paid with zero skew spread")
+      pmod(xxhash64(lit(0L)), lit(factor.toLong))
+    } else pmod(xxhash64(hashable: _*), lit(factor.toLong))
   }
 
   /** Salted equi-join: the left (large, skewed) side gets a per-row salt in

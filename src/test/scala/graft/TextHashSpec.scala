@@ -46,4 +46,27 @@ class TextHashSpec extends SparkSpec {
       .select(TextHash.poly_fold(col("s"), Dedup.P)).collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("poly_fold is callable from SQL with an INT-sized literal modulus") {
+    // P = 1000000007 fits in Int, so the SQL literal evaluates to a boxed
+    // Integer — the exact case the shared builder must widen, not cast.
+    TextHash.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT poly_fold('the quick brown fox', ${Dedup.P}) AS h")
+      .head().getLong(0)
+    val viaApi = Seq("the quick brown fox").toDF("s")
+      .select(TextHash.poly_fold(col("s"), Dedup.P)).head().getLong(0)
+    assert(viaSql == viaApi)
+    // BIGINT-typed modulus works too
+    val viaSqlLong = spark.sql(
+      s"SELECT poly_fold('abc', CAST(${Dedup.P} AS BIGINT)) AS h").head().getLong(0)
+    assert(viaSqlLong == Seq("abc").toDF("s")
+      .select(TextHash.poly_fold(col("s"), Dedup.P)).head().getLong(0))
+    // non-foldable modulus fails analysis loudly
+    val err = intercept[Exception] {
+      Seq(("x", 7L)).toDF("s", "m").createOrReplaceTempView("pf_in")
+      spark.sql("SELECT poly_fold(s, m) FROM pf_in").collect()
+    }
+    assert(err.getMessage.contains("foldable"))
+  }
 }
