@@ -172,7 +172,10 @@ object QueriesLlm {
 
     // Candidate pairs → dedup clusters via connected components; the
     // cluster representative is the min doc_id (GraphX CC label), i.e.
-    // the doc the exact-dedup keep-min rule would keep. Oracle: the
+    // the doc the exact-dedup keep-min rule would keep. (A pure-DataFrame
+    // min-label fixpoint exists too — Dedup.clustersDF, cross-checked in
+    // DedupSpec — but GraphX's Pregel CC wins here: the fixpoint loop pays
+    // per-round checkpoint + convergence-check jobs.) Oracle: the
     // replayable minhash pairs + a recursive min-label reachability
     // fixpoint — an ITERATIVE graph algorithm value-checked end to end.
     "dedup_clusters" -> QueryDef(
@@ -201,12 +204,13 @@ object QueriesLlm {
     "dedup_ngram_jaccard" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
+        // distinct bigram hashes straight from the string bytes (codegen'd
+        // BigramHashes — bit-identical to xxhash64 over the concat'd gram
+        // strings, without materializing them); <2-token docs yield an
+        // empty array and vanish in the explode.
         val grams = docs
-          .withColumn("__toks", split(col("text"), " "))
-          .filter(size(col("__toks")) >= 2)
-          .select(col("source"), col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(0, size(__toks)-2), i -> concat(__toks[i], ' ', __toks[i+1])))")).as("__g"))
-          .select(col("source"), col("doc_id"), xxhash64(col("__g")).as("gram"))
+          .select(col("source"), col("doc_id"),
+            explode(graft.functions.TextHash.bigram_hashes(col("text"))).as("gram"))
         // posting lists, DF-capped; sizes count every capped gram
         // (singletons included — they belong to the Jaccard union). The
         // bounded aggregator holds at most cap+1 doc_ids per gram, so a

@@ -57,10 +57,92 @@ case class PolyFold(child: Expression, p: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct token-bigram hashes of a single-space-tokenized string, emitted
+  * directly from the string's bytes.
+  *
+  * Replaces the composable form on the inverted-index hot path —
+  * `array_distinct(transform(sequence(...), i -> concat(toks[i], ' ',
+  * toks[i+1])))` + `xxhash64` — which materializes the split array, one
+  * concatenated String PER BIGRAM, and an interpreted lambda per element.
+  * A token bigram is a CONTIGUOUS byte range of the original string (from
+  * the start of token i to the end of token i+1, one separator in between),
+  * so each gram hashes in place with zero allocation; a scratch hash set
+  * dedups per document. Tokenization matches `split(text, " ")` exactly:
+  * single-space delimiter, empty tokens between consecutive spaces kept.
+  * Hash values are engine-internal (the Jaccard counts they feed never
+  * surface them), so xxhash64-of-substring needs no cross-engine replay.
+  */
+object BigramUtil {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def hashes(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    // token start offsets (relative): tokens are split on single ' ' bytes
+    // (safe: multi-byte UTF-8 units never contain 0x20)
+    var starts = new Array[Int](16)
+    var nTok = 0
+    def addStart(i: Int): Unit = {
+      if (nTok == starts.length) starts = java.util.Arrays.copyOf(starts, nTok * 2)
+      starts(nTok) = i; nTok += 1
+    }
+    addStart(0)
+    var i = 0
+    while (i < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' '.toByte)
+        addStart(i + 1)
+      i += 1
+    }
+    if (nTok < 2) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[Long](nTok * 2)
+    val out = new Array[Long](nTok - 1)
+    var m = 0
+    var t = 0
+    while (t < nTok - 1) {
+      val from = starts(t)
+      // end of token t+1: next token's start - 1 (the separator), or n
+      val to = if (t + 2 < nTok) starts(t + 2) - 1 else n
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + from, to - from, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      t += 1
+    }
+    new GenericArrayData(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+}
+
+case class BigramHashes(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bigram_hashes expects a STRING input, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bigram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    BigramUtil.hashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BigramUtil.hashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramHashes =
+    copy(child = newChild)
+}
+
 object TextHash {
   /** Polynomial codepoint fold of a STRING column mod `p` → BIGINT. */
   def poly_fold(c: Column, p: Long): Column =
     GraftShim.column(PolyFold(GraftShim.expression(c), p))
+
+  /** Distinct token-bigram xxhash64 values of a STRING column →
+    * ARRAY<BIGINT> (see [[BigramUtil]]).
+    */
+  def bigram_hashes(c: Column): Column =
+    GraftShim.column(BigramHashes(GraftShim.expression(c)))
 
   /** SQL builder shared by `GraftExtensions` and [[register]]. A SQL integer
     * literal ≤ Int.MaxValue (e.g. the project's own P = 1000000007) evaluates

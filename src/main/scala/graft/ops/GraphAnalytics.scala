@@ -168,10 +168,22 @@ object GraphAnalytics {
     * Two shuffles (degree agg + adjacency agg); the adjacency side is
     * compact (one row per vertex) so AQE broadcasts it when small.
     */
-  def triangleCountDF(canonicalEdges: DataFrame): Long = {
+  /** `broadcastSides = true` (default) broadcasts the per-vertex degree
+    * table (16 B/vertex) and the oriented adjacency table (~8 B/edge) —
+    * without the hints AQE leaves all four joins as sort-merge, and the
+    * edge table (the BIG side) shuffles and sorts four times, which
+    * profiling showed was ~80% of the query. The hints keep the whole
+    * count ONE action (the repeated edge-build subplans collapse via
+    * ReuseExchange) whose final stage is a single codegen pass: edge scan →
+    * BHJ → BHJ → intersect → partial sum. Pass `false` past ~10⁷ edges
+    * (where a ~100 MB broadcast stops paying) — the plan degrades to the
+    * shuffle joins that scale arbitrarily.
+    */
+  def triangleCountDF(canonicalEdges: DataFrame, broadcastSides: Boolean = true): Long = {
     val e = canonicalEdges.select("src", "dst")
-    val deg = e.select(col("src").as("x")).unionAll(e.select(col("dst").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("d"))
+    val hint: DataFrame => DataFrame = if (broadcastSides) broadcast(_) else identity
+    val deg = hint(e.select(col("src").as("x")).unionAll(e.select(col("dst").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d")))
     val withDeg = e
       .join(deg.select(col("x").as("src"), col("d").as("sd")), "src")
       .join(deg.select(col("x").as("dst"), col("d").as("dd")), "dst")
@@ -182,7 +194,8 @@ object GraphAnalytics {
       .select(col("o.u").as("u"), col("o.w").as("w"))
     // sorted adjacency + the codegen'd two-pointer merge: zero allocation
     // per row, vs array_intersect's per-row hash set + result array.
-    val adj = oriented.groupBy("u").agg(sort_array(collect_list(col("w"))).as("nbrs"))
+    val adj = hint(oriented.groupBy("u")
+      .agg(sort_array(collect_list(col("w"))).as("nbrs")))
     oriented
       .join(adj.select(col("u"), col("nbrs").as("na")), Seq("u"))
       .join(adj.select(col("u").as("w"), col("nbrs").as("nb")), Seq("w"))

@@ -198,6 +198,46 @@ object Dedup {
       .toDF("doc_id", "cluster_rep")
   }
 
+  /** [[clusters]] as a pure DataFrame min-label fixpoint — the same
+    * propagate-the-minimum algorithm GraphX CC runs as a Pregel program,
+    * but staying a Catalyst plan: no RDD conversion, no VertexRDD/routing
+    * -table build, whole-stage codegen per round. Near-dup components are
+    * chains of pairwise-similar docs with tiny diameter, so the loop
+    * converges in a handful of rounds; each round is one equi-join + one
+    * map-side-combinable min aggregation over the pair list, with
+    * `localCheckpoint` bounding lineage exactly like the k-hop traversal.
+    * Labels only ever decrease, so the fixpoint (no label changed) is the
+    * exact component minimum — same output contract as [[clusters]],
+    * cross-checked against GraphX in DedupClustersSpec.
+    */
+  def clustersDF(candidatePairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      maxIters: Int = 50): DataFrame = {
+    val und = candidatePairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(candidatePairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint()
+    var labels = und.select(col("u").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      // two propagation hops per checkpointed round: halves the
+      // materialize + convergence-check job count (per-round scheduling
+      // overhead dominates on sparse candidate graphs).
+      var cur = labels
+      for (_ <- 0 until 2) {
+        val prop = und.join(cur.select(col("id").as("v"), col("rep")), "v")
+          .select(col("u").as("id"), col("rep"))
+        cur = cur.unionAll(prop).groupBy("id").agg(min("rep").as("rep"))
+      }
+      val next = cur.localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("rep").as("__old")), "id")
+        .filter(col("rep") =!= col("__old")).count()
+      labels = next
+      it += 1
+    }
+    labels.toDF("doc_id", "cluster_rep")
+  }
+
   /** 60-bit SimHash: sign of the per-bit weighted sum of token hashes —
     * explode tokens → hash → 60 conditional-count aggregates in ONE
     * map-side-combinable groupBy (no per-bit shuffle), then pack the sign

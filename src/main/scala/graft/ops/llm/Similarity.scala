@@ -154,45 +154,116 @@ object Similarity {
       .drop((0 until tables).map(t => s"__bkt$t"): _*)
   }
 
-  /** IVF (inverted-file) coarse quantization: fit KMeans centroids (fixed
-    * seed → deterministic), assign each vector to its nearest centroid,
-    * then search the `nprobe` nearest cells per query. The classic ANN
-    * index shape: the fit touches a sample-sized driver model, the
-    * assignment and the per-cell search are fully distributed. `nCells`
-    * trades recall for compute exactly like IVF nlist; `nprobe > 1` fixes
-    * the recall cliff at cell boundaries (a query near a Voronoi face also
-    * searches the adjacent cells) at `nprobe`× the per-query compute.
+  /** (distance, cell) structs of a vector column against LITERAL centroid
+    * arrays: d = c·c − 2·v·c (v·v is constant per row, so dropping it
+    * leaves the ordering unchanged). Each distance is one codegen'd
+    * [[graft.functions.FloatDotProduct]]; the centroid matrix is
+    * nCells × dim floats — driver-tiny, shipped in the plan. Shared by the
+    * fit's assignment step and the query-side probe ranking, so the two
+    * can never disagree on cell geometry.
+    */
+  private def centerDistStructs(vecCol: Column, centers: Array[Array[Float]]): Seq[Column] = {
+    // every per-center constant travels as an ARRAY-literal reference, not
+    // an inlined primitive literal: codegen inlines primitive literals into
+    // the generated source, so per-iteration centers would force a fresh
+    // Janino compile of the (large) assignment/agg classes on EVERY Lloyd
+    // iteration — with references the source is iteration-invariant and the
+    // generated-class cache hits.
+    val c2s = typedlit(centers.map(_.map(x => x.toDouble * x.toDouble).sum).toSeq)
+    centers.toSeq.zipWithIndex.map { case (ctr, i) =>
+      struct((element_at(c2s, i + 1)
+        - lit(2.0) * float_dot(vecCol, typedlit(ctr.toSeq))).as("d"),
+        lit(i).as("cell"))
+    }
+  }
+
+  /** Nearest-centroid cell id (ties broken by cell index — the struct sort
+    * orders (d, cell) lexicographically).
+    */
+  def nearestCell(vecCol: Column, centers: Array[Array[Float]]): Column =
+    element_at(array_sort(array(centerDistStructs(vecCol, centers): _*)), 1)
+      .getField("cell")
+
+  /** Deterministic IVF centroid fit as plain DataFrame Lloyd iterations —
+    * no fitted model object, no RDD conversion, and layout-invariant:
+    *  - init: the `nCells` vectors with the smallest `xxhash64(id)` — a
+    *    pseudo-random but exactly reproducible spread;
+    *  - assign: argmin over literal-center distances ([[nearestCell]], all
+    *    codegen'd dot products);
+    *  - update: per-(cell, dim) means via exact DECIMAL accumulation —
+    *    order-independent like every float aggregate in the oracle
+    *    contract — so the fitted centers are bit-identical under any
+    *    partitioning. A seeded MLlib KMeans is only deterministic for a
+    *    FIXED partitioning (kmeans|| samples per partition); this fit is
+    *    deterministic, full stop. 3 iterations: IVF needs a coarse
+    *    partition of the space, not converged clusters — recall comes from
+    *    the per-cell search.
+    * Driver state is nCells×dim floats per iteration — the "model is tiny,
+    * data is huge" shape that makes IVF work at 100 TB (each iteration is
+    * one map-side-combinable aggregation over the corpus).
+    */
+  def fitIvfCenters(emb: DataFrame, nCells: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
+    import org.apache.spark.sql.types.DecimalType
+    var centers: Array[Array[Float]] = emb
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCells)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dim = centers.headOption.map(_.length).getOrElse(return centers)
+    // one dsum per dimension in a single groupBy — map-side combinable, the
+    // shuffle carries nCells × (dim decimals) rows, never a dim× row
+    // explosion (same shape as MinHash's 32 min-aggs in one pass).
+    // DECIMAL(18,10) stays within Spark's compact-Long decimal range (≤18
+    // digits) — sums run as primitive long arithmetic, not BigDecimal.
+    // Headroom: 10^8 unit-scale values per cell before overflow; a corpus
+    // beyond that would fit centroids on a deterministic sample anyway.
+    val dimSums = (0 until dim).map(j =>
+      sum(element_at(col(vecCol), j + 1).cast(DecimalType(18, 10))).as(s"__s$j"))
+    for (_ <- 1 to iters) {
+      val rows = emb
+        .withColumn("__cell", nearestCell(col(vecCol), centers))
+        .groupBy("__cell")
+        .agg(count(lit(1)).as("__n"), dimSums: _*)
+        .collect()
+      val next = centers.map(_.clone()) // empty cells keep their center
+      rows.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1)
+        var j = 0
+        while (j < dim) {
+          next(cell)(j) = (r.getDecimal(2 + j).doubleValue() / n).toFloat
+          j += 1
+        }
+      }
+      centers = next
+    }
+    centers
+  }
+
+  /** IVF (inverted-file) coarse quantization: fit centroids
+    * ([[fitIvfCenters]] — deterministic DataFrame Lloyd), assign each
+    * vector to its nearest centroid, then search the `nprobe` nearest
+    * cells per query. The classic ANN index shape: the "model" is a tiny
+    * centroid matrix, the assignment and the per-cell search are fully
+    * distributed. `nCells` trades recall for compute exactly like IVF
+    * nlist; `nprobe > 1` fixes the recall cliff at cell boundaries (a
+    * query near a Voronoi face also searches the adjacent cells) at
+    * `nprobe`× the per-query compute.
     */
   def ivfCosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5, nCells: Int = 16,
       nprobe: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val withVec = emb.withColumn("__mlvec", array_to_vector(col(vecCol)))
-    // 5 Lloyd iterations: IVF only needs a coarse partition of the space
-    // (recall comes from the per-cell search, not centroid quality) — the
-    // default 20 iterations quadruple the fit cost for no recall gain.
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("__mlvec").setPredictionCol("ivf_cell")
-      .fit(withVec)
-    val assigned = model.transform(withVec).drop("__mlvec")
-    val e = assigned.withColumn("__nrm", float_norm(col(vecCol)))
+    val centers = fitIvfCenters(emb, nCells, idCol = idCol, vecCol = vecCol)
+    val e = emb
+      .withColumn("ivf_cell", nearestCell(col(vecCol), centers))
+      .withColumn("__nrm", float_norm(col(vecCol)))
     val c = e.select(col("ivf_cell"), col(idCol).as("c_id"),
       col(vecCol).as("c_emb"), col("__nrm").as("c_n"))
-    // query-side multi-probe: distance to every centroid is a handful of
-    // codegen'd dot products against LITERAL center arrays (the model is
-    // nCells × dim floats — driver-tiny, shipped in the plan), then the
-    // nprobe (dist, cell) structs with the smallest distance explode into
-    // one probe row each. ||q−c||² = q·q − 2·q·c + c·c; q·q is hoisted.
-    val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    val distStructs = centers.zipWithIndex.map { case (ctr, i) =>
-      val c2 = ctr.map(x => x.toDouble * x.toDouble).sum
-      struct((col("__qq") - lit(2.0) * float_dot(col(vecCol), typedlit(ctr.toSeq)) + lit(c2)).as("d"),
-        lit(i).as("cell"))
-    }
+    // query-side multi-probe: the nprobe (dist, cell) structs with the
+    // smallest distance explode into one probe row each.
     val q = e.filter(queryPred)
-      .withColumn("__qq", float_dot(col(vecCol), col(vecCol)))
-      .withColumn("__probe", explode(slice(array_sort(array(distStructs: _*)), 1, nprobe)))
+      .withColumn("__probe", explode(slice(
+        array_sort(array(centerDistStructs(col(vecCol), centers): _*)), 1, nprobe)))
       .select(col("__probe.cell").as("ivf_cell"), col(idCol).as("q_id"),
         col(vecCol).as("q_emb"), col("__nrm").as("q_n"))
     // a candidate lives in exactly ONE cell, so probe fan-out never

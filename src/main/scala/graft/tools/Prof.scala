@@ -1,0 +1,143 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only micro-profiler: times labeled sub-steps of the expensive bench
+  * queries so optimization targets the measured stage, not a guess.
+  * `runMain graft.tools.Prof [sfDir]`.
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    graft.model.Tables.warm(spark, sfDir)
+    graft.ops.GraphAnalytics.warm(spark, sfDir)
+
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def time(label: String)(f: => Long): Unit = {
+      val g0 = gcMs
+      val t0 = System.nanoTime()
+      val n = f
+      val el = (System.nanoTime() - t0) / 1e9
+      println(f"[prof] $label%-40s $el%8.2f s  gc=${gcMs - g0}%5d ms  (rows=$n)")
+    }
+
+    // ---- graph_triangles sub-steps
+    val edges = graft.ops.GraphAnalytics.coOrderPartEdges(spark, sfDir)
+    time("triangles: coOrderPartEdges")(edges.count())
+    time("triangles: full (edges + count)") {
+      graft.ops.GraphAnalytics.triangleCountDF(
+        graft.ops.GraphAnalytics.coOrderPartEdges(spark, sfDir))
+    }
+
+    // ---- dedup_ngram_jaccard sub-steps
+    val docs = graft.model.Tables(spark, sfDir, "documents")
+    val grams = docs
+      .select(col("source"), col("doc_id"),
+        explode(graft.functions.TextHash.bigram_hashes(col("text"))).as("gram"))
+    time("ngram: gram explode+hash")(grams.count())
+    val postings = grams.groupBy("source", "gram")
+      .agg(sort_array(graft.functions.ArrayFunctions.bounded_collect_list(
+        col("doc_id"), graft.ops.llm.Dedup.MaxGramDf + 1)).as("docs"))
+      .filter(size(col("docs")) <= graft.ops.llm.Dedup.MaxGramDf)
+    time("ngram: postings groupBy")(postings.count())
+    time("ngram: full query") {
+      graft.QueriesLlm.defs("dedup_ngram_jaccard").fn(spark, sfDir).count()
+    }
+
+    // ---- similarity_ivf
+    val embT = graft.model.Tables(spark, sfDir, "embeddings")
+    time("ivf: fit only") {
+      graft.ops.llm.Similarity.fitIvfCenters(embT, 16).length.toLong
+    }
+    time("ivf: full query") {
+      graft.QueriesLlm.defs("similarity_ivf").fn(spark, sfDir).count()
+    }
+
+    // ---- skew_salted_join
+    time("skew: full query") {
+      graft.QueriesRelational.defs("skew_salted_join").fn(spark, sfDir).count()
+    }
+    time("skew: plain join baseline") {
+      val li = graft.model.Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val od = graft.model.Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      li.join(od, Seq("l_orderkey"))
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(count(lit(1)).as("n")).count()
+    }
+
+    // ---- dedup_clusters
+    time("clusters: full query") {
+      graft.QueriesLlm.defs("dedup_clusters").fn(spark, sfDir).count()
+    }
+
+    // ---- bench-context reproduction: run the whole inventory, then
+    // re-time the heavy queries in the aged session.
+    if (args.contains("--aged")) {
+      graft.SparkEntry.queries.foreach { case (n, fn) =>
+        try fn(spark, sfDir).count() catch { case e: Throwable =>
+          println(s"[prof] inventory $n FAILED: ${e.getMessage}") }
+      }
+      println("[prof] --- aged session ---")
+      val prdds = spark.sparkContext.getPersistentRDDs
+      println(s"[prof] persistent RDDs: ${prdds.size}")
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache") || p.getName.contains("Metaspace"))
+        .foreach(p => println(f"[prof] pool ${p.getName}%-28s used=${p.getUsage.getUsed / 1e6}%.0f MB max=${p.getUsage.getMax / 1e6}%.0f MB"))
+      val status = spark.sparkContext.getExecutorMemoryStatus
+      status.foreach { case (ex, (max, free)) =>
+        println(f"[prof] block-mgr $ex: max=${max / 1e6}%.0f MB free=${free / 1e6}%.0f MB used=${(max - free) / 1e6}%.0f MB")
+      }
+      time("aged triangles: edges only") {
+        graft.ops.GraphAnalytics.coOrderPartEdges(spark, sfDir).count()
+      }
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+          stages.add((si.name.takeWhile(_ != '\n').take(60), dur,
+            si.taskMetrics.executorRunTime))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      time("aged triangles: full") {
+        graft.QueriesGraphX.defs("graph_triangles").fn(spark, sfDir).count()
+      }
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (n, d, rt) =>
+        println(f"[prof] stage $n%-60s wall=${d}%5d ms  taskCpuSum=${rt}%6d ms")
+      }
+      time("aged triangles: full repeat") {
+        graft.QueriesGraphX.defs("graph_triangles").fn(spark, sfDir).count()
+      }
+      time("aged ivf: full") {
+        graft.QueriesLlm.defs("similarity_ivf").fn(spark, sfDir).count()
+      }
+      time("aged ngram: full") {
+        graft.QueriesLlm.defs("dedup_ngram_jaccard").fn(spark, sfDir).count()
+      }
+      time("aged clusters: full") {
+        graft.QueriesLlm.defs("dedup_clusters").fn(spark, sfDir).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -47,6 +47,28 @@ class TextHashSpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
+  test("bigram_hashes equals xxhash64 over the composable distinct-concat form") {
+    val cases = samples ++ Seq(
+      "a b", "a b a b", "double  space", " leading", "trailing ", "   ",
+      "one", "a b c d e f g", "répé té répé té", "😀 x 😀 x")
+    val df = cases.toDF("s")
+    val fast = df.select(col("s"),
+      TextHash.bigram_hashes(col("s")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val slow = df
+      .withColumn("__toks", split(col("s"), " "))
+      .select(col("s"),
+        when(size(col("__toks")) >= 2, expr(
+          "transform(array_distinct(transform(sequence(0, size(__toks)-2), " +
+            "i -> concat(__toks[i], ' ', __toks[i+1]))), g -> xxhash64(g))"))
+          .otherwise(typedlit(Seq.empty[Long])).as("h"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    cases.foreach { s =>
+      assert(fast(s) == slow(s), s"bigram hash mismatch for '$s'")
+    }
+  }
+
   test("poly_fold is callable from SQL with an INT-sized literal modulus") {
     // P = 1000000007 fits in Int, so the SQL literal evaluates to a boxed
     // Integer — the exact case the shared builder must widen, not cast.
