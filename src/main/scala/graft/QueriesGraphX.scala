@@ -76,6 +76,17 @@ object QueriesGraphX {
          |   UNION ALL SELECT id, 10 FROM h10)
          |SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM lv GROUP BY id ORDER BY id""".stripMargin),
 
+    // Multi-landmark shortest paths (3 nation landmarks) in one Pregel
+    // traversal over the cached GraphX build; oracle = one chained
+    // frontier-join BFS per landmark (generated below), min level per
+    // (vertex, landmark). Value-checked like graph_bfs_dist — iterative
+    // graph analytics under the full oracle.
+    "graph_shortest_paths" -> QueryDef(
+      (s, d) => GraphAnalytics.multiSourceBfs(
+        GraphAnalytics.derivedGraphX(s, d), spLandmarks, 10)
+        .orderBy("id", "landmark"),
+      spOracleSql),
+
     // Triangle count over the co-order part projection, oracle-verified by
     // an ordered 3-way self-join ((x,y),(x,z),(y,z) with x<y<z counts each
     // triangle exactly once). Runs as the degree-ordered DataFrame wedge
@@ -97,4 +108,31 @@ object QueriesGraphX {
         |FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin)
   )
+
+  /** Landmarks for graph_shortest_paths: three nation vertices. */
+  private lazy val spLandmarks: Seq[Long] =
+    Seq(3L, 7L, 12L).map(DerivedGraph.NationBase + _)
+
+  /** Generated oracle for graph_shortest_paths: the graph_bfs_dist chained
+    * frontier-join pattern instantiated once per landmark (distinct CTE
+    * prefixes), min level per (vertex, landmark).
+    */
+  private lazy val spOracleSql: String = {
+    val tagged = spLandmarks.zipWithIndex.map { case (seed, i) => (s"sp$i", seed) }
+    val ctes = tagged.map { case (tag, seed) =>
+      (Seq(s"${tag}h0 AS (SELECT CAST($seed AS BIGINT) AS id)") ++
+        (1 to 10).map(l =>
+          s"${tag}h$l AS (SELECT DISTINCT b AS id FROM und JOIN ${tag}h${l - 1} p ON und.a = p.id)"))
+        .mkString(",\n ")
+    }.mkString(",\n ")
+    val lv = tagged.flatMap { case (tag, seed) =>
+      (0 to 10).map(l =>
+        s"SELECT id, CAST($seed AS BIGINT) AS landmark, $l AS dist FROM ${tag}h$l")
+    }.mkString("\n   UNION ALL ")
+    s"""${DerivedGraphSql.cte},
+       | $ctes,
+       | lv AS ($lv)
+       |SELECT id, landmark, CAST(MIN(dist) AS BIGINT) AS dist
+       |FROM lv GROUP BY id, landmark ORDER BY id, landmark""".stripMargin
+  }
 }

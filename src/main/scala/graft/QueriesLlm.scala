@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import scala.collection.immutable.ListMap
 import Qh._
-import graft.ops.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline inventory (north-star mandate): dedup ×4, similarity
   * search ×2, text analysis ×4, fingerprinting, multimodal ×2. Oracles
@@ -465,6 +465,99 @@ object QueriesLlm {
         |        SUM(c) OVER () AS tot FROM h),
         |t AS (SELECT MIN(n_tokens) AS thr FROM a WHERE cum >= (tot + 1) // 2)
         |SELECT doc_id, n_tokens FROM q, t WHERE n_tokens >= thr
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // PII redaction over a deterministic "profile text" built from
+    // customer columns (the testdata corpus has no natural PII, so the
+    // profile synthesizes email/IP/account strings from integer columns —
+    // string-identical in both engines). Patterns + order shared with the
+    // generated oracle via Curation.piiPatterns. Pure projection: no
+    // shuffle.
+    "pii_redact" -> QueryDef(
+      (s, d) => Curation.piiRedact(
+        t(s, d, "customer").withColumn("profile", piiProfileSparkCol),
+        "profile", "c_custkey").orderBy("c_custkey"),
+      piiOracleSql),
+
+    // Benchmark-contamination check: corpus docs sharing ≥3 distinct token
+    // 5-grams with any doc of the held-out eval slice (doc_id % 50 = 0) —
+    // the n-gram-overlap decontamination step. Eval grams broadcast; the
+    // corpus side never shuffles its grams.
+    "contamination_ngram" -> QueryDef(
+      (s, d) => Curation.contamination(t(s, d, "documents"), col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("eval_id"), col("n_shared"))
+        .orderBy("doc_id", "eval_id"),
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(toks) - 4),
+        |         i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS g
+        |       FROM tk WHERE len(toks) >= 5),
+        |ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 50 = 0),
+        |co AS (SELECT doc_id, g FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT co.doc_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM co JOIN ev USING (g)
+        |GROUP BY co.doc_id, ev.eval_id
+        |HAVING COUNT(*) >= 3
+        |ORDER BY doc_id, eval_id""".stripMargin),
+
+    // Unigram-LM quality score: mean inverse corpus probability of each
+    // document's tokens (log-free perplexity cousin — ln would hang the
+    // oracle on libm ULP differences; N/cnt is exact IEEE division both
+    // engines replay bit-for-bit). 6dp round per token, exact DECIMAL sum,
+    // 4dp round per doc — the standard determinism ladder.
+    "quality_unigram" -> QueryDef(
+      (s, d) => Curation.unigramQuality(t(s, d, "documents")).orderBy("doc_id"),
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vc AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+        |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vc),
+        |sc AS (SELECT doc_id, round(CAST(tt.n AS DOUBLE) / cnt, 6) AS s
+        |       FROM tk JOIN vc USING (tok) CROSS JOIN tt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
+
+  /** The deterministic PII-bearing profile text, Spark side: every
+    * interpolated field is an integer or a plain string column, so the
+    * concatenation is byte-identical to the SQL mirror (no float
+    * formatting).
+    */
+  private def piiProfileSparkCol: org.apache.spark.sql.Column =
+    concat(col("c_name"),
+      lit(" acct "), (col("c_custkey") + 9000000L).cast("string"),
+      lit(" mail user"), col("c_custkey").cast("string"), lit("@example.com ip 10."),
+      (col("c_custkey") % 250).cast("string"), lit(".0.7 seg "), col("c_mktsegment"))
+
+  /** DuckDB mirror of [[piiProfileSparkCol]]. Lazy: `defs` forces
+    * [[piiOracleSql]] during object construction, which reads this field —
+    * a plain val declared later would still be null at that point.
+    */
+  private lazy val piiProfileSql: String =
+    "c_name || ' acct ' || CAST(c_custkey + 9000000 AS VARCHAR) || " +
+      "' mail user' || CAST(c_custkey AS VARCHAR) || '@example.com ip 10.' || " +
+      "CAST(c_custkey % 250 AS VARCHAR) || '.0.7 seg ' || c_mktsegment"
+
+  /** Generated oracle for pii_redact: one CTE step per pattern, counting
+    * matches on the text state right before that pattern's own replacement
+    * — the exact pipeline Curation.piiRedact runs, driven by the same
+    * piiPatterns list so the two cannot diverge.
+    */
+  private lazy val piiOracleSql: String = {
+    val steps = graft.ops.llm.Curation.piiPatterns.zipWithIndex.map {
+      case ((tag, pat, repl), i) =>
+        val prev = if (i == 0) "t0" else s"t$i"
+        val prevCols = graft.ops.llm.Curation.piiPatterns.take(i)
+          .map { case (tg, _, _) => s"n_$tg" }
+        val carry = (Seq("c_custkey") ++ prevCols).mkString(", ")
+        s"""t${i + 1} AS (SELECT $carry,
+           |  CAST(len(regexp_extract_all(s, '$pat')) AS BIGINT) AS n_$tag,
+           |  regexp_replace(s, '$pat', '$repl', 'g') AS s FROM $prev)""".stripMargin
+    }
+    val lastN = graft.ops.llm.Curation.piiPatterns.size
+    val nCols = graft.ops.llm.Curation.piiPatterns.map { case (tg, _, _) => s"n_$tg" }
+    s"""WITH t0 AS (SELECT c_custkey, $piiProfileSql AS s FROM customer),
+       |${steps.mkString(",\n")}
+       |SELECT c_custkey, ${nCols.mkString(", ")}, s AS redacted
+       |FROM t$lastN ORDER BY c_custkey""".stripMargin
+  }
 }

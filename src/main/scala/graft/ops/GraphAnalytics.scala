@@ -133,6 +133,43 @@ object GraphAnalytics {
       .map { case (id, d) => (id, d.toLong) }.toDF("id", "dist")
   }
 
+  /** Multi-landmark shortest paths (unweighted, undirected) in ONE Pregel
+    * traversal: each vertex carries a small `landmark → dist` map (GraphX's
+    * ShortestPaths SPMap shape, with the same both-direction relaxation as
+    * [[bfsDistances]] so the stored digraph stays single-copy). One
+    * traversal for L landmarks instead of L — messages are ≤ L entries, so
+    * the per-superstep shuffle grows by the landmark count, not the graph.
+    * Unreachable (vertex, landmark) combinations are omitted.
+    */
+  def multiSourceBfs[VD: ClassTag, ED: ClassTag](g: Graph[VD, ED], seeds: Seq[Long],
+      maxDepth: Int): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    type SP = Map[Long, Int]
+    def merge(a: SP, b: SP): SP =
+      (a.keySet ++ b.keySet).iterator.map { k =>
+        k -> math.min(a.getOrElse(k, Int.MaxValue), b.getOrElse(k, Int.MaxValue))
+      }.toMap
+    val seedSet = seeds.toSet
+    val init = g.mapVertices((id, _) =>
+      if (seedSet.contains(id)) Map(id -> 0) else Map.empty[Long, Int])
+    val res = init.pregel(Map.empty[Long, Int], maxIterations = maxDepth)(
+      (_, m, msg) => merge(m, msg),
+      t => {
+        def improves(from: SP, at: SP): SP =
+          from.iterator.map { case (k, v) => k -> (v + 1) }
+            .filter { case (k, v) => v < at.getOrElse(k, Int.MaxValue) }.toMap
+        val toDst = improves(t.srcAttr, t.dstAttr)
+        val toSrc = improves(t.dstAttr, t.srcAttr)
+        (if (toDst.nonEmpty) Iterator((t.dstId, toDst)) else Iterator.empty) ++
+          (if (toSrc.nonEmpty) Iterator((t.srcId, toSrc)) else Iterator.empty)
+      },
+      merge)
+    res.vertices.flatMap { case (id, m) =>
+      m.iterator.map { case (lm, d) => (id, lm, d.toLong) }
+    }.toDF("id", "landmark", "dist")
+  }
+
   def bfsDistances(edges: DataFrame, seed: Long, maxDepth: Int = 10): DataFrame = {
     val parts = math.max(2, edges.sparkSession.sparkContext.defaultParallelism / 4)
     val eRDD = edges.select("src", "dst").rdd

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.llm.Curation
+
+/** Corpus-curation operators: PII redaction (pattern order semantics),
+  * contamination detection, and the unigram quality score on hand-computed
+  * fixtures.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiRedact: all four patterns, applied in the declared order") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@mail.example.org or 192.168.0.1 ref Customer#000000042 code 987654"),
+      (2L, "no pii here"),
+      (3L, "just numbers 12345678 and 42")
+    ).toDF("id", "text")
+    val got = Curation.piiRedact(df, "text", "id").orderBy("id").collect()
+    assert(got(0).getAs[String]("redacted") ==
+      "contact <EMAIL> or <IP> ref <NAME> code <NUM>")
+    assert(got(0).getAs[Long]("n_email") == 1L)
+    assert(got(0).getAs[Long]("n_ipv4") == 1L)
+    assert(got(0).getAs[Long]("n_name") == 1L)
+    // the 9-digit run inside Customer#000000042 is consumed by the NAME
+    // rule first — only "987654" remains for the digit-run rule.
+    assert(got(0).getAs[Long]("n_num") == 1L)
+    assert(got(1).getAs[String]("redacted") == "no pii here")
+    assert(Seq("n_email", "n_ipv4", "n_name", "n_num").forall(c => got(1).getAs[Long](c) == 0L))
+    assert(got(2).getAs[String]("redacted") == "just numbers <NUM> and 42")
+  }
+
+  test("contamination: flags eval overlap at the shared-gram threshold, ignores below") {
+    // doc 100 = eval (id % 50 == 0). doc 1 shares a 6-token run with it
+    // (two distinct 5-grams... need >= 3 shared: share 7 tokens = three
+    // 5-grams). doc 2 shares nothing.
+    val run = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (100L, s"$run theta iota"),
+      (1L, s"$run completely different tail here"),
+      (2L, "unrelated words only nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = Curation.contamination(docs, col("doc_id") % 50 === 0)
+      .select("doc_id", "eval_id", "n_shared").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L, 3L)), s"got $got")
+  }
+
+  test("unigramQuality: hand-computed mean inverse probability") {
+    // corpus: "a a b" + "b" → N=4; cnt(a)=2, cnt(b)=2.
+    // doc 1 tokens (a,a,b): each s = round(4/2, 6) = 2.0 → score 2.0
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = Curation.unigramQuality(docs).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_tokens") == 3L)
+    assert(got(0).getAs[Double]("score") == 2.0)
+    assert(got(1).getAs[Long]("n_tokens") == 1L)
+    assert(got(1).getAs[Double]("score") == 2.0)
+  }
+
+  test("unigramQuality: rare tokens score higher than common ones") {
+    val docs = Seq(
+      (1L, "common common common common common common common"),
+      (2L, "rareword common common common common common common")
+    ).toDF("doc_id", "text")
+    val s = Curation.unigramQuality(docs).orderBy("doc_id")
+      .select("score").as[Double].collect()
+    assert(s(1) > s(0), s"rare-token doc must score higher: ${s.toSeq}")
+  }
+}

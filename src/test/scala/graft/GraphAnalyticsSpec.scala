@@ -47,4 +47,23 @@ class GraphAnalyticsSpec extends SparkSpec {
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(dists == Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L))) // 5,6 unreachable
   }
+
+  test("multiSourceBfs: one traversal equals a per-landmark bfsDistances run") {
+    // random undirected graph; every landmark's distance map must match
+    // the single-source Pregel exactly (including omitted unreachables).
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(40)((rnd.nextInt(20).toLong + 1, rnd.nextInt(20).toLong + 1))
+      .filter { case (a, b) => a != b }.distinct
+      .toDF("src", "dst").withColumn("label", lit("e"))
+    val verts = (1L to 20L).map(i => (i, "x", s"v$i")).toDF("id", "label", "name")
+    val g = GraphAnalytics.toGraphX(verts, edges)
+    val landmarks = Seq(1L, 7L, 13L)
+    val multi = GraphAnalytics.multiSourceBfs(g, landmarks, 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val singles = landmarks.flatMap { lm =>
+      GraphAnalytics.bfsDistances(g, lm, 10).as[(Long, Long)].collect()
+        .map { case (id, d) => (id, lm, d) }
+    }.toSet
+    assert(multi == singles)
+  }
 }
