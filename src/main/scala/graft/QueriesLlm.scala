@@ -289,8 +289,9 @@ object QueriesLlm {
         .orderBy("q_id", "rk"),
       lshOracleSql),
 
-    // IVF variant: KMeans coarse cells (fixed seed), per-cell search (no
-    // oracle: iterative clustering).
+    // IVF variant: deterministic DataFrame-Lloyd coarse cells (layout-
+    // invariant fit — Similarity.fitIvfCenters), nprobe=3 per-cell search
+    // (no oracle: iterative clustering).
     "similarity_ivf" -> QueryDef(
       (s, d) => Similarity.ivfCosineTopK(t(s, d, "embeddings"), col("vec_id") % 20 === 0)
         .orderBy("q_id", "rk"),
@@ -545,7 +546,7 @@ object QueriesLlm {
   private lazy val piiOracleSql: String = {
     val steps = graft.ops.llm.Curation.piiPatterns.zipWithIndex.map {
       case ((tag, pat, repl), i) =>
-        val prev = if (i == 0) "t0" else s"t$i"
+        val prev = s"t$i"
         val prevCols = graft.ops.llm.Curation.piiPatterns.take(i)
           .map { case (tg, _, _) => s"n_$tg" }
         val carry = (Seq("c_custkey") ++ prevCols).mkString(", ")

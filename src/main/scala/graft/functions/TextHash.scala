@@ -157,6 +157,18 @@ object TextHash {
     if (!exprs(1).foldable)
       fail("poly_fold modulus must be a foldable numeric literal")
     val p = exprs(1).eval() match {
+      case d: org.apache.spark.sql.types.Decimal =>
+        if (d.toBigDecimal.remainder(java.math.BigDecimal.ONE).signum != 0)
+          fail(s"poly_fold modulus must be integral, got $d")
+        d.toLong
+      case f: java.lang.Double => // fractional literals truncate silently — reject
+        if (f.doubleValue() != Math.floor(f.doubleValue()))
+          fail(s"poly_fold modulus must be integral, got $f")
+        f.longValue()
+      case f: java.lang.Float =>
+        if (f.floatValue() != Math.floor(f.floatValue()))
+          fail(s"poly_fold modulus must be integral, got $f")
+        f.longValue()
       case n: java.lang.Number => n.longValue()
       case other => fail(s"poly_fold modulus must be numeric, got $other")
     }

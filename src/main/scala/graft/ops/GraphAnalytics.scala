@@ -201,14 +201,14 @@ object GraphAnalytics {
     * N⁺(a) ∩ N⁺(b)), then intersect out-neighbor lists per edge. Work is
     * Σ_edges (|N⁺(u)|+|N⁺(w)|) with |N⁺| ≤ O(√m) — on a dense co-order
     * graph that's ~100× fewer operations than materializing every wedge
-    * through a join, and `array_intersect` on primitive longs is codegen'd.
-    * Two shuffles (degree agg + adjacency agg); the adjacency side is
-    * compact (one row per vertex) so AQE broadcasts it when small.
-    */
-  /** `broadcastSides = true` (default) broadcasts the per-vertex degree
+    * through a join, and the intersection is the codegen'd two-pointer
+    * `sorted_intersect_count`.
+    *
+    * `broadcastSides = true` (default) broadcasts the per-vertex degree
     * table (16 B/vertex) and the oriented adjacency table (~8 B/edge) —
-    * without the hints AQE leaves all four joins as sort-merge, and the
-    * edge table (the BIG side) shuffles and sorts four times, which
+    * without the hints AQE leaves all four joins as sort-merge (the
+    * collect_list agg hides the adjacency side's true size from it), and
+    * the edge table (the BIG side) shuffles and sorts four times, which
     * profiling showed was ~80% of the query. The hints keep the whole
     * count ONE action (the repeated edge-build subplans collapse via
     * ReuseExchange) whose final stage is a single codegen pass: edge scan →

@@ -2,7 +2,6 @@ package graft.ops.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-curation operators a large-scale training-data pipeline needs
   * beyond dedup/similarity (north-star mandate): PII redaction, benchmark-
@@ -91,7 +90,6 @@ object Curation {
       .withColumn("__s", round(col("n").cast("double") / col("cnt"), 6))
     scored.groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("__s").cast(DecimalType(18, 6))).cast("double")
-          / count(lit(1)), 4).as("score"))
+        round(graft.Qh.dsum(col("__s")) / count(lit(1)), 4).as("score"))
   }
 }

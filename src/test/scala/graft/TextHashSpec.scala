@@ -90,5 +90,14 @@ class TextHashSpec extends SparkSpec {
       spark.sql("SELECT poly_fold(s, m) FROM pf_in").collect()
     }
     assert(err.getMessage.contains("foldable"))
+    // fractional modulus is rejected, never silently truncated
+    val frac = intercept[Exception] {
+      spark.sql("SELECT poly_fold('x', CAST(7.5 AS DOUBLE))").collect()
+    }
+    assert(frac.getMessage.contains("integral"))
+    // integral DECIMAL literals (the SQL default for 7.0-style numbers) work
+    val viaDec = spark.sql("SELECT poly_fold('abc', 97.0) AS h").head().getLong(0)
+    assert(viaDec == Seq("abc").toDF("s")
+      .select(TextHash.poly_fold(col("s"), 97L)).head().getLong(0))
   }
 }
