@@ -33,6 +33,14 @@ object Prof {
       println(f"[prof] $label%-40s $el%8.2f s  gc=${gcMs - g0}%5d ms  (rows=$n)")
     }
 
+    time("fresh trivial agg x5") {
+      (1 to 5).foreach(_ => spark.range(1000000).selectExpr("sum(id)").collect())
+      5L
+    }
+    time("fresh parquet scan+agg") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
+    }
+
     // ---- graph_triangles sub-steps
     val edges = graft.ops.GraphAnalytics.coOrderPartEdges(spark, sfDir)
     time("triangles: coOrderPartEdges")(edges.count())
@@ -92,6 +100,13 @@ object Prof {
           println(s"[prof] inventory $n FAILED: ${e.getMessage}") }
       }
       println("[prof] --- aged session ---")
+      time("aged trivial agg x5") {
+        (1 to 5).foreach(_ => spark.range(1000000).selectExpr("sum(id)").collect())
+        5L
+      }
+      time("aged parquet scan+agg") {
+        spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
+      }
       val prdds = spark.sparkContext.getPersistentRDDs
       println(s"[prof] persistent RDDs: ${prdds.size}")
       import scala.jdk.CollectionConverters._

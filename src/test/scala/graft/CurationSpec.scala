@@ -56,6 +56,23 @@ class CurationSpec extends SparkSpec {
     assert(got(1).getAs[Double]("score") == 2.0)
   }
 
+  test("piiRedact runs unchanged under Structured Streaming (batch/stream unification)") {
+    // the scrub is a pure projection, so the same transform must work on a
+    // streaming frame — the shape a continuous training-data ingest needs.
+    implicit val ctx = spark.sqlContext
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Curation.piiRedact(stream.toDF().toDF("id", "text"), "text", "id")
+      .writeStream.outputMode("append").format("memory").queryName("pii_out").start()
+    try {
+      stream.addData((1L, "mail a@b.co num 55556666"), (2L, "clean"))
+      q.processAllAvailable()
+      val got = spark.table("pii_out").orderBy("id").collect()
+      assert(got(0).getAs[String]("redacted") == "mail <EMAIL> num <NUM>")
+      assert(got(1).getAs[String]("redacted") == "clean")
+    } finally q.stop()
+  }
+
   test("unigramQuality: rare tokens score higher than common ones") {
     val docs = Seq(
       (1L, "common common common common common common common"),

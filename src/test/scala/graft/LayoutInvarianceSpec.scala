@@ -65,4 +65,32 @@ class LayoutInvarianceSpec extends SparkSpec {
   test("exact dedup keep-min is partitioning-invariant") {
     assertInvariant("exact")(d => Dedup.exact(d).orderBy("doc_id"), docs)
   }
+
+  test("PII redaction is partitioning-invariant") {
+    assertInvariant("piiRedact")(
+      d => graft.ops.llm.Curation.piiRedact(
+        d.withColumn("t", concat(col("text"), lit(" Customer#00012345 x 99887766"))),
+        "t", "doc_id").orderBy("doc_id"), docs)
+  }
+
+  test("contamination counts are partitioning-invariant") {
+    assertInvariant("contamination")(
+      d => graft.ops.llm.Curation.contamination(d, col("doc_id") % 10 === 0,
+        shingleLen = 3, minShared = 1)
+        .orderBy("doc_id", "eval_id"), docs)
+  }
+
+  test("unigram quality scores are partitioning-invariant") {
+    assertInvariant("unigramQuality")(
+      d => graft.ops.llm.Curation.unigramQuality(d).orderBy("doc_id"), docs)
+  }
+
+  test("deterministic IVF centers are partitioning-invariant") {
+    val a = Similarity.fitIvfCenters(emb.repartition(1), nCells = 4)
+    val b = Similarity.fitIvfCenters(emb.repartition(7), nCells = 4)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (ca, cb) =>
+      assert(ca.toSeq == cb.toSeq, "IVF centers differ across partitionings")
+    }
+  }
 }
