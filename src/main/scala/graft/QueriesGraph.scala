@@ -102,6 +102,49 @@ object QueriesGraph {
          |WHERE label = 'region'
          |   OR (label = 'customer' AND regexp_matches(name, '^Customer#0000001'))
          |   OR (id >= 5000000000 AND id < 5000000050)
+         |ORDER BY id""".stripMargin),
+
+    // Snapshot CDC (the useful form of change_collection, mongraph.py:62-69
+    // — every mutation here is a new snapshot, so "what changed between
+    // graph A and graph B" is the audit/incremental-sync primitive): diff
+    // the derived vertices against a deterministically mutated copy
+    // (suppliers id%7=0 removed, customers id%10=0 renamed, region_v2
+    // vertices added). One full-outer key join, null-safe struct compare,
+    // output = the delta only.
+    "snapshot_diff" -> QueryDef(
+      (s, d) => {
+        val g = DerivedGraph(s, d).vertices
+        val neu = g
+          .filter(!(col("label") === "supplier" && col("id") % 7 === 0))
+          .withColumn("name",
+            when(col("label") === "customer" && col("id") % 10 === 0,
+              concat(col("name"), lit(" (vip)"))).otherwise(col("name")))
+          .unionByName(Qh.t(s, d, "region").select(
+            (lit(6000000000L) + col("r_regionkey")).as("id"),
+            lit("region_v2").as("label"), col("r_name").as("name")))
+        graft.ops.SnapshotDiff.diff(g, neu, Seq("id"))
+          .select(col("id"), col("change"),
+            col("old_val.label").as("old_label"), col("old_val.name").as("old_name"),
+            col("new_val.label").as("new_label"), col("new_val.name").as("new_name"))
+          .orderBy("id")
+      },
+      s"""${DerivedGraphSql.cte},
+         | nv AS (
+         |   SELECT id, label,
+         |     CASE WHEN label = 'customer' AND id % 10 = 0 THEN name || ' (vip)'
+         |          ELSE name END AS name
+         |   FROM v WHERE NOT (label = 'supplier' AND id % 7 = 0)
+         |   UNION ALL
+         |   SELECT CAST(6000000000 AS BIGINT) + r_regionkey, 'region_v2', r_name FROM region)
+         |SELECT COALESCE(v.id, nv.id) AS id,
+         |  CASE WHEN nv.id IS NULL THEN 'removed'
+         |       WHEN v.id IS NULL THEN 'added'
+         |       ELSE 'changed' END AS change,
+         |  v.label AS old_label, v.name AS old_name,
+         |  nv.label AS new_label, nv.name AS new_name
+         |FROM v FULL OUTER JOIN nv ON v.id = nv.id
+         |WHERE nv.id IS NULL OR v.id IS NULL
+         |   OR v.name <> nv.name OR v.label <> nv.label
          |ORDER BY id""".stripMargin)
   )
 }

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data capture between two immutable snapshots — the useful form
+  * of the reference's namespace switch (`change_collection`,
+  * mongraph.py:62-69): every mutation here produces a new snapshot
+  * (SURVEY.md §1.2), so "what changed between graph A and graph B" is the
+  * natural audit/incremental-sync primitive.
+  *
+  * One full-outer join on the key columns, values compared as a single
+  * struct (null-safe: a value column flipping to/from NULL is a change).
+  * Unchanged rows are dropped — output size is the delta, not the
+  * snapshot. Scales as one key-partitioned shuffle join; AQE handles
+  * skew/size.
+  */
+object SnapshotDiff {
+
+  /** Rows of `neu` vs `old` keyed by `idCols`: `added` / `removed` /
+    * `changed`, with the old and new value structs (schemas must match).
+    */
+  def diff(old: DataFrame, neu: DataFrame, idCols: Seq[String]): DataFrame = {
+    require(old.columns.sameElements(neu.columns),
+      s"snapshot schemas differ: ${old.columns.mkString(",")} vs ${neu.columns.mkString(",")}")
+    val valCols = old.columns.filterNot(idCols.contains).toSeq
+    val o = old.select(idCols.map(col) :+ struct(valCols.map(col): _*).as("old_val"): _*)
+    val n = neu.select(idCols.map(col) :+ struct(valCols.map(col): _*).as("new_val"): _*)
+    o.join(n, idCols, "full_outer")
+      .withColumn("change",
+        when(col("new_val").isNull, "removed")
+          .when(col("old_val").isNull, "added")
+          .when(!(col("old_val") <=> col("new_val")), "changed"))
+      .filter(col("change").isNotNull)
+  }
+}

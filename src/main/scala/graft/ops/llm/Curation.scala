@@ -53,14 +53,19 @@ object Curation {
     * a map-side hash join with no shuffle of the corpus grams; only the
     * (doc, eval_doc) hit counts aggregate.
     */
-  def contamination(docs: DataFrame, evalPred: Column, shingleLen: Int = 5,
-      minShared: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = docs
+  /** One row per (carried columns, distinct `shingleLen`-gram hash). */
+  private def distinctGrams(docs: DataFrame, shingleLen: Int, textCol: String,
+      carryCols: Seq[Column]): DataFrame =
+    docs
       .withColumn("__toks", split(col(textCol), " "))
       .filter(size(col("__toks")) >= shingleLen)
-      .select(col(idCol), col("__toks"), evalPred.as("__is_eval"))
-      .select(col(idCol), col("__is_eval"), explode(expr(
-        s"array_distinct(transform(sequence(0, size(__toks)-$shingleLen), i -> xxhash64(concat_ws(' ', slice(__toks, i+1, $shingleLen)))))")).as("__g"))
+      .select(carryCols :+ explode(expr(
+        s"array_distinct(transform(sequence(0, size(__toks)-$shingleLen), i -> xxhash64(concat_ws(' ', slice(__toks, i+1, $shingleLen)))))")).as("__g"): _*)
+
+  def contamination(docs: DataFrame, evalPred: Column, shingleLen: Int = 5,
+      minShared: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = distinctGrams(docs, shingleLen, textCol,
+      Seq(col(idCol), evalPred.as("__is_eval")))
     val eval = grams.filter(col("__is_eval"))
       .select(col(idCol).as("eval_id"), col("__g"))
     val corpus = grams.filter(!col("__is_eval"))
@@ -69,6 +74,31 @@ object Curation {
       .groupBy(idCol, "eval_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** [[contamination]] under Structured Streaming: a continuous document
+    * ingest checked against a STATIC eval-set gram index (stream-static
+    * broadcast join — the eval suite is fixed per training run). The
+    * per-(doc, eval_doc) counts aggregate inside an event-time window with
+    * a watermark, so overlap state is dropped once the watermark passes —
+    * bounded memory on unbounded input, same shape as
+    * [[Dedup.exactStreaming]]. Each document's grams arrive in one row →
+    * one micro-batch, so its counts are complete within its window.
+    */
+  def contaminationStreaming(docs: DataFrame, evalDocs: DataFrame,
+      tsCol: String = "ts", watermark: String = "10 minutes",
+      shingleLen: Int = 5, minShared: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = distinctGrams(evalDocs, shingleLen, textCol,
+      Seq(col(idCol).as("eval_id")))
+    val streamGrams = distinctGrams(docs, shingleLen, textCol,
+      Seq(col(idCol), col(tsCol)))
+      .withWatermark(tsCol, watermark)
+    streamGrams.join(broadcast(evalGrams), Seq("__g"))
+      .groupBy(window(col(tsCol), watermark), col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol), col("eval_id"), col("n_shared"))
   }
 
   /** Unigram-LM statistical quality score: the mean INVERSE corpus

@@ -82,4 +82,64 @@ class CurationSpec extends SparkSpec {
       .select("score").as[Double].collect()
     assert(s(1) > s(0), s"rare-token doc must score higher: ${s.toSeq}")
   }
+
+  test("contaminationStreaming flags a streamed doc against the static eval set") {
+    implicit val ctx = spark.sqlContext
+    val run = "alpha beta gamma delta epsilon zeta eta"
+    val evalDocs = Seq((100L, s"$run theta iota")).toDF("doc_id", "text")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Curation.contaminationStreaming(
+      stream.toDF().toDF("doc_id", "ts", "text"), evalDocs)
+      .writeStream.outputMode("update").format("memory").queryName("cont_out").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      stream.addData((1L, t0, s"$run different tail here"),
+        (2L, t0, "unrelated words only nothing shared at all"))
+      q.processAllAvailable()
+      val got = spark.table("cont_out")
+        .select("doc_id", "eval_id", "n_shared").as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L, 3L)), s"got $got")
+    } finally q.stop()
+  }
+
+  // ---- ScalaCheck properties -------------------------------------------
+
+  private def check(p: org.scalacheck.Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val piiTextGen: org.scalacheck.Gen[String] = {
+    import org.scalacheck.Gen
+    val word = Gen.oneOf("alpha", "beta", "scan", "x9", "q", "Customer#12345678",
+      "bob@mail.example.com", "10.1.2.3", "99887766", "v2.1", "2024-01-01")
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+  }
+
+  test("property: piiRedact is idempotent — a redacted text has no PII left") {
+    check(org.scalacheck.Prop.forAll(piiTextGen) { text =>
+      val once = Curation.piiRedact(
+        Seq((1L, text)).toDF("id", "text"), "text", "id")
+        .head().getAs[String]("redacted")
+      val again = Curation.piiRedact(
+        Seq((1L, once)).toDF("id", "text"), "text", "id").head()
+      again.getAs[String]("redacted") == once &&
+        Seq("n_email", "n_ipv4", "n_name", "n_num")
+          .forall(c => again.getAs[Long](c) == 0L)
+    })
+  }
+
+  test("property: unigramQuality scores are >= 1 (inverse probability bound)") {
+    import org.scalacheck.Gen
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 6).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf("a", "b", "c", "dd", "ee")).map(_.mkString(" ")))))
+    check(org.scalacheck.Prop.forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      Curation.unigramQuality(df).select("score").as[Double].collect()
+        .forall(_ >= 1.0 - 1e-9)
+    })
+  }
 }

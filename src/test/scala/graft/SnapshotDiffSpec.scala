@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SnapshotDiff
+
+/** Snapshot CDC: added/removed/changed classification, unchanged rows
+  * dropped, null-safe value compare, schema guard.
+  */
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val old = Seq(
+    (1L, "a", "same"), (2L, "b", "will-change"), (3L, "c", "will-remove"),
+    (4L, "d", null.asInstanceOf[String])
+  ).toDF("id", "label", "name")
+
+  private lazy val neu = Seq(
+    (1L, "a", "same"), (2L, "b", "changed!"),
+    (4L, "d", "was-null"), (5L, "e", "brand-new")
+  ).toDF("id", "label", "name")
+
+  test("classifies added/removed/changed and drops unchanged") {
+    val got = SnapshotDiff.diff(old, neu, Seq("id"))
+      .select("id", "change").as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "added")) // id 1 unchanged → absent
+  }
+
+  test("null-safe: a NULL→value flip is a change, value structs preserved") {
+    val r = SnapshotDiff.diff(old, neu, Seq("id")).filter(col("id") === 4L).head()
+    assert(r.getAs[String]("change") == "changed")
+    assert(r.getStruct(r.fieldIndex("old_val")).isNullAt(1))
+    assert(r.getStruct(r.fieldIndex("new_val")).getString(1) == "was-null")
+  }
+
+  test("schema mismatch is rejected loudly") {
+    val err = intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(old, neu.drop("name"), Seq("id"))
+    }
+    assert(err.getMessage.contains("schemas differ"))
+  }
+}
