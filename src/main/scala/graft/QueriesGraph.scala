@@ -144,7 +144,8 @@ object QueriesGraph {
          |  nv.label AS new_label, nv.name AS new_name
          |FROM v FULL OUTER JOIN nv ON v.id = nv.id
          |WHERE nv.id IS NULL OR v.id IS NULL
-         |   OR v.name <> nv.name OR v.label <> nv.label
+         |   OR v.name IS DISTINCT FROM nv.name
+         |   OR v.label IS DISTINCT FROM nv.label
          |ORDER BY id""".stripMargin)
   )
 }

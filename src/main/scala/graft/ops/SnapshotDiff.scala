@@ -19,10 +19,23 @@ object SnapshotDiff {
 
   /** Rows of `neu` vs `old` keyed by `idCols`: `added` / `removed` /
     * `changed`, with the old and new value structs (schemas must match).
+    *
+    * PRECONDITION: `idCols` uniquely key both snapshots — duplicate keys
+    * would fan out through the full-outer join into contradictory delta
+    * rows. The canonical snapshots satisfy this by construction (vertex
+    * `id` / edge `(src,dst,label)` are dedup identities); pass
+    * `checkKeys = true` to pay one aggregation per side and fail loudly
+    * instead (worth it on snapshots of unknown provenance, not on the
+    * hot path).
     */
-  def diff(old: DataFrame, neu: DataFrame, idCols: Seq[String]): DataFrame = {
+  def diff(old: DataFrame, neu: DataFrame, idCols: Seq[String],
+      checkKeys: Boolean = false): DataFrame = {
     require(old.columns.sameElements(neu.columns),
       s"snapshot schemas differ: ${old.columns.mkString(",")} vs ${neu.columns.mkString(",")}")
+    if (checkKeys) Seq("old" -> old, "new" -> neu).foreach { case (side, df) =>
+      val dup = df.groupBy(idCols.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0, s"$side snapshot has duplicate keys on (${idCols.mkString(",")})")
+    }
     val valCols = old.columns.filterNot(idCols.contains).toSeq
     val o = old.select(idCols.map(col) :+ struct(valCols.map(col): _*).as("old_val"): _*)
     val n = neu.select(idCols.map(col) :+ struct(valCols.map(col): _*).as("new_val"): _*)

@@ -43,6 +43,15 @@ object Curation {
     df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
   }
 
+  /** One row per (carried columns, distinct `shingleLen`-gram hash). */
+  private def distinctGrams(docs: DataFrame, shingleLen: Int, textCol: String,
+      carryCols: Seq[Column]): DataFrame =
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .filter(size(col("__toks")) >= shingleLen)
+      .select(carryCols :+ explode(expr(
+        s"array_distinct(transform(sequence(0, size(__toks)-$shingleLen), i -> xxhash64(concat_ws(' ', slice(__toks, i+1, $shingleLen)))))")).as("__g"): _*)
+
   /** Benchmark-contamination check: count distinct shared token
     * `shingleLen`-grams between every corpus document and every document of
     * a (small) held-out evaluation set, and flag pairs with at least
@@ -53,15 +62,6 @@ object Curation {
     * a map-side hash join with no shuffle of the corpus grams; only the
     * (doc, eval_doc) hit counts aggregate.
     */
-  /** One row per (carried columns, distinct `shingleLen`-gram hash). */
-  private def distinctGrams(docs: DataFrame, shingleLen: Int, textCol: String,
-      carryCols: Seq[Column]): DataFrame =
-    docs
-      .withColumn("__toks", split(col(textCol), " "))
-      .filter(size(col("__toks")) >= shingleLen)
-      .select(carryCols :+ explode(expr(
-        s"array_distinct(transform(sequence(0, size(__toks)-$shingleLen), i -> xxhash64(concat_ws(' ', slice(__toks, i+1, $shingleLen)))))")).as("__g"): _*)
-
   def contamination(docs: DataFrame, evalPred: Column, shingleLen: Int = 5,
       minShared: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val grams = distinctGrams(docs, shingleLen, textCol,
@@ -79,14 +79,17 @@ object Curation {
   /** [[contamination]] under Structured Streaming: a continuous document
     * ingest checked against a STATIC eval-set gram index (stream-static
     * broadcast join — the eval suite is fixed per training run). The
-    * per-(doc, eval_doc) counts aggregate inside an event-time window with
-    * a watermark, so overlap state is dropped once the watermark passes —
-    * bounded memory on unbounded input, same shape as
-    * [[Dedup.exactStreaming]]. Each document's grams arrive in one row →
-    * one micro-batch, so its counts are complete within its window.
+    * per-(doc, eval_doc) counts aggregate inside a `windowDuration`
+    * event-time window with a `watermark` delay — two independent knobs:
+    * the window sets grouping/emission granularity, the watermark sets how
+    * much lateness is tolerated before state is dropped. Bounded memory on
+    * unbounded input, same shape as [[Dedup.exactStreaming]]. Each
+    * document's grams arrive in one row → one micro-batch, so its counts
+    * are complete within its window.
     */
   def contaminationStreaming(docs: DataFrame, evalDocs: DataFrame,
       tsCol: String = "ts", watermark: String = "10 minutes",
+      windowDuration: String = "10 minutes",
       shingleLen: Int = 5, minShared: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val evalGrams = distinctGrams(evalDocs, shingleLen, textCol,
@@ -95,7 +98,7 @@ object Curation {
       Seq(col(idCol), col(tsCol)))
       .withWatermark(tsCol, watermark)
     streamGrams.join(broadcast(evalGrams), Seq("__g"))
-      .groupBy(window(col(tsCol), watermark), col(idCol), col("eval_id"))
+      .groupBy(window(col(tsCol), windowDuration), col(idCol), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col(idCol), col("eval_id"), col("n_shared"))

@@ -39,4 +39,14 @@ class SnapshotDiffSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("schemas differ"))
   }
+
+  test("checkKeys = true rejects duplicate keys loudly") {
+    val dup = old.unionByName(old.limit(1))
+    val err = intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(dup, neu, Seq("id"), checkKeys = true)
+    }
+    assert(err.getMessage.contains("duplicate keys"))
+    // clean snapshots pass the check and diff normally
+    assert(SnapshotDiff.diff(old, neu, Seq("id"), checkKeys = true).count() == 4L)
+  }
 }
