@@ -31,7 +31,10 @@ class EntrySpec extends SparkSpec {
       "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding",
       "similarity_lsh", "similarity_ivf", "quality_filter", "sample_stratified",
       "doc_fingerprint", "token_count_bpe", "lang_id", "text_quality",
-      "multimodal_decode", "multimodal_frames", "graph_bfs_dist", "graph_lpa")
+      "multimodal_decode", "multimodal_frames", "graph_bfs_dist", "graph_lpa",
+      // round-4 additions
+      "pii_redact", "contamination_ngram", "quality_unigram",
+      "graph_shortest_paths", "snapshot_diff")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
