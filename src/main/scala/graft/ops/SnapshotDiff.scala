@@ -46,4 +46,21 @@ object SnapshotDiff {
           .when(!(col("old_val") <=> col("new_val")), "changed"))
       .filter(col("change").isNotNull)
   }
+
+  /** Reconstruct the new snapshot from the old one plus a [[diff]] delta —
+    * the consumer half of the CDC contract (`applyDelta(old, diff(old,
+    * new)) == new`, property-tested in SnapshotDiffSpec). Removed/changed
+    * keys anti-join out of the old snapshot; changed/added rows come back
+    * from the delta's `new_val` structs. One key-partitioned anti-join +
+    * a union: the incremental-sync shape (ship deltas, not snapshots).
+    */
+  def applyDelta(old: DataFrame, delta: DataFrame, idCols: Seq[String]): DataFrame = {
+    val valFields = delta.schema("new_val").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    val upserts = delta.filter(col("change") =!= "removed")
+      .select(idCols.map(col) ++ valFields.map(f => col(s"new_val.$f").as(f)): _*)
+    old.join(delta.select(idCols.map(col): _*), idCols, "left_anti")
+      .unionByName(upserts)
+      .select(old.columns.toIndexedSeq.map(col): _*)
+  }
 }

@@ -40,6 +40,34 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(err.getMessage.contains("schemas differ"))
   }
 
+  test("applyDelta reconstructs the new snapshot: applyDelta(old, diff(old,new)) == new") {
+    val got = SnapshotDiff.applyDelta(old, SnapshotDiff.diff(old, neu, Seq("id")), Seq("id"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == neu.as[(Long, String, String)].collect().toSet)
+  }
+
+  test("property: diff/applyDelta round-trip on random snapshots") {
+    def check(p: org.scalacheck.Prop): Unit = {
+      val res = org.scalacheck.Test.check(
+        org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(6), p)
+      assert(res.passed, res.status.toString)
+    }
+    import org.scalacheck.Gen
+    val snapGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(1L, 8L), Gen.oneOf("a", "b"),
+        Gen.option(Gen.oneOf("x", "y", "z"))))
+        .map(_.map { case (id, l, nm) => (id, l, nm.orNull) }
+          .groupBy(_._1).map(_._2.head).toSeq)) // unique keys
+    check(org.scalacheck.Prop.forAll(snapGen, snapGen) { (a, b) =>
+      val oldDf = a.toDF("id", "label", "name")
+      val newDf = b.toDF("id", "label", "name")
+      val rebuilt = SnapshotDiff
+        .applyDelta(oldDf, SnapshotDiff.diff(oldDf, newDf, Seq("id")), Seq("id"))
+        .as[(Long, String, String)].collect().toSet
+      rebuilt == newDf.as[(Long, String, String)].collect().toSet
+    })
+  }
+
   test("checkKeys = true rejects duplicate keys loudly") {
     val dup = old.unionByName(old.limit(1))
     val err = intercept[IllegalArgumentException] {
