@@ -243,13 +243,20 @@ object GraphAnalytics {
 
   /** Parts co-ordered in the same order — a triangle-rich projection of the
     * order/lineitem bipartite graph, canonical (a < b) distinct pairs.
+    *
+    * Built by the posting-list pattern (one groupBy into a sorted per-order
+    * part set, pairs by double explode over the sorted list — a < b falls
+    * out of the slice) rather than a self-join: one shuffle on the order
+    * key instead of dedup-shuffle + join re-shuffle. The per-key buffer is
+    * the order's distinct part set — bounded by order line count, so no
+    * hot-key blowup.
     */
-  def coOrderPartEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val lp = graft.model.Tables(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    lp.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(lp.select(col("l_orderkey"), col("l_partkey").as("dst")), Seq("l_orderkey"))
-      .filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
-  }
+  def coOrderPartEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.model.Tables(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
+      .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "src")))
+      .select(col("src"),
+        explode(slice(col("__ps"), col("__i") + 2, size(col("__ps")))).as("dst"))
+      .distinct()
 }
