@@ -60,7 +60,11 @@ object Traverse {
       frontier = next.join(maybeBroadcast(visited, visitedRows), Seq("id"), "left_anti")
         .localCheckpoint()
       frontierRows = frontier.count()
-      visited = visited.union(frontier).localCheckpoint()
+      // visited = union of already-checkpointed frontiers: its lineage is
+      // one union node over materialized leaves (depth ≤ k, never
+      // recomputed), so re-checkpointing it would only buy a redundant
+      // materialization job per hop.
+      visited = visited.union(frontier)
       visitedRows += frontierRows
     }
     visited
