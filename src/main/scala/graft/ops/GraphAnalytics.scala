@@ -253,6 +253,10 @@ object GraphAnalytics {
     */
   def coOrderPartEdges(spark: SparkSession, sfDir: String): DataFrame =
     graft.model.Tables(spark, sfDir, "lineitem")
+      // a NULL order key must produce no pairs (equi-join semantics of the
+      // former self-join form) — groupBy would otherwise pool all NULL-key
+      // rows into one group and fabricate co-order edges among them
+      .filter(col("l_orderkey").isNotNull)
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
       .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "src")))

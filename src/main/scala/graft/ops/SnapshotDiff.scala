@@ -38,13 +38,21 @@ object SnapshotDiff {
     }
     val valCols = old.columns.filterNot(idCols.contains).toSeq
     val o = old.select(idCols.map(col) :+ struct(valCols.map(col): _*).as("old_val"): _*)
-    val n = neu.select(idCols.map(col) :+ struct(valCols.map(col): _*).as("new_val"): _*)
-    o.join(n, idCols, "full_outer")
+    // keys joined NULL-SAFELY (`<=>`): an equi-join would never match a
+    // NULL key, silently splitting a NULL-keyed change into a spurious
+    // removed+added pair. The new side's keys are renamed so the explicit
+    // join condition stays unambiguous even when `neu` derives from `old`.
+    val n = neu.select(idCols.map(c => col(c).as(s"__n_$c"))
+      :+ struct(valCols.map(col): _*).as("new_val"): _*)
+    val cond = idCols.map(c => col(c) <=> col(s"__n_$c")).reduce(_ && _)
+    o.join(n, cond, "full_outer")
       .withColumn("change",
         when(col("new_val").isNull, "removed")
           .when(col("old_val").isNull, "added")
           .when(!(col("old_val") <=> col("new_val")), "changed"))
       .filter(col("change").isNotNull)
+      .select(idCols.map(c => coalesce(col(c), col(s"__n_$c")).as(c))
+        :+ col("change") :+ col("old_val") :+ col("new_val"): _*)
   }
 
   /** Reconstruct the new snapshot from the old one plus a [[diff]] delta —
@@ -59,8 +67,12 @@ object SnapshotDiff {
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
     val upserts = delta.filter(col("change") =!= "removed")
       .select(idCols.map(col) ++ valFields.map(f => col(s"new_val.$f").as(f)): _*)
-    old.join(delta.select(idCols.map(col): _*), idCols, "left_anti")
+    // NULL-SAFE anti-join (mirror of diff's join): an equi anti-join never
+    // matches a NULL key, so a NULL-keyed removed/changed row would
+    // survive next to its replacement and break the round-trip contract.
+    val delKeys = delta.select(idCols.map(c => col(c).as(s"__d_$c")): _*)
+    val cond = idCols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
+    old.join(delKeys, cond, "left_anti")
       .unionByName(upserts)
-      .select(old.columns.toIndexedSeq.map(col): _*)
   }
 }

@@ -37,9 +37,10 @@ object Traverse {
     * hop is a map-side hash join — the edge table is never shuffled. Once
     * the visited set outgrows [[broadcastRowLimit]] (possible at depth ≥
     * graph diameter on a 100 TB graph) the hint is dropped and the hop
-    * falls back to AQE's join choice; the row counts are free — both
-    * frames are localCheckpoint'ed, so `count()` reads cached partition
-    * sizes, no recompute.
+    * falls back to AQE's join choice. Row counts are cheap: only the
+    * frontier is localCheckpoint'ed (its `count()` reads cached partition
+    * sizes), and the visited size is tracked incrementally — `visited`
+    * itself stays a plain union over the checkpointed frontiers.
     */
   val broadcastRowLimit: Long = 5000000L
 

@@ -53,19 +53,31 @@ class SnapshotDiffSpec extends SparkSpec {
       assert(res.passed, res.status.toString)
     }
     import org.scalacheck.Gen
+    // ids include None → a NULL key (allowed: keys must be UNIQUE, not
+    // non-null; diff/applyDelta join keys null-safely)
     val snapGen = Gen.chooseNum(0, 12).flatMap(n =>
-      Gen.listOfN(n, Gen.zip(Gen.chooseNum(1L, 8L), Gen.oneOf("a", "b"),
+      Gen.listOfN(n, Gen.zip(Gen.option(Gen.chooseNum(1L, 8L)), Gen.oneOf("a", "b"),
         Gen.option(Gen.oneOf("x", "y", "z"))))
-        .map(_.map { case (id, l, nm) => (id, l, nm.orNull) }
-          .groupBy(_._1).map(_._2.head).toSeq)) // unique keys
+        .map(_.map { case (id, l, nm) => (id.map(java.lang.Long.valueOf).orNull, l, nm.orNull) }
+          .groupBy(_._1).map(_._2.head).toSeq)) // unique keys (incl. ≤1 NULL)
     check(org.scalacheck.Prop.forAll(snapGen, snapGen) { (a, b) =>
       val oldDf = a.toDF("id", "label", "name")
       val newDf = b.toDF("id", "label", "name")
       val rebuilt = SnapshotDiff
         .applyDelta(oldDf, SnapshotDiff.diff(oldDf, newDf, Seq("id")), Seq("id"))
-        .as[(Long, String, String)].collect().toSet
-      rebuilt == newDf.as[(Long, String, String)].collect().toSet
+        .as[(Option[Long], String, String)].collect().toSet
+      rebuilt == newDf.as[(Option[Long], String, String)].collect().toSet
     })
+  }
+
+  test("NULL key is a single 'changed' row, not a spurious removed+added pair") {
+    val o = Seq((null.asInstanceOf[java.lang.Long], "a", "x")).toDF("id", "label", "name")
+    val n = Seq((null.asInstanceOf[java.lang.Long], "a", "y")).toDF("id", "label", "name")
+    val d = SnapshotDiff.diff(o, n, Seq("id")).collect()
+    assert(d.length == 1 && d(0).getAs[String]("change") == "changed")
+    val rebuilt = SnapshotDiff.applyDelta(o, SnapshotDiff.diff(o, n, Seq("id")), Seq("id"))
+      .as[(Option[Long], String, String)].collect().toSet
+    assert(rebuilt == Set((None, "a", "y")))
   }
 
   test("checkKeys = true rejects duplicate keys loudly") {
