@@ -80,6 +80,18 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(rebuilt == Set((None, "a", "y")))
   }
 
+  test("plan shape: one key-partitioned join, no cartesian/nested-loop") {
+    // the 100 TB contract: CDC is a single full-outer join on the snapshot
+    // key — never a broadcast (both sides are snapshot-sized) and never a
+    // nested-loop/cartesian product.
+    val plan = SnapshotDiff.diff(old, neu, Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"expected a full-outer sort-merge join, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"no cartesian/nested-loop expected, plan:\n$plan")
+  }
+
   test("checkKeys = true rejects duplicate keys loudly") {
     val dup = old.unionByName(old.limit(1))
     val err = intercept[IllegalArgumentException] {
