@@ -111,5 +111,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PolyFold].getName, "poly_fold"),
       (exprs: Seq[Expression]) => TextHash.builder(exprs)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("nearest_cells"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NearestCenterOrder].getName, "nearest_cells"),
+      (exprs: Seq[Expression]) => NearestCenterOrder(exprs.head, exprs(1), exprs(2))))
   }
 }

@@ -23,6 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
   import graft.functions.VectorFunctions.{float_dot, float_norm}
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Brute-force cosine top-k: `queryPred` selects the query vectors,
     * `blockCol` equality bounds the candidate set. Scores are rounded to 4
@@ -154,35 +155,26 @@ object Similarity {
       .drop((0 until tables).map(t => s"__bkt$t"): _*)
   }
 
-  /** (distance, cell) structs of a vector column against LITERAL centroid
-    * arrays: d = c·c − 2·v·c (v·v is constant per row, so dropping it
-    * leaves the ordering unchanged). Each distance is one codegen'd
-    * [[graft.functions.FloatDotProduct]]; the centroid matrix is
-    * nCells × dim floats — driver-tiny, shipped in the plan. Shared by the
-    * fit's assignment step and the query-side probe ranking, so the two
-    * can never disagree on cell geometry.
+  /** Probe order (cells ascending by distance) of a vector against LITERAL
+    * centroids — one codegen'd [[graft.functions.NearestCenterOrder]]
+    * expression; the centroid matrix is nCells × dim floats, driver-tiny,
+    * shipped in the plan as an array-literal REFERENCE (not inlined
+    * primitives), so the generated source is center-value-invariant and
+    * Lloyd iterations never recompile. Shared by the fit's assignment step
+    * and the query-side probe ranking, so the two can never disagree on
+    * cell geometry. Empty-center inputs short-circuit to an empty probe
+    * array rather than failing analysis.
     */
-  private def centerDistStructs(vecCol: Column, centers: Array[Array[Float]]): Seq[Column] = {
-    // every per-center constant travels as an ARRAY-literal reference, not
-    // an inlined primitive literal: codegen inlines primitive literals into
-    // the generated source, so per-iteration centers would force a fresh
-    // Janino compile of the (large) assignment/agg classes on EVERY Lloyd
-    // iteration — with references the source is iteration-invariant and the
-    // generated-class cache hits.
-    val c2s = typedlit(centers.map(_.map(x => x.toDouble * x.toDouble).sum).toSeq)
-    centers.toSeq.zipWithIndex.map { case (ctr, i) =>
-      struct((element_at(c2s, i + 1)
-        - lit(2.0) * float_dot(vecCol, typedlit(ctr.toSeq))).as("d"),
-        lit(i).as("cell"))
-    }
-  }
+  private def probeOrder(vecCol: Column, centers: Array[Array[Float]]): Column =
+    if (centers.isEmpty) typedlit(Seq.empty[Int])
+    else graft.functions.NearestCells.nearest_cells(vecCol, centers)
 
-  /** Nearest-centroid cell id (ties broken by cell index — the struct sort
-    * orders (d, cell) lexicographically).
+  /** Nearest-centroid cell id (ties broken by cell index), or NULL when
+    * the center set is empty.
     */
   def nearestCell(vecCol: Column, centers: Array[Array[Float]]): Column =
-    element_at(array_sort(array(centerDistStructs(vecCol, centers): _*)), 1)
-      .getField("cell")
+    if (centers.isEmpty) lit(null).cast("int")
+    else get(probeOrder(vecCol, centers), lit(0))
 
   /** Deterministic IVF centroid fit as plain DataFrame Lloyd iterations —
     * no fitted model object, no RDD conversion, and layout-invariant:
@@ -198,46 +190,94 @@ object Similarity {
     *    deterministic, full stop. 3 iterations: IVF needs a coarse
     *    partition of the space, not converged clusters — recall comes from
     *    the per-cell search.
-    * Driver state is nCells×dim floats per iteration — the "model is tiny,
-    * data is huge" shape that makes IVF work at 100 TB (each iteration is
-    * one map-side-combinable aggregation over the corpus).
+    * The fit runs on a deterministic `xxhash64(id) % mod` sample of
+    * ~[[IvfFitSampleTarget]] vectors (persisted across the Lloyd passes),
+    * so fit cost is O(sample), independent of corpus size; only the final
+    * per-vector assignment in [[ivfCosineTopK]] touches the full corpus,
+    * exactly once. Driver state is nCells×dim floats per iteration — the
+    * "model is tiny, data is huge" shape that makes IVF work at 100 TB.
     */
+  /** Expected size of the deterministic fit sample (see [[fitIvfCenters]]):
+    * the sample keeps ids with `xxhash64(id) % mod == 0` where
+    * `mod = max(1, n / IvfFitSampleTarget)`, so the realized sample size is
+    * ~[target, 2·target). 4096 points for ≤256 cells is ample for a COARSE
+    * space partition — IVF recall comes from the per-cell search, not from
+    * converged clusters.
+    */
+  val IvfFitSampleTarget: Long = 4096L
+
   def fitIvfCenters(emb: DataFrame, nCells: Int, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleTarget: Long = IvfFitSampleTarget): Array[Array[Float]] = {
     import org.apache.spark.sql.types.DecimalType
-    var centers: Array[Array[Float]] = emb
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCells)
-      .select(vecCol).collect()
-      .map(_.getSeq[Float](0).toArray)
-    val dim = centers.headOption.map(_.length).getOrElse(return centers)
-    // one dsum per dimension in a single groupBy — map-side combinable, the
-    // shuffle carries nCells × (dim decimals) rows, never a dim× row
-    // explosion (same shape as MinHash's 32 min-aggs in one pass).
-    // DECIMAL(18,10) stays within Spark's compact-Long decimal range (≤18
-    // digits) — sums run as primitive long arithmetic, not BigDecimal.
-    // Headroom: 10^8 unit-scale values per cell before overflow; a corpus
-    // beyond that would fit centroids on a deterministic sample anyway.
-    val dimSums = (0 until dim).map(j =>
-      sum(element_at(col(vecCol), j + 1).cast(DecimalType(18, 10))).as(s"__s$j"))
-    for (_ <- 1 to iters) {
-      val rows = emb
-        .withColumn("__cell", nearestCell(col(vecCol), centers))
-        .groupBy("__cell")
-        .agg(count(lit(1)).as("__n"), dimSums: _*)
-        .collect()
-      val next = centers.map(_.clone()) // empty cells keep their center
-      rows.foreach { r =>
-        val cell = r.getInt(0)
-        val n = r.getLong(1)
-        var j = 0
-        while (j < dim) {
-          next(cell)(j) = (r.getDecimal(2 + j).doubleValue() / n).toFloat
-          j += 1
+    // Fit on a deterministic hash sample, not the corpus: at 100 TB the
+    // Lloyd passes would otherwise re-scan everything `iters`× for a model
+    // that only needs a coarse sketch of the density. `xxhash64(id) % mod`
+    // is layout-invariant (a property of the ids, not the partitioning)
+    // and reproducible on any cluster; the count() that sizes `mod` reads
+    // parquet footers / the session cache, never the data.
+    val n = emb.count()
+    val mod = math.max(1L, n / math.max(1L, sampleTarget))
+    val sampled = mod > 1
+    val base0 = emb.filter(col(vecCol).isNotNull)
+    val base =
+      if (sampled)
+        base0.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+          // persist: the sample is tiny (~sampleTarget rows) but each Lloyd
+          // pass is a separate action — without this, every iteration
+          // re-scans the full corpus just to re-apply the hash filter.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
+    try {
+      var centers: Array[Array[Float]] = base
+        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCells)
+        .select(vecCol).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val dim = centers.headOption.map(_.length).getOrElse(return centers)
+      // one dsum per dimension in a single groupBy — map-side combinable,
+      // the shuffle carries nCells × (dim decimals) rows, never a dim× row
+      // explosion (same shape as MinHash's 32 min-aggs in one pass).
+      // DECIMAL(18,10) stays within Spark's compact-Long decimal range (≤18
+      // digits) — sums run as primitive long arithmetic, not BigDecimal;
+      // the sample cap keeps sums far from overflow at any corpus size.
+      // The `size == dim` guard skips ragged vectors (they'd contribute
+      // NULL tails and bias the mean) and doubles as the ANSI-safe bound
+      // on element_at.
+      val okSize = size(col(vecCol)) === dim
+      val dimSums = (0 until dim).map(j =>
+        sum(when(okSize, element_at(col(vecCol), j + 1))
+          .cast(DecimalType(18, 10))).as(s"__s$j"))
+      val aggs = count(when(not(okSize), lit(1))).as("__bad") +: dimSums
+      var badSeen = 0L
+      for (_ <- 1 to iters) {
+        val rows = base
+          .withColumn("__cell", nearestCell(col(vecCol), centers))
+          .groupBy("__cell")
+          .agg(count(when(okSize, lit(1))).as("__n"), aggs: _*)
+          .collect()
+        val next = centers.map(_.clone()) // empty cells keep their center
+        badSeen = 0L // same excluded set every pass; keep the last total
+        rows.foreach { r =>
+          val cell = r.getInt(0)
+          val nOk = r.getLong(1)
+          badSeen += r.getLong(2)
+          if (nOk > 0) {
+            var j = 0
+            while (j < dim) {
+              val s = r.getDecimal(3 + j)
+              if (s != null) next(cell)(j) = (s.doubleValue() / nOk).toFloat
+              j += 1
+            }
+          }
         }
+        centers = next
       }
-      centers = next
+      if (badSeen > 0) log.warn(
+        s"fitIvfCenters: $badSeen sampled vector(s) had length != $dim and were excluded from the fit")
+      centers
+    } finally {
+      if (sampled) base.unpersist(false)
     }
-    centers
   }
 
   /** IVF (inverted-file) coarse quantization: fit centroids
@@ -251,20 +291,25 @@ object Similarity {
     * `nprobe`× the per-query compute.
     */
   def ivfCosineTopK(emb: DataFrame, queryPred: Column, k: Int = 5, nCells: Int = 16,
-      nprobe: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val centers = fitIvfCenters(emb, nCells, idCol = idCol, vecCol = vecCol)
+      nprobe: Int = 3, idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleTarget: Long = IvfFitSampleTarget): DataFrame = {
+    val centers = fitIvfCenters(emb, nCells, idCol = idCol, vecCol = vecCol,
+      sampleTarget = sampleTarget)
+    if (centers.isEmpty) { // empty corpus: no cells to probe — return an
+      // empty result with the contract schema instead of failing analysis.
+      return emb.select(col(idCol).as("q_id"), lit(0L).as("rk"),
+        col(idCol).as("c_id"), lit(0.0).as("score")).where(lit(false))
+    }
     val e = emb
-      .withColumn("ivf_cell", nearestCell(col(vecCol), centers))
+      .withColumn("__ord", probeOrder(col(vecCol), centers))
       .withColumn("__nrm", float_norm(col(vecCol)))
-    val c = e.select(col("ivf_cell"), col(idCol).as("c_id"),
-      col(vecCol).as("c_emb"), col("__nrm").as("c_n"))
-    // query-side multi-probe: the nprobe (dist, cell) structs with the
-    // smallest distance explode into one probe row each.
+    val c = e.select(get(col("__ord"), lit(0)).as("ivf_cell"),
+      col(idCol).as("c_id"), col(vecCol).as("c_emb"), col("__nrm").as("c_n"))
+    // query-side multi-probe: the nprobe nearest cells explode into one
+    // probe row each.
     val q = e.filter(queryPred)
-      .withColumn("__probe", explode(slice(
-        array_sort(array(centerDistStructs(col(vecCol), centers): _*)), 1, nprobe)))
-      .select(col("__probe.cell").as("ivf_cell"), col(idCol).as("q_id"),
+      .withColumn("ivf_cell", explode(slice(col("__ord"), 1, nprobe)))
+      .select(col("ivf_cell"), col(idCol).as("q_id"),
         col(vecCol).as("q_emb"), col("__nrm").as("q_n"))
     // a candidate lives in exactly ONE cell, so probe fan-out never
     // duplicates a (q, c) pair — the shared top-k tail applies unchanged.

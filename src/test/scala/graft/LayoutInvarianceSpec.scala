@@ -93,4 +93,15 @@ class LayoutInvarianceSpec extends SparkSpec {
       assert(ca.toSeq == cb.toSeq, "IVF centers differ across partitionings")
     }
   }
+
+  test("SAMPLED IVF fit (mod > 1) is partitioning-invariant and differs from ids, not layout") {
+    // sampleTarget 100 on a 500-row fixture → mod = 5: the hash-sample
+    // branch (filter + persist) is actually exercised.
+    val a = Similarity.fitIvfCenters(emb.repartition(1), nCells = 4, sampleTarget = 100)
+    val b = Similarity.fitIvfCenters(emb.repartition(7), nCells = 4, sampleTarget = 100)
+    assert(a.length == 4)
+    a.zip(b).foreach { case (ca, cb) =>
+      assert(ca.toSeq == cb.toSeq, "sampled IVF centers differ across partitionings")
+    }
+  }
 }

@@ -38,6 +38,25 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, s) => globalBrute.get(q).foreach(bs => assert(s <= bs + 1e-9)) }
   }
 
+  test("IVF on an EMPTY corpus returns an empty frame with the contract schema") {
+    val empty = emb.where(lit(false))
+    val out = Similarity.ivfCosineTopK(empty, pred, nCells = 4)
+    assert(out.columns.toSeq == Seq("q_id", "rk", "c_id", "score"))
+    assert(out.count() == 0)
+  }
+
+  test("ragged vectors are excluded from the fit, not crashed on") {
+    // one truncated and one null embedding mixed into the corpus: the fit
+    // must not NPE and must still produce full-dim centers.
+    val ragged = emb.limit(2).select(
+      (col("vec_id") + 200000).as("vec_id"), col("label"),
+      when(col("vec_id") % 2 === 0, slice(col("embedding"), 1, 3))
+        .otherwise(lit(null)).as("embedding"))
+    val centers = Similarity.fitIvfCenters(emb.unionByName(ragged), nCells = 4)
+    assert(centers.length == 4)
+    centers.foreach(c => assert(c.length == 64))
+  }
+
   test("embeddingNearDups finds identical vectors at threshold 1.0") {
     val dup = emb.limit(1).withColumn("vec_id", col("vec_id") + 100000)
     val withDup = emb.unionByName(dup)

@@ -87,4 +87,63 @@ class VectorFunctionsSpec extends SparkSpec {
     val withNull = Seq((Array(1L), null.asInstanceOf[Array[Long]])).toDF("a", "b")
     assert(withNull.select(sorted_intersect_count(col("a"), col("b"))).head().isNullAt(0))
   }
+
+  // ---- NearestCenterOrder (IVF probe order) -------------------------------
+
+  private val centers3 = Array(
+    Array(0.0f, 0.0f), Array(10.0f, 0.0f), Array(0.0f, 10.0f))
+
+  /** Brute-force reference: argsort by (c2 − 2·v·c, cell). */
+  private def bruteOrder(v: Array[Float], cs: Array[Array[Float]]): Seq[Int] = {
+    val d = cs.map { c =>
+      val c2 = c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+      val dot = v.zip(c).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+      c2 - 2.0 * dot
+    }
+    cs.indices.sortBy(i => (d(i), i))
+  }
+
+  test("nearest_cells: probe order matches the brute-force argsort") {
+    import graft.functions.NearestCells.nearest_cells
+    val vecs = Seq(
+      Array(1.0f, 1.0f), Array(9.0f, 1.0f), Array(1.0f, 9.0f), Array(5.0f, 5.0f))
+    val got = vecs.map(Tuple1(_)).toDF("v")
+      .select(nearest_cells(col("v"), centers3)).as[Seq[Int]].collect().toSeq
+    assert(got == vecs.map(v => bruteOrder(v, centers3)))
+  }
+
+  test("nearest_cells: equidistant ties break to the lower cell index") {
+    import graft.functions.NearestCells.nearest_cells
+    // duplicate centers → every distance ties → identity order
+    val dup = Array(Array(1.0f, 1.0f), Array(1.0f, 1.0f), Array(1.0f, 1.0f))
+    val got = Seq(Tuple1(Array(3.0f, 4.0f))).toDF("v")
+      .select(nearest_cells(col("v"), dup)).as[Seq[Int]].head()
+    assert(got == Seq(0, 1, 2))
+  }
+
+  test("nearest_cells: short (ragged) vector uses the overlapping prefix; null vector → null") {
+    import graft.functions.NearestCells.nearest_cells
+    val short = Seq(Tuple1(Array(9.0f))).toDF("v") // dim 1 vs centers dim 2
+      .select(nearest_cells(col("v"), centers3)).as[Seq[Int]].head()
+    // dots use the 1-elem prefix: d = c2 - 2*9*c(0) → cell1 (100-180=-80) wins
+    assert(short.head == 1)
+    val nul = Seq(Tuple1(null.asInstanceOf[Array[Float]])).toDF("v")
+      .select(nearest_cells(col("v"), centers3))
+    assert(nul.head().isNullAt(0))
+  }
+
+  test("nearest_cells: interpreted eval agrees with codegen") {
+    import graft.functions.NearestCells.nearest_cells
+    val v = Array(1.0f, 9.0f)
+    def run(): Seq[Int] = Seq(Tuple1(v)).toDF("v")
+      .select(nearest_cells(col("v"), centers3)).as[Seq[Int]].head()
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == gen && gen == bruteOrder(v, centers3))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
