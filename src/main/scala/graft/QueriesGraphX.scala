@@ -5,23 +5,30 @@ import scala.collection.immutable.ListMap
 import graft.model.{DerivedGraph, DerivedGraphSql}
 import graft.ops.GraphAnalytics
 
-/** GraphX analytics inventory (BASELINE.json spark_approach). PageRank and
-  * CC are iterative/fixpoint → no SQL oracle (rows-only check per driver
-  * contract); the triangle count is verified against a DuckDB 3-way
-  * self-join.
+/** GraphX analytics inventory (BASELINE.json spark_approach). CC and LPA
+  * are fixpoint/tie-break-unstable → no SQL oracle (rows-only check per
+  * driver contract); PageRank (static iteration count + per-iteration
+  * rounding ladder), BFS/shortest-paths (chained frontier joins) and the
+  * triangle count (3-way self-join) are all value-checked in DuckDB.
   */
 object QueriesGraphX {
 
   val defs: ListMap[String, QueryDef] = ListMap(
 
-    // PageRank over the derived graph; top-100 by rank (rounded only for
-    // display stability — rows-only check). Shares the memoized cached
-    // GraphX build with graph_cc/graph_bfs_dist.
+    // Static 10-iteration PageRank over the derived graph; top-100 by
+    // rank. Runs as the deterministic DataFrame loop
+    // (GraphAnalytics.pageRankDF: DECIMAL message sums + per-iteration
+    // 6dp rounding), so the DuckDB oracle — the same ten rounds as
+    // chained CTEs with the identical rounding ladder — reproduces the
+    // values exactly. The GraphX staticPageRank variant stays as the
+    // library op and is tolerance-cross-checked in GraphAnalyticsSpec.
     "graph_pagerank" -> QueryDef(
-      (s, d) => GraphAnalytics.pageRank(GraphAnalytics.derivedGraphX(s, d), 10)
-        .withColumn("rank", round(col("rank"), 6))
-        .orderBy(col("rank").desc, col("id")).limit(100),
-      None),
+      (s, d) => {
+        val g = graft.model.DerivedGraph(s, d)
+        GraphAnalytics.pageRankDF(g.vertices, g.edges, 10)
+          .orderBy(col("rank").desc, col("id")).limit(100)
+      },
+      prOracleSql),
 
     // Connected components → component sizes.
     "graph_cc" -> QueryDef(
@@ -108,6 +115,34 @@ object QueriesGraphX {
         |FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin)
   )
+
+  /** Generated oracle for graph_pagerank: GraphAnalytics.pageRankDF's ten
+    * rounds replayed as chained CTEs. Every arithmetic step mirrors the
+    * Spark side exactly — IEEE double division of identical inputs,
+    * DECIMAL(18,9) message accumulation (order-independent), then
+    * `round(0.15 + 0.85·msum, 6)` per iteration — so the rounding ladder
+    * keeps the two engines' ranks bit-aligned through all ten rounds.
+    * Literals are CAST to DOUBLE explicitly: DuckDB types bare `0.15` as
+    * DECIMAL, which would change the arithmetic.
+    */
+  private lazy val prOracleSql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS (SELECT v.id,
+         |   round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(m.msum, CAST(0 AS DOUBLE)), 6) AS rank
+         | FROM v LEFT JOIN (
+         |   SELECT ed.dst AS id, CAST(SUM(CAST(r.rank / ed.outdeg AS DECIMAL(18,9))) AS DOUBLE) AS msum
+         |   FROM r${i - 1} r JOIN ed ON r.id = ed.src GROUP BY ed.dst) m ON m.id = v.id)""".stripMargin
+    }.mkString(",\n ")
+    s"""${DerivedGraphSql.cte},
+       | deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       | ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg ON deg.src = e.src),
+       | r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v),
+       | $rounds,
+       | tot AS (SELECT CAST(SUM(CAST(rank AS DECIMAL(18,6))) AS DOUBLE) AS t,
+       |                COUNT(*) AS n FROM r10)
+       |SELECT r.id, round(r.rank * tot.n / tot.t, 6) AS rank
+       |FROM r10 r, tot ORDER BY rank DESC, id LIMIT 100""".stripMargin
+  }
 
   /** Landmarks for graph_shortest_paths: three nation vertices. */
   private lazy val spLandmarks: Seq[Long] =

@@ -80,6 +80,56 @@ object GraphAnalytics {
   def pageRank(vertices: DataFrame, edges: DataFrame, numIter: Int = 10): DataFrame =
     pageRank(toGraphX(vertices, edges), numIter)
 
+  /** Static PageRank as chained DataFrame joins, with GraphX
+    * `staticPageRank` semantics (init 1.0, directed src→dst messages,
+    * `rank' = 0.15 + 0.85·Σ rank/outdeg`, final Σranks normalized to |V|
+    * like SPARK-18847's sink correction) — but DETERMINISTIC and
+    * oracle-replayable:
+    *  - per-destination message sums accumulate in DECIMAL ([[graft.Qh.dsum]]
+    *    scale 9) → order/partitioning-independent, unlike GraphX's double
+    *    `merge`;
+    *  - ranks are rounded to `roundScale` decimals after EVERY iteration,
+    *    so an external replay (the DuckDB chained-CTE oracle) that applies
+    *    the identical rounding ladder reproduces the exact values —
+    *    IEEE division/multiply/add of identical doubles is engine-invariant,
+    *    and the per-iteration round quashes any residual ULP drift before
+    *    it can compound.
+    * Cross-checked against GraphX `staticPageRank` (tolerance-based) in
+    * GraphAnalyticsSpec.
+    *
+    * Scale shape: the whole run is ONE action over `numIter` chained
+    * join+agg rounds; ranks are |V| rows (AQE broadcasts them against the
+    * edge table when small), the per-round shuffle carries (dst, decimal)
+    * message rows, and the static (src, dst, outdeg) edge relation is an
+    * identical exchange subplan in every round — ReuseExchange dedupes it
+    * within the action.
+    */
+  def pageRankDF(vertices: DataFrame, edges: DataFrame, numIter: Int = 10,
+      roundScale: Int = 6): DataFrame = {
+    val e = edges.select("src", "dst")
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
+    var ranks = vertices.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to numIter) {
+      val msgs = ranks.join(ed, col("id") === col("src"))
+        .select(col("dst"), (col("rank") / col("__outdeg")).as("__c"))
+        .groupBy("dst").agg(graft.Qh.dsum(col("__c"), 9).as("__msum"))
+      ranks = vertices.select("id")
+        .join(msgs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          round(lit(0.15) + lit(0.85) * coalesce(col("__msum"), lit(0.0)), roundScale)
+            .as("rank"))
+    }
+    // normalize Σranks to |V| like GraphX (SPARK-18847 sink correction):
+    // the total is a single-row exact-decimal aggregate, broadcast against
+    // |V| rows — the by-design scalar join shape, and the scaling step is
+    // IEEE mult/div of identical doubles on both engines.
+    val tot = ranks.agg(graft.Qh.dsum(col("rank"), 6).as("__t"),
+      count(lit(1)).as("__n"))
+    ranks.crossJoin(broadcast(tot))
+      .select(col("id"),
+        round(col("rank") * col("__n") / col("__t"), roundScale).as("rank"))
+  }
+
   /** Connected components (undirected semantics — GraphX CC ignores
     * direction).
     */

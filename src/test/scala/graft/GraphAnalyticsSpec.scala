@@ -19,6 +19,18 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(math.abs(ranks - 6.0) < 0.1, s"sum(rank)=$ranks")
   }
 
+  test("deterministic pageRankDF agrees with GraphX staticPageRank and is layout-invariant") {
+    val gx = GraphAnalytics.pageRank(v, e).as[(Long, Double)].collect().toMap
+    val df = GraphAnalytics.pageRankDF(v, e).as[(Long, Double)].collect().toMap
+    assert(df.keySet == gx.keySet)
+    df.foreach { case (id, r) =>
+      assert(math.abs(r - gx(id)) < 1e-4, s"vertex $id: df=$r gx=${gx(id)}")
+    }
+    val shuffled = GraphAnalytics.pageRankDF(v.repartition(7), e.repartition(5))
+      .as[(Long, Double)].collect().toMap
+    assert(shuffled == df, "pageRankDF values changed under repartitioning")
+  }
+
   test("connected components: two components with the expected membership") {
     val cc = GraphAnalytics.connectedComponents(v, e)
       .groupBy("component").agg(count(lit(1)).as("n"))
