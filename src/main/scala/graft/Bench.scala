@@ -22,7 +22,7 @@ object Bench {
     // lives with the owning modules so it cannot drift.
     graft.model.Tables.warm(spark, sfDir)
     graft.ops.GraphAnalytics.warm(spark, sfDir)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -32,10 +32,19 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = timedPass()
+    // Second timed pass in the now-aged session (full inventory already ran
+    // once): per-query numbers free of first-run JIT/codegen-cache/alloc
+    // effects. Comparing `queries` (cold, the gate metric — unchanged
+    // semantics vs earlier rounds) against `aged` separates real plan
+    // regressions (slow in both) from session/host noise (cold-only) —
+    // VERDICT r4 asked for exactly this after agg_groupby's unexplained
+    // 6.4× driver-host delta.
+    val aged = timedPass()
+    def js(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"aged":${js(aged)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -146,6 +146,47 @@ object QueriesGraph {
          |WHERE nv.id IS NULL OR v.id IS NULL
          |   OR v.name IS DISTINCT FROM nv.name
          |   OR v.label IS DISTINCT FROM nv.label
-         |ORDER BY id""".stripMargin)
+         |ORDER BY id""".stripMargin),
+
+    // Edge-side snapshot CDC (VERDICT r4 #6): the other half of a graph
+    // snapshot, keyed by the full edge identity (src, dst, label) — the
+    // reference's edge dedup key (mongraph.py:120-124). Every column is a
+    // key column, so SnapshotDiff.diff degenerates to the membership diff
+    // (added/removed only; `changed` is impossible by construction) through
+    // the SAME full-outer SMJ plan the vertex diff uses (plan-spec'd in
+    // SnapshotDiffSpec). Mutation: a supplier churn scenario — suppliers
+    // with s_suppkey % 7 = 0 leave (their in_nation and supplies edges go),
+    // and the surviving supplies relationships gain a reversed
+    // 'supplied_by' audit edge.
+    "snapshot_diff_edges" -> QueryDef(
+      (s, d) => {
+        val e = DerivedGraph(s, d).edges
+        val gone = col("label").isin("in_nation", "supplies") &&
+          col("src") >= DerivedGraph.SupplierBase && col("src") < DerivedGraph.PartBase &&
+          (col("src") - DerivedGraph.SupplierBase) % 7 === 0
+        val kept = e.filter(!gone)
+        val neu = kept.unionByName(
+          kept.filter(col("label") === "supplies")
+            .select(col("dst").as("src"), col("src").as("dst"),
+              lit("supplied_by").as("label")))
+        graft.ops.SnapshotDiff.diff(e, neu, Seq("src", "dst", "label"))
+          .select("src", "dst", "label", "change")
+          .orderBy("src", "dst", "label")
+      },
+      s"""${DerivedGraphSql.cte},
+         | kept AS (SELECT src, dst, label FROM e
+         |   WHERE NOT (label IN ('in_nation', 'supplies')
+         |     AND src >= ${DerivedGraph.SupplierBase} AND src < ${DerivedGraph.PartBase}
+         |     AND (src - ${DerivedGraph.SupplierBase}) % 7 = 0)),
+         | ne AS (SELECT src, dst, label FROM kept
+         |   UNION ALL
+         |   SELECT dst, src, 'supplied_by' FROM kept WHERE label = 'supplies')
+         |SELECT COALESCE(e.src, ne.src) AS src, COALESCE(e.dst, ne.dst) AS dst,
+         |  COALESCE(e.label, ne.label) AS label,
+         |  CASE WHEN ne.src IS NULL THEN 'removed' ELSE 'added' END AS change
+         |FROM e FULL OUTER JOIN ne
+         |  ON e.src = ne.src AND e.dst = ne.dst AND e.label = ne.label
+         |WHERE e.src IS NULL OR ne.src IS NULL
+         |ORDER BY src, dst, label""".stripMargin)
   )
 }

@@ -105,7 +105,11 @@ object QueriesGraphX {
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val n = GraphAnalytics.triangleCountDF(GraphAnalytics.coOrderPartEdges(s, d))
+        // broadcastSides = true: the co-order projection's degree/adjacency
+        // sides are a few MB at bench scale — the opt-in case the library's
+        // scale-safe default (false) exists to protect against elsewhere.
+        val n = GraphAnalytics.triangleCountDF(GraphAnalytics.coOrderPartEdges(s, d),
+          broadcastSides = true)
         Seq(n).toDF("n_triangles")
       },
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -118,19 +122,23 @@ object QueriesGraphX {
 
   /** Generated oracle for graph_pagerank: GraphAnalytics.pageRankDF's ten
     * rounds replayed as chained CTEs. Every arithmetic step mirrors the
-    * Spark side exactly — IEEE double division of identical inputs,
-    * DECIMAL(18,9) message accumulation (order-independent), then
-    * `round(0.15 + 0.85·msum, 6)` per iteration — so the rounding ladder
-    * keeps the two engines' ranks bit-aligned through all ten rounds.
-    * Literals are CAST to DOUBLE explicitly: DuckDB types bare `0.15` as
-    * DECIMAL, which would change the arithmetic.
+    * Spark side exactly — IEEE double division/multiply of identical
+    * inputs, `floor(c·1e9)` fixed-point LONG message accumulation
+    * (order-independent integer addition; DuckDB's BIGINT sum widens to
+    * HUGEINT, exact a fortiori, and the total stays < 2⁵³ so the cast
+    * back to DOUBLE is exact), then `round(0.15 + 0.85·msum, 6)` per
+    * iteration — the rounding ladder keeps the two engines' ranks
+    * bit-aligned through all ten rounds. Literals are CAST to DOUBLE
+    * explicitly: DuckDB types bare `0.15` as DECIMAL, which would change
+    * the arithmetic.
     */
   private lazy val prOracleSql: String = {
     val rounds = (1 to 10).map { i =>
       s"""r$i AS (SELECT v.id,
          |   round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(m.msum, CAST(0 AS DOUBLE)), 6) AS rank
          | FROM v LEFT JOIN (
-         |   SELECT ed.dst AS id, CAST(SUM(CAST(r.rank / ed.outdeg AS DECIMAL(18,9))) AS DOUBLE) AS msum
+         |   SELECT ed.dst AS id,
+         |     CAST(SUM(CAST(floor((r.rank / ed.outdeg) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS msum
          |   FROM r${i - 1} r JOIN ed ON r.id = ed.src GROUP BY ed.dst) m ON m.id = v.id)""".stripMargin
     }.mkString(",\n ")
     s"""${DerivedGraphSql.cte},

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import scala.collection.immutable.ListMap
 import Qh._
-import graft.ops.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.llm.{Curation, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline inventory (north-star mandate): dedup ×4, similarity
   * search ×2, text analysis ×4, fingerprinting, multimodal ×2. Oracles
@@ -515,7 +515,79 @@ object QueriesLlm {
         |       FROM tk JOIN vc USING (tok) CROSS JOIN tt)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS score
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Sequence packing (VERDICT r4 #5): concat-and-chunk documents into
+    // fixed 512-token training sequences — deterministic doc_id order,
+    // global offsets via the two-level distributed prefix sum (see
+    // Packing.packSequences scaladoc for why chunking, not no-split
+    // first-fit, is both the scalable AND the standard training form).
+    // Oracle: one running-sum window + generate_series replays the layout
+    // exactly. Properties (every sequence full except the last, every doc
+    // fully packed) are asserted in PackingSpec.
+    "pack_sequences" -> QueryDef(
+      (s, d) => Packing.packSequences(t(s, d, "documents"), budget = 512)
+        .orderBy("doc_id", "seq_id"),
+      """WITH q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+        |           WHERE len(string_split(text, ' ')) > 0),
+        |c AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) AS en FROM q),
+        |s AS (SELECT doc_id, en - n AS st, en FROM c),
+        |x AS (SELECT doc_id, st, en,
+        |        CAST(unnest(generate_series(st // 512, (en - 1) // 512)) AS BIGINT) AS seq_id
+        |      FROM s)
+        |SELECT doc_id, seq_id,
+        |  CAST(GREATEST(st, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_off,
+        |  CAST(LEAST(en, (seq_id + 1) * 512) - GREATEST(st, seq_id * 512) AS BIGINT) AS n_toks_in_seq
+        |FROM x ORDER BY doc_id, seq_id""".stripMargin),
+
+    // End-to-end curation composition (VERDICT r4 #4): the actual shape a
+    // training-data pipeline runs, as ONE DataFrame chain — median-token
+    // quality gate → PII redaction → exact dedup of the REDACTED text
+    // (keep-min survivor, metadata carried through) → decontamination
+    // (eval slice held out, n-gram-contaminated docs dropped) → every-10th
+    // stratified sample per language. Each stage is the already-verified
+    // operator; what this query adds (and its generated oracle checks) is
+    // the INTEROP: schema handoff, one threshold broadcast, no redundant
+    // exchanges between stages (plan-spec'd in CurationSpec).
+    "curation_pipeline" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val q = docs.select(col("doc_id"), col("lang"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        // median token-count threshold — quality_filter's single-row
+        // histogram fold (no global window)
+        val thr = q.groupBy("n_tokens").agg(count(lit(1)).as("c"))
+          .agg(sort_array(collect_list(struct(col("n_tokens"), col("c")))).as("h"),
+            sum(col("c")).as("tot"))
+          .select(expr(
+            """aggregate(h,
+              |  named_struct('cum', CAST(0 AS BIGINT), 'thr', CAST(NULL AS BIGINT)),
+              |  (acc, x) -> named_struct(
+              |    'cum', acc.cum + x.c,
+              |    'thr', CASE WHEN acc.thr IS NULL AND acc.cum + x.c >= (tot + 1) div 2
+              |           THEN x.n_tokens ELSE acc.thr END),
+              |  acc -> acc.thr) AS thr""".stripMargin))
+        val kept = q.join(broadcast(thr), q("n_tokens") >= thr("thr")).drop("thr")
+        val red = Curation.piiRedact(kept, "text", "doc_id",
+          carryCols = Seq("lang", "n_tokens"))
+        // exact dedup ON THE REDACTED TEXT (two docs differing only in
+        // redacted spans are training-identical), keeping the min-doc_id
+        // survivor WITH its metadata — the window form of Dedup.exact's
+        // groupBy/min rule
+        val wD = Window.partitionBy(lower(trim(col("redacted")))).orderBy("doc_id")
+        val ded = red.withColumn("__rk", row_number().over(wD))
+          .filter(col("__rk") === 1)
+        val contaminated = Curation.contamination(docs, col("doc_id") % 50 === 0)
+          .select("doc_id").distinct()
+        val clean = ded.filter(col("doc_id") % 50 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        val wS = Window.partitionBy("lang").orderBy("doc_id")
+        clean.withColumn("rn", row_number().over(wS).cast("long"))
+          .filter(col("rn") % 10 === 1)
+          .select("lang", "rn", "doc_id", "n_tokens")
+          .orderBy("doc_id")
+      },
+      curationPipelineOracleSql)
   )
 
   /** The deterministic PII-bearing profile text, Spark side: every
@@ -560,5 +632,50 @@ object QueriesLlm {
        |${steps.mkString(",\n")}
        |SELECT c_custkey, ${nCols.mkString(", ")}, s AS redacted
        |FROM t$lastN ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Generated oracle for curation_pipeline: the five stages as chained
+    * CTEs — quality_filter's median fold, the redaction chain generated
+    * from the SAME Curation.piiPatterns list the Spark side runs, keep-min
+    * dedup of the redacted text, contamination_ngram's gram-overlap CTEs,
+    * then the stratified-sample window. Every fragment is the
+    * already-oracle-verified form of its stage; only the composition is
+    * new.
+    */
+  private lazy val curationPipelineOracleSql: String = {
+    val redChain = graft.ops.llm.Curation.piiPatterns.foldLeft("text") {
+      case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
+    s"""WITH q AS (SELECT doc_id, lang, text,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |h AS (SELECT n_tokens, COUNT(*) AS c FROM q GROUP BY n_tokens),
+       |a AS (SELECT n_tokens, SUM(c) OVER (ORDER BY n_tokens) AS cum,
+       |        SUM(c) OVER () AS tot FROM h),
+       |th AS (SELECT MIN(n_tokens) AS thr FROM a WHERE cum >= (tot + 1) // 2),
+       |kept AS (SELECT doc_id, lang, text, n_tokens FROM q, th WHERE n_tokens >= thr),
+       |red AS (SELECT doc_id, lang, n_tokens, $redChain AS rtext FROM kept),
+       |ded AS (SELECT doc_id, lang, n_tokens FROM (
+       |    SELECT doc_id, lang, n_tokens,
+       |      row_number() OVER (PARTITION BY lower(trim(rtext)) ORDER BY doc_id) AS rk
+       |    FROM red) WHERE rk = 1),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         generate_series(1, len(toks) - 4),
+       |         i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS g
+       |       FROM tk WHERE len(toks) >= 5),
+       |ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 50 = 0),
+       |co AS (SELECT doc_id, g FROM sh WHERE doc_id % 50 <> 0),
+       |contam AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT co.doc_id, ev.eval_id FROM co JOIN ev USING (g)
+       |    GROUP BY co.doc_id, ev.eval_id HAVING COUNT(*) >= 3)),
+       |clean AS (SELECT doc_id, lang, n_tokens FROM ded
+       |          WHERE doc_id % 50 <> 0
+       |            AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |fin AS (SELECT lang, doc_id, n_tokens,
+       |          CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+       |        FROM clean)
+       |SELECT lang, rn, doc_id, n_tokens FROM fin WHERE rn % 10 = 1
+       |ORDER BY doc_id""".stripMargin
   }
 }

@@ -85,9 +85,9 @@ object GraphAnalytics {
     * `rank' = 0.15 + 0.85·Σ rank/outdeg`, final Σranks normalized to |V|
     * like SPARK-18847's sink correction) — but DETERMINISTIC and
     * oracle-replayable:
-    *  - per-destination message sums accumulate in DECIMAL ([[graft.Qh.dsum]]
-    *    scale 9) → order/partitioning-independent, unlike GraphX's double
-    *    `merge`;
+    *  - per-destination message sums accumulate as FIXED-POINT LONGS
+    *    (floor of 1e9× the per-edge contribution; see the loop comment) →
+    *    order/partitioning-independent, unlike GraphX's double `merge`;
     *  - ranks are rounded to `roundScale` decimals after EVERY iteration,
     *    so an external replay (the DuckDB chained-CTE oracle) that applies
     *    the identical rounding ladder reproduces the exact values —
@@ -97,27 +97,69 @@ object GraphAnalytics {
     * Cross-checked against GraphX `staticPageRank` (tolerance-based) in
     * GraphAnalyticsSpec.
     *
-    * Scale shape: the whole run is ONE action over `numIter` chained
-    * join+agg rounds; ranks are |V| rows (AQE broadcasts them against the
-    * edge table when small), the per-round shuffle carries (dst, decimal)
-    * message rows, and the static (src, dst, outdeg) edge relation is an
-    * identical exchange subplan in every round — ReuseExchange dedupes it
-    * within the action.
+    * Scale shape: the static (src, dst, outdeg) edge relation materializes
+    * ONCE (localCheckpoint — the same lineage-bounding pattern as the
+    * k-hop frontier and clustersDF loops; a GraphX Pregel run persists its
+    * edge RDD per superstep the same way), and each round checkpoints the
+    * tiny |V|-row rank table. Without the per-round cut the 10 rounds
+    * stack into one ~40-join nested plan whose Catalyst/AQE optimization
+    * time DWARFS the data work (measured 38 s vs 2 s on the sf0.1 derived
+    * graph — planning, not execution); with it, each round is a flat
+    * join+agg over |V| rows (AQE broadcasts ranks against the edge table
+    * when small) and the per-round shuffle carries (dst, decimal) message
+    * rows only.
     */
   def pageRankDF(vertices: DataFrame, edges: DataFrame, numIter: Int = 10,
-      roundScale: Int = 6): DataFrame = {
+      roundScale: Int = 6, checkpointEvery: Int = 1,
+      broadcastRankLimit: Long = 5000000L): DataFrame = {
     val e = edges.select("src", "dst")
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
+      .localCheckpoint()
+    // checkpointed frames are LogicalRDDs with UNKNOWN stats — the planner
+    // would sort-merge the big edge relation against the |V|-row rank
+    // table EVERY round (measured ~1 s/round on the sf0.1 graph, ~90% of
+    // the query). The rank/message tables are |V| rows; while that is
+    // broadcast-sized, hint it explicitly — past the limit the rounds
+    // degrade to the 3-shuffle-per-iteration plan that scales arbitrarily
+    // (same adaptive-hint policy as Traverse.broadcastRowLimit).
+    val hintSmall: DataFrame => DataFrame =
+      if (vertices.count() <= broadcastRankLimit) broadcast(_) else identity
+    // Vertices with NO in-edges never receive a message: their rank is
+    // 1.0 at init and exactly round(0.15 + 0.85·0) = 0.15 from round 1 on
+    // — a STATIC row set, computed once. The per-round rank table is then
+    // (ranked message receivers) ∪ (this constant frame): a zero-shuffle
+    // union instead of a per-round |V|-row outer join.
+    val noIn = vertices.select("id")
+      .join(ed.select(col("dst")), col("id") === col("dst"), "left_anti")
+      .localCheckpoint()
+    // Message accumulation is FIXED-POINT LONG arithmetic, not DECIMAL:
+    // floor((rank/outdeg)·1e9) per edge, exact long sum, one double
+    // divide per receiver. Same order-independence guarantee (integer
+    // addition commutes), identical IEEE ops in the DuckDB replay — but
+    // all codegen primitives. The earlier DECIMAL cast allocated a
+    // BigDecimal PER EDGE PER ROUND (~3 s of executor CPU per round on
+    // the sf0.1 graph — the whole-query hotspot). Headroom: 2⁶³/1e9 ≈
+    // 9.2e9 rank units flowing into one vertex before overflow —
+    // raise the scale denominator before graphs get near that.
+    def rankOf(msum: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(lit(0.15) + lit(0.85) * msum, roundScale)
     var ranks = vertices.select(col("id"), lit(1.0).as("rank"))
-    for (_ <- 1 to numIter) {
-      val msgs = ranks.join(ed, col("id") === col("src"))
-        .select(col("dst"), (col("rank") / col("__outdeg")).as("__c"))
-        .groupBy("dst").agg(graft.Qh.dsum(col("__c"), 9).as("__msum"))
-      ranks = vertices.select("id")
-        .join(msgs, col("id") === col("dst"), "left")
-        .select(col("id"),
-          round(lit(0.15) + lit(0.85) * coalesce(col("__msum"), lit(0.0)), roundScale)
-            .as("rank"))
+    for (i <- 1 to numIter) {
+      val msum = hintSmall(ranks).join(ed, col("id") === col("src"))
+        .select(col("dst"),
+          floor(col("rank") / col("__outdeg") * lit(1e9)).as("__c"))
+        .groupBy("dst")
+        .agg((sum(col("__c")).cast("double") / lit(1e9)).as("__msum"))
+      // no-in vertices: round(0.15 + 0.85·0, s) = 0.15 exactly for any s≥2
+      ranks = msum.select(col("dst").as("id"), rankOf(col("__msum")).as("rank"))
+        .unionAll(noIn.select(col("id"), lit(0.15).as("rank")))
+      // cut lineage EVERY round: the next round's broadcast-build job would
+      // otherwise re-execute this round's whole 1-join+agg chain a second
+      // time (a broadcast job and the following checkpoint job share no
+      // shuffle reuse across an un-checkpointed boundary — measured as a
+      // duplicated heavy stage per un-cut round). The cut itself
+      // materializes only the |V|-row rank table.
+      if (i % checkpointEvery == 0 || i == numIter) ranks = ranks.localCheckpoint()
     }
     // normalize Σranks to |V| like GraphX (SPARK-18847 sink correction):
     // the total is a single-row exact-decimal aggregate, broadcast against
@@ -254,19 +296,22 @@ object GraphAnalytics {
     * through a join, and the intersection is the codegen'd two-pointer
     * `sorted_intersect_count`.
     *
-    * `broadcastSides = true` (default) broadcasts the per-vertex degree
-    * table (16 B/vertex) and the oriented adjacency table (~8 B/edge) —
-    * without the hints AQE leaves all four joins as sort-merge (the
-    * collect_list agg hides the adjacency side's true size from it), and
-    * the edge table (the BIG side) shuffles and sorts four times, which
-    * profiling showed was ~80% of the query. The hints keep the whole
-    * count ONE action (the repeated edge-build subplans collapse via
-    * ReuseExchange) whose final stage is a single codegen pass: edge scan →
-    * BHJ → BHJ → intersect → partial sum. Pass `false` past ~10⁷ edges
-    * (where a ~100 MB broadcast stops paying) — the plan degrades to the
-    * shuffle joins that scale arbitrarily.
+    * `broadcastSides = true` broadcasts the per-vertex degree table
+    * (16 B/vertex) and the oriented adjacency table (~8 B/edge) — without
+    * the hints AQE leaves all four joins as sort-merge (the collect_list
+    * agg hides the adjacency side's true size from it), and the edge table
+    * (the BIG side) shuffles and sorts four times, which profiling showed
+    * was ~80% of the query. The hints keep the whole count ONE action (the
+    * repeated edge-build subplans collapse via ReuseExchange) whose final
+    * stage is a single codegen pass: edge scan → BHJ → BHJ → intersect →
+    * partial sum. It is worth it ONLY while degree+adjacency fit an
+    * executor/driver broadcast (~10⁷ edges); the library DEFAULT is
+    * therefore `false` — shuffle joins that scale to any graph — and a
+    * caller who KNOWS the graph is broadcast-sized opts in (the bench
+    * query does; ADVICE r4: a default-on broadcast is an OOM trap on the
+    * 100 TB regime this library targets).
     */
-  def triangleCountDF(canonicalEdges: DataFrame, broadcastSides: Boolean = true): Long = {
+  def triangleCountDF(canonicalEdges: DataFrame, broadcastSides: Boolean = false): Long = {
     val e = canonicalEdges.select("src", "dst")
     val hint: DataFrame => DataFrame = if (broadcastSides) broadcast(_) else identity
     val deg = hint(e.select(col("src").as("x")).unionAll(e.select(col("dst").as("x")))

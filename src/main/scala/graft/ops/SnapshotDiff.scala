@@ -20,6 +20,12 @@ object SnapshotDiff {
   /** Rows of `neu` vs `old` keyed by `idCols`: `added` / `removed` /
     * `changed`, with the old and new value structs (schemas must match).
     *
+    * When EVERY column is a key column (e.g. the edge snapshots, whose
+    * whole identity is `(src, dst, label)`) the diff degenerates to a pure
+    * MEMBERSHIP diff: `changed` cannot occur and `old_val`/`new_val` are
+    * boolean presence markers instead of value structs — same join shape,
+    * same CDC contract ([[applyDelta]] handles both forms).
+    *
     * PRECONDITION: `idCols` uniquely key both snapshots — duplicate keys
     * would fan out through the full-outer join into contradictory delta
     * rows. The canonical snapshots satisfy this by construction (vertex
@@ -37,13 +43,17 @@ object SnapshotDiff {
       require(dup == 0, s"$side snapshot has duplicate keys on (${idCols.mkString(",")})")
     }
     val valCols = old.columns.filterNot(idCols.contains).toSeq
-    val o = old.select(idCols.map(col) :+ struct(valCols.map(col): _*).as("old_val"): _*)
+    // key-only snapshots get a `lit(true)` presence marker — `struct()` of
+    // zero columns is not a comparable value, and membership is exactly
+    // what a diff of a pure identity set means.
+    def valExpr = if (valCols.isEmpty) lit(true) else struct(valCols.map(col): _*)
+    val o = old.select(idCols.map(col) :+ valExpr.as("old_val"): _*)
     // keys joined NULL-SAFELY (`<=>`): an equi-join would never match a
     // NULL key, silently splitting a NULL-keyed change into a spurious
     // removed+added pair. The new side's keys are renamed so the explicit
     // join condition stays unambiguous even when `neu` derives from `old`.
     val n = neu.select(idCols.map(c => col(c).as(s"__n_$c"))
-      :+ struct(valCols.map(col): _*).as("new_val"): _*)
+      :+ valExpr.as("new_val"): _*)
     val cond = idCols.map(c => col(c) <=> col(s"__n_$c")).reduce(_ && _)
     o.join(n, cond, "full_outer")
       .withColumn("change",
@@ -63,8 +73,12 @@ object SnapshotDiff {
     * a union: the incremental-sync shape (ship deltas, not snapshots).
     */
   def applyDelta(old: DataFrame, delta: DataFrame, idCols: Seq[String]): DataFrame = {
-    val valFields = delta.schema("new_val").dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    // membership-diff deltas (see diff: key-only snapshots) carry a boolean
+    // presence marker instead of a value struct — upserts are the keys.
+    val valFields = delta.schema("new_val").dataType match {
+      case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSeq
+      case _ => Seq.empty
+    }
     val upserts = delta.filter(col("change") =!= "removed")
       .select(idCols.map(col) ++ valFields.map(f => col(s"new_val.$f").as(f)): _*)
     // NULL-SAFE anti-join (mirror of diff's join): an equi anti-join never

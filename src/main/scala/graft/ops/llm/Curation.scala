@@ -33,14 +33,15 @@ object Curation {
     * log would record) plus the final `redacted` text. Pure per-row
     * projection: no shuffle, scales embarrassingly.
     */
-  def piiRedact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def piiRedact(df: DataFrame, textCol: String, idCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val (redacted, counts) =
       piiPatterns.foldLeft((col(textCol), Seq.empty[Column])) {
         case ((cur, cnts), (tag, pat, repl)) =>
           val n = size(regexp_extract_all(cur, lit(pat), lit(0))).cast("long").as(s"n_$tag")
           (regexp_replace(cur, pat, repl), cnts :+ n)
       }
-    df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+    df.select((col(idCol) +: carryCols.map(col)) ++ counts :+ redacted.as("redacted"): _*)
   }
 
   /** One row per (carried columns, distinct `shingleLen`-gram hash). */

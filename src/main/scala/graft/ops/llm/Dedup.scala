@@ -209,6 +209,13 @@ object Dedup {
     * Labels only ever decrease, so the fixpoint (no label changed) is the
     * exact component minimum — same output contract as [[clusters]],
     * cross-checked against GraphX in DedupClustersSpec.
+    *
+    * If a component's diameter exceeds ~2·`maxIters` the loop exits before
+    * the fixpoint and the labels are NOT the component minima — that is a
+    * wrong answer, not an approximation, so it fails loudly rather than
+    * returning silently (ADVICE r4). Components that deep mean the
+    * candidate graph is pathological (e.g. a near-duplicate chain of 100+
+    * docs); raise `maxIters` or use the GraphX [[clusters]] path.
     */
   def clustersDF(candidatePairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
       maxIters: Int = 50): DataFrame = {
@@ -235,6 +242,11 @@ object Dedup {
       labels = next
       it += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"clustersDF did not converge in $maxIters rounds ($changed labels still " +
+        "changing): a candidate component has diameter > ~2*maxIters, so the " +
+        "returned labels would not be the component minima. Raise maxIters or " +
+        "use the GraphX clusters() path.")
     labels.toDF("doc_id", "cluster_rep")
   }
 

@@ -1,0 +1,80 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the step that turns a curated document corpus into
+  * fixed token-budget training sequences (every LLM trainer consumes
+  * packed sequences, not raw documents).
+  *
+  * Semantics: concat-and-chunk, the standard training-data form (GPT-style
+  * packing; T5's "pack_examples"): documents are laid out end-to-end in
+  * deterministic `idCol` order into one global token stream, which is cut
+  * into consecutive `budget`-token sequences. A document that straddles a
+  * cut contributes one span to each overlapping sequence. Properties
+  * (PackingSpec): every sequence except the last holds EXACTLY `budget`
+  * tokens; every document's spans sum to its token count; the layout is a
+  * pure function of (ids, token counts) — partitioning-invariant.
+  *
+  * Why not no-split first-fit bin packing: each placement decision there
+  * depends on every previous bin's remaining capacity — an inherently
+  * sequential prefix recursion that cannot be expressed as windows without
+  * a single-threaded pass (and real training pipelines don't use it:
+  * unfilled tails waste compute, and chunking is why packed pretraining
+  * batches have zero padding).
+  *
+  * Scale shape (100 TB): the global token offsets come from a TWO-LEVEL
+  * prefix sum — per-range totals (one map-side-combinable groupBy of
+  * ~n/rangeSize rows), a running sum over those totals (a single-partition
+  * window over the TINY range table — thousands of rows for billions of
+  * docs), broadcast back, then a per-range running sum (window partitioned
+  * by range → fully parallel). No global single-partition window ever
+  * touches per-document rows; the explode emits ~1 + tokens/budget rows
+  * per document.
+  */
+object Packing {
+
+  /** Pack `docs` into `budget`-token sequences; one output row per
+    * (document, sequence) span: `seq_id`, `seq_off` (the span's first
+    * token position within the sequence) and `n_toks_in_seq` (span
+    * length). Token count = whitespace tokens of `textCol` (swap in BPE
+    * counts upstream by passing a pre-tokenized frame via `tokCountCol`).
+    */
+  def packSequences(docs: DataFrame, budget: Int, rangeSize: Long = 4096L,
+      textCol: String = "text", idCol: String = "doc_id",
+      tokCountCol: Option[String] = None): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(rangeSize > 0, s"rangeSize must be positive, got $rangeSize")
+    val nToks: Column = tokCountCol.map(col)
+      .getOrElse(size(split(col(textCol), " ")).cast("long"))
+    val t = docs.select(col(idCol), nToks.as("__n"))
+      // zero/NULL-token docs occupy no stream positions: drop them here
+      // rather than emit degenerate empty spans
+      .filter(col("__n").isNotNull && col("__n") > 0)
+      .withColumn("__rng", expr(s"$idCol div $rangeSize"))
+    // level 1: per-range token totals — tiny (n/rangeSize rows)
+    val totals = t.groupBy("__rng").agg(sum(col("__n")).as("__rtot"))
+    // level 2: running sum over ranges. Deliberately an unpartitioned
+    // window: it runs on the RANGE table only, never per-doc rows.
+    val wR = Window.orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__rtot")).over(wR), lit(0L)))
+      .select("__rng", "__off")
+    // level 3: per-range running sum (parallel) + broadcast range offsets
+    val wIn = Window.partitionBy("__rng").orderBy(idCol)
+    val pos = t.join(broadcast(offsets), "__rng")
+      .withColumn("__end", col("__off") + sum(col("__n")).over(wIn))
+      .withColumn("__start", col("__end") - col("__n"))
+    // span explode: doc occupies token interval [__start, __end) of the
+    // global stream; sequence k owns [k*budget, (k+1)*budget)
+    pos
+      .withColumn("seq_id", explode(expr(
+        s"sequence(__start div $budget, (__end - 1) div $budget)")))
+      .select(col(idCol), col("seq_id"),
+        (greatest(col("__start"), col("seq_id") * budget) - col("seq_id") * budget)
+          .as("seq_off"),
+        (least(col("__end"), (col("seq_id") + 1) * budget)
+          - greatest(col("__start"), col("seq_id") * budget)).as("n_toks_in_seq"))
+  }
+}

@@ -46,7 +46,7 @@ object Prof {
     time("triangles: coOrderPartEdges")(edges.count())
     time("triangles: full (edges + count)") {
       graft.ops.GraphAnalytics.triangleCountDF(
-        graft.ops.GraphAnalytics.coOrderPartEdges(spark, sfDir))
+        graft.ops.GraphAnalytics.coOrderPartEdges(spark, sfDir), broadcastSides = true)
     }
 
     // ---- dedup_ngram_jaccard sub-steps
@@ -90,6 +90,45 @@ object Prof {
     // ---- dedup_clusters
     time("clusters: full query") {
       graft.QueriesLlm.defs("dedup_clusters").fn(spark, sfDir).count()
+    }
+
+    // ---- graph_pagerank (DataFrame loop — r5 localCheckpoint fix)
+    if (args.contains("--pr")) {
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+          stages.add((si.name.takeWhile(_ != '\n').take(50), dur,
+            si.taskMetrics.executorRunTime))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      time("pagerank: full query (instrumented)") {
+        graft.QueriesGraphX.defs("graph_pagerank").fn(spark, sfDir).count()
+      }
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val ss = stages.asScala.toSeq
+      println(s"[prof] pagerank stages: ${ss.size}, wall sum=${ss.map(_._2).sum} ms")
+      ss.sortBy(-_._2).take(15).foreach { case (n, d, rt) =>
+        println(f"[prof] pr stage $n%-50s wall=${d}%5d ms  taskCpuSum=${rt}%6d ms")
+      }
+    } else time("pagerank: full query") {
+      graft.QueriesGraphX.defs("graph_pagerank").fn(spark, sfDir).count()
+    }
+
+    // ---- r5 additions
+    time("new: snapshot_diff_edges") {
+      graft.QueriesGraph.defs("snapshot_diff_edges").fn(spark, sfDir).count()
+    }
+    time("new: pack_sequences") {
+      graft.QueriesLlm.defs("pack_sequences").fn(spark, sfDir).count()
+    }
+    time("new: curation_pipeline") {
+      graft.QueriesLlm.defs("curation_pipeline").fn(spark, sfDir).count()
     }
 
     // ---- bench-context reproduction: run the whole inventory, then

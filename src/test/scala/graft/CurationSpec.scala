@@ -131,6 +131,33 @@ class CurationSpec extends SparkSpec {
     })
   }
 
+  test("curation_pipeline: composed stages fuse — no cartesian, bounded exchanges, sane output") {
+    val df = graft.QueriesLlm.defs("curation_pipeline").fn(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("CartesianProduct"),
+      s"no cartesian expected, plan:\n$planStr")
+    // the only nested-loop is the single-row median-threshold broadcast —
+    // the by-design scalar join (same audit class as quality_filter)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(planStr).size
+    assert(bnlj <= 1, s"expected at most the scalar-threshold BNLJ, got $bnlj:\n$planStr")
+    // stage budget for the WHOLE five-stage pipeline: median histogram agg
+    // (2: groupBy + single-row fold), dedup window (1), contamination
+    // gram-pair agg + distinct (2), anti-join (≤2), stratified-sample
+    // window (1), final sort (1) ≈ 9 — redundant per-stage exchanges
+    // (e.g. re-shuffling between redact → dedup, which must fuse into the
+    // window's exchange) would push past it.
+    val shuffles = planStr.sliding("ShuffleExchange".length)
+      .count(_ == "ShuffleExchange")
+    assert(shuffles <= 10, s"too many shuffles ($shuffles) — stages not fusing:\n$planStr")
+    // output sanity: rows exist, strata sampled every-10th (rn ≡ 1 mod 10),
+    // no eval docs (doc_id % 50 == 0) survive
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("rn") % 10 == 1))
+    assert(rows.forall(_.getAs[Long]("doc_id") % 50 != 0))
+  }
+
   test("property: unigramQuality scores are >= 1 (inverse probability bound)") {
     import org.scalacheck.Gen
     val corpusGen = Gen.chooseNum(2, 8).flatMap(n =>

@@ -34,7 +34,9 @@ class EntrySpec extends SparkSpec {
       "multimodal_decode", "multimodal_frames", "graph_bfs_dist", "graph_lpa",
       // round-4 additions
       "pii_redact", "contamination_ngram", "quality_unigram",
-      "graph_shortest_paths", "snapshot_diff")
+      "graph_shortest_paths", "snapshot_diff",
+      // round-5 additions
+      "snapshot_diff_edges", "pack_sequences", "curation_pipeline")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

@@ -50,6 +50,8 @@ class GraphAnalyticsSpec extends SparkSpec {
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (5L, 6L), (6L, 7L), (5L, 7L), (7L, 8L)).toDF("src", "dst")
     assert(GraphAnalytics.triangleCountDF(canonical) == 5L)
+    // the broadcast-hinted plan (the bench opt-in) counts identically
+    assert(GraphAnalytics.triangleCountDF(canonical, broadcastSides = true) == 5L)
     assert(GraphAnalytics.triangleCountDF(canonical) ==
       GraphAnalytics.triangleCount(canonical))
   }

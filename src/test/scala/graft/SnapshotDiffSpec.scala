@@ -40,6 +40,22 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(err.getMessage.contains("schemas differ"))
   }
 
+  test("key-only snapshots degrade to a membership diff (edge CDC shape)") {
+    val oldE = Seq((1L, 2L, "x"), (1L, 3L, "x"), (2L, 3L, "y"))
+      .toDF("src", "dst", "label")
+    val neuE = Seq((1L, 2L, "x"), (2L, 3L, "y"), (3L, 1L, "z"))
+      .toDF("src", "dst", "label")
+    val d = SnapshotDiff.diff(oldE, neuE, Seq("src", "dst", "label"))
+    val got = d.select("src", "dst", "label", "change")
+      .as[(Long, Long, String, String)].collect().toSet
+    // only membership changes; `changed` impossible by construction
+    assert(got == Set((1L, 3L, "x", "removed"), (3L, 1L, "z", "added")))
+    // and the round-trip contract still holds through the boolean markers
+    val rt = SnapshotDiff.applyDelta(oldE, d, Seq("src", "dst", "label"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(rt == neuE.as[(Long, Long, String)].collect().toSet)
+  }
+
   test("applyDelta reconstructs the new snapshot: applyDelta(old, diff(old,new)) == new") {
     val got = SnapshotDiff.applyDelta(old, SnapshotDiff.diff(old, neu, Seq("id")), Seq("id"))
       .as[(Long, String, String)].collect().toSet
