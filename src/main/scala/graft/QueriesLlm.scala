@@ -552,8 +552,14 @@ object QueriesLlm {
     "curation_pipeline" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
+        // n_tokens IS NOT NULL on BOTH sides: Spark's sort_array folds a
+        // null-n_tokens struct FIRST while the oracle's running sum orders
+        // NULLS LAST, so a null-text row would shift where the cumulative
+        // count crosses the median boundary (ADVICE r5). The median is
+        // defined over tokenizable docs only (mirrors pack_sequences' >0).
         val q = docs.select(col("doc_id"), col("lang"), col("text"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .filter(col("n_tokens").isNotNull)
         // median token-count threshold — quality_filter's single-row
         // histogram fold (no global window)
         val thr = q.groupBy("n_tokens").agg(count(lit(1)).as("c"))
@@ -648,7 +654,8 @@ object QueriesLlm {
     }
     s"""WITH q AS (SELECT doc_id, lang, text,
        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |           FROM documents),
+       |           FROM documents
+       |           WHERE len(string_split(text, ' ')) IS NOT NULL),
        |h AS (SELECT n_tokens, COUNT(*) AS c FROM q GROUP BY n_tokens),
        |a AS (SELECT n_tokens, SUM(c) OVER (ORDER BY n_tokens) AS cum,
        |        SUM(c) OVER () AS tot FROM h),

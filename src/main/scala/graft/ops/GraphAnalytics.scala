@@ -122,8 +122,17 @@ object GraphAnalytics {
     // broadcast-sized, hint it explicitly — past the limit the rounds
     // degrade to the 3-shuffle-per-iteration plan that scales arbitrarily
     // (same adaptive-hint policy as Traverse.broadcastRowLimit).
+    val nV = vertices.count()
+    // Overflow guard for the fixed-point LONG message sum below: the units
+    // flowing into ONE vertex are bounded by 1e9·Σranks ≈ 1e9·|V| (ranks
+    // sum to ~|V| every round), so |V| < 2⁶³/1e9 makes wraparound
+    // impossible. Fail loudly past that instead of returning silently
+    // wrong ranks in non-ANSI mode (same policy as Dedup.clustersDF).
+    require(nV < Long.MaxValue / 1000000000L,
+      s"pageRankDF: |V|=$nV exceeds the 1e9 fixed-point headroom " +
+        "(long message sums could overflow); reduce the scale factor")
     val hintSmall: DataFrame => DataFrame =
-      if (vertices.count() <= broadcastRankLimit) broadcast(_) else identity
+      if (nV <= broadcastRankLimit) broadcast(_) else identity
     // Vertices with NO in-edges never receive a message: their rank is
     // 1.0 at init and exactly round(0.15 + 0.85·0) = 0.15 from round 1 on
     // — a STATIC row set, computed once. The per-round rank table is then

@@ -214,12 +214,16 @@ object Similarity {
     // Lloyd passes would otherwise re-scan everything `iters`× for a model
     // that only needs a coarse sketch of the density. `xxhash64(id) % mod`
     // is layout-invariant (a property of the ids, not the partitioning)
-    // and reproducible on any cluster; the count() that sizes `mod` reads
-    // parquet footers / the session cache, never the data.
-    val n = emb.count()
+    // and reproducible on any cluster. Size `mod` from the FITTABLE rows
+    // (nulls filtered) — sizing from emb.count() under-samples corpora
+    // with many null vectors; and a target below nCells could never seed
+    // nCells centers.
+    require(sampleTarget >= nCells,
+      s"fitIvfCenters: sampleTarget=$sampleTarget cannot seed nCells=$nCells centers")
+    val base0 = emb.filter(col(vecCol).isNotNull)
+    val n = base0.count()
     val mod = math.max(1L, n / math.max(1L, sampleTarget))
     val sampled = mod > 1
-    val base0 = emb.filter(col(vecCol).isNotNull)
     val base =
       if (sampled)
         base0.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)

@@ -100,8 +100,11 @@ object Prof {
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
           val dur = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+          // StageInfo.taskMetrics is null for skipped stages (reused
+          // exchanges — common in this fixpoint loop); a bare read NPEs
+          // inside the listener bus.
           stages.add((si.name.takeWhile(_ != '\n').take(50), dur,
-            si.taskMetrics.executorRunTime))
+            Option(si.taskMetrics).map(_.executorRunTime).getOrElse(-1L)))
         }
       }
       spark.sparkContext.addSparkListener(listener)
