@@ -30,12 +30,20 @@ object QueriesGraphX {
       },
       prOracleSql),
 
-    // Connected components → component sizes.
+    // Connected components → component sizes. GraphX CC labels each
+    // component with its minimum vertex id, so the DuckDB oracle replays
+    // it as BOUNDED min-label propagation: after k rounds a vertex holds
+    // min(id) over its radius-k ball, which equals the component minimum
+    // once k ≥ the eccentricity of the component's argmin vertex. The
+    // derived graph's diameter is a property of the star-schema TOPOLOGY
+    // (part—customer—nation—region—nation—supplier—part ≤ ~7 hops), not
+    // of the scale factor, so 12 rounds converge at every SF —
+    // GraphAnalyticsSpec asserts 12-round == GraphX CC on the real graph.
     "graph_cc" -> QueryDef(
       (s, d) => GraphAnalytics.connectedComponents(GraphAnalytics.derivedGraphX(s, d))
         .groupBy("component").agg(count(lit(1)).as("n_vertices"))
         .orderBy(col("n_vertices").desc, col("component")),
-      None),
+      ccOracleSql),
 
     // Label-propagation communities on the affiliation subgraph
     // (customer/supplier—nation—region), one row per member vertex.
@@ -43,18 +51,23 @@ object QueriesGraphX {
     // the semantically meaningful community structure, and it keeps LPA's
     // per-superstep label-histogram messages away from the ordered/supplies
     // hub vertices (on the full graph those maps made LPA ~10× the cost of
-    // PageRank). Subgraph slices the CACHED GraphX build — no rebuild.
-    // Rows-only: LPA tie-breaking makes community ids run-unstable.
+    // PageRank). Runs as the deterministic synchronous DataFrame LPA
+    // (GraphAnalytics.lpaDF: min-label tie-break — a pure function of the
+    // graph), so the DuckDB oracle replays the five supersteps as chained
+    // CTEs and VALUE-checks the communities; the GraphX variant stays as
+    // the library op, cross-checked at community-structure level in
+    // GraphAnalyticsSpec.
     "graph_lpa" -> QueryDef(
       (s, d) => {
-        val member = GraphAnalytics.derivedGraphX(s, d)
-          .subgraph(epred = t => t.attr == "in_nation" || t.attr == "in_region")
-        GraphAnalytics.labelPropagation(member, 5)
-          .join(DerivedGraph(s, d).vertices.filter(col("label") =!= "part"),
-            Seq("id"), "left_semi")
+        val g = DerivedGraph(s, d)
+        val member = g.edges
+          .filter(col("label").isin("in_nation", "in_region"))
+        GraphAnalytics.lpaDF(
+          g.vertices.filter(col("label") =!= "part").select("id"),
+          member.select("src", "dst"), 5)
           .orderBy("id")
       },
-      None),
+      lpaOracleSql),
 
     // BFS distances from a nation seed via an explicit Pregel program;
     // oracle = min level over chained frontier joins (diameter of the
@@ -150,6 +163,71 @@ object QueriesGraphX {
        |                COUNT(*) AS n FROM r10)
        |SELECT r.id, round(r.rank * tot.n / tot.t, 6) AS rank
        |FROM r10 r, tot ORDER BY rank DESC, id LIMIT 100""".stripMargin
+  }
+
+  /** Rounds of bounded min-label propagation in the graph_cc oracle (and
+    * in the spec that proves convergence against GraphX CC). Structural
+    * diameter of the derived graph is ≤ ~7 at any SF; 12 leaves margin.
+    */
+  // `final val` with a literal (no type ascription) is a compile-time
+  // constant: `defs` above forces the lazy oracle SQL during object init,
+  // BEFORE later plain vals are assigned — a non-constant here would read
+  // as 0 and silently generate a zero-round oracle.
+  final val CcRounds = 12
+
+  /** Generated oracle for graph_cc: bounded min-label propagation —
+    * label(v) after round k = MIN(id) over v's radius-k ball (LEAST of own
+    * label and neighbours' min), converged to the true component minimum
+    * well before [[CcRounds]]. All-BIGINT; convergence is proven, not
+    * assumed, by GraphAnalyticsSpec's cross-check vs GraphX CC.
+    */
+  private lazy val ccOracleSql: String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // one twice and DuckDB inlines plain CTEs, so without it the chain
+    // expands 2^CcRounds ways (observed as "too many open files" from
+    // re-opened parquet scans). Materialization makes the replay linear.
+    val rounds = (1 to CcRounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT q.id, LEAST(q.lbl, COALESCE(m.ml, q.lbl)) AS lbl
+         |   FROM k${i - 1} q LEFT JOIN (
+         |     SELECT mu.a AS id, MIN(p.lbl) AS ml
+         |     FROM mu JOIN k${i - 1} p ON p.id = mu.b GROUP BY mu.a) m
+         |   ON m.id = q.id)""".stripMargin
+    }.mkString(",\n ")
+    s"""${DerivedGraphSql.cte},
+       | mu AS MATERIALIZED (SELECT a, b FROM und),
+       | k0 AS MATERIALIZED (SELECT id, id AS lbl FROM v),
+       | $rounds
+       |SELECT lbl AS component, CAST(COUNT(*) AS BIGINT) AS n_vertices
+       |FROM k$CcRounds GROUP BY lbl ORDER BY n_vertices DESC, component""".stripMargin
+  }
+
+  /** Generated oracle for graph_lpa: GraphAnalytics.lpaDF's five
+    * supersteps replayed as chained CTEs over the member-edge undirected
+    * view. Each round: count neighbour labels per vertex, pick the
+    * (max count, min label) winner via a fully-ordered row_number —
+    * mechanically different from Spark's lexicographic struct-max but the
+    * same argmax — then carry unchanged labels through a left join.
+    * All-BIGINT arithmetic: no rounding ladder needed.
+    */
+  private lazy val lpaOracleSql: String = {
+    // MATERIALIZED for the same reason as the graph_cc oracle: l{i-1} is
+    // referenced twice per round and DuckDB inlines plain CTEs — the
+    // replay must stay linear in the round count.
+    val rounds = (1 to 5).map { i =>
+      s"""c$i AS (SELECT mu.a AS id, p.lbl, COUNT(*) AS c
+         |   FROM mu JOIN l${i - 1} p ON p.id = mu.b GROUP BY mu.a, p.lbl),
+         | p$i AS (SELECT id, lbl FROM (
+         |   SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+         |   FROM c$i) WHERE rn = 1),
+         | l$i AS MATERIALIZED (SELECT q.id, COALESCE(p.lbl, q.lbl) AS lbl
+         |   FROM l${i - 1} q LEFT JOIN p$i p ON p.id = q.id)""".stripMargin
+    }.mkString(",\n ")
+    s"""${DerivedGraphSql.cte},
+       | me AS (SELECT src, dst FROM e WHERE label IN ('in_nation', 'in_region')),
+       | mu AS MATERIALIZED (SELECT src AS a, dst AS b FROM me UNION ALL SELECT dst, src FROM me),
+       | l0 AS MATERIALIZED (SELECT id, id AS lbl FROM v WHERE label <> 'part'),
+       | $rounds
+       |SELECT id, lbl AS community FROM l5 ORDER BY id""".stripMargin
   }
 
   /** Landmarks for graph_shortest_paths: three nation vertices. */

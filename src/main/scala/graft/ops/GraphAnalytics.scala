@@ -206,6 +206,46 @@ object GraphAnalytics {
       .vertices.toDF("id", "community")
   }
 
+  /** Deterministic synchronous label propagation. Every vertex starts
+    * with its own id as its label; each superstep a vertex adopts the
+    * most frequent label among its neighbours (undirected view), ties
+    * broken by the SMALLEST label; vertices receiving no message keep
+    * their label. Unlike GraphX's LPA — whose tie-break follows hash-map
+    * iteration order, making community ids run-unstable — this is a pure
+    * function of the graph, so the result is value-checkable in SQL
+    * (the graph_lpa oracle replays these supersteps as chained CTEs).
+    *
+    * 100 TB shape: per round, one |2E|⨝|V| join (label side broadcast
+    * below the adaptive limit, hash join past it), one map-side-combinable
+    * (vertex,label) count, and one argmax agg expressed as
+    * `max(struct(count, -label))` — lexicographic struct max picks the
+    * max count then the min label with NO per-vertex sort. All shuffles
+    * key on vertex id; lineage is cut per round like [[pageRankDF]].
+    * All-long arithmetic — no floats anywhere, so no rounding ladder is
+    * needed for oracle parity.
+    */
+  def lpaDF(vertices: DataFrame, edges: DataFrame, numIter: Int = 5,
+      broadcastLabelLimit: Long = 5000000L): DataFrame = {
+    val e = edges.select("src", "dst")
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint()
+    val hintSmall: DataFrame => DataFrame =
+      if (vertices.count() <= broadcastLabelLimit) broadcast(_) else identity
+    var labels = vertices.select(col("id"), col("id").as("lbl"))
+    for (i <- 1 to numIter) {
+      val pick = und.join(hintSmall(labels), col("b") === col("id"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("a").as("id"), (-col("m.nl")).as("newLbl"))
+      labels = labels.join(hintSmall(pick), Seq("id"), "left")
+        .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Unweighted undirected BFS distances from a seed via an explicit Pregel
     * program — the k-hop traversal (mongraph.py:252-274 intent) as message
     * passing. Each superstep relaxes dist(v) = min(dist(v), dist(u)+1); the

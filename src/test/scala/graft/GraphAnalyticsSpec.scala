@@ -38,6 +38,63 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(cc == Seq((1L, 4L), (5L, 2L))) // GraphX labels by min vertex id
   }
 
+  test("lpaDF: hand-traced supersteps on a known graph, layout-invariant") {
+    // Sync LPA with min-label tie-break, 5 rounds, labels init = id:
+    // the triangle+tail component collapses onto label 1 by round 3; the
+    // isolated pair 5-6 oscillates with period 2 (classic bipartite LPA),
+    // so after an odd round v5 holds 6 and v6 holds 5.
+    val got = GraphAnalytics.lpaDF(v.select("id"), e.select("src", "dst"), 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 6L, 6L -> 5L))
+    val shuffled = GraphAnalytics.lpaDF(
+      v.repartition(7).select("id"), e.repartition(5).select("src", "dst"), 5)
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled == got, "lpaDF changed under repartitioning")
+  }
+
+  test("lpaDF vs GraphX LPA: identical community PARTITION on a tie-free graph") {
+    // Two clean stars (hub 1 w/ leaves 2-4, hub 10 w/ leaves 11-13): no
+    // count ties after round 1, so the induced partition must agree even
+    // though GraphX's tie-break is order-unstable in general.
+    val sv = (Seq(1L, 10L) ++ (2L to 4L) ++ (11L to 13L)).map(i => (i, "x", s"v$i"))
+      .toDF("id", "label", "name")
+    val se = ((2L to 4L).map(l => (1L, l, "e")) ++ (11L to 13L).map(l => (10L, l, "e")))
+      .toDF("src", "dst", "label")
+    def partition(df: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      df.as[(Long, Long)].collect().groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val mine = partition(GraphAnalytics.lpaDF(sv.select("id"), se.select("src", "dst"), 4))
+    val gx = partition(GraphAnalytics.labelPropagation(
+      GraphAnalytics.toGraphX(sv, se), 4))
+    assert(mine == gx, s"partitions differ: $mine vs $gx")
+  }
+
+  test("graph_cc oracle convergence: bounded min-label rounds == GraphX CC on the real derived graph") {
+    // The oracle replays CC as CcRounds of min-label propagation; this is
+    // only equal to true CC if the rounds cover the eccentricity of each
+    // component's argmin vertex. Prove it on the actual graph family the
+    // query runs over (topology — hence diameter — is SF-invariant).
+    val d = "/root/testdata/sf0.001"
+    val g = graft.model.DerivedGraph(spark, d)
+    val ed = g.edges.select("src", "dst")
+    val und = ed.unionAll(ed.select(col("dst").as("src"), col("src").as("dst")))
+      .toDF("a", "b").localCheckpoint()
+    var lbl = g.vertices.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to QueriesGraphX.CcRounds) {
+      val m = und.join(lbl, col("b") === col("id"))
+        .groupBy("a").agg(min("lbl").as("ml"))
+        .select(col("a").as("id"), col("ml"))
+      lbl = lbl.join(m, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    val bounded = lbl.as[(Long, Long)].collect().toMap
+    val gx = GraphAnalytics.connectedComponents(GraphAnalytics.derivedGraphX(spark, d))
+      .as[(Long, Long)].collect().toMap
+    assert(bounded == gx,
+      s"bounded min-label (${QueriesGraphX.CcRounds} rounds) disagrees with GraphX CC on ${
+        bounded.count { case (k, v) => gx.get(k).exists(_ != v) }} vertices")
+  }
+
   test("triangle count on a known graph") {
     val canonical = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
       .toDF("src", "dst")
