@@ -593,7 +593,66 @@ object QueriesLlm {
           .select("lang", "rn", "doc_id", "n_tokens")
           .orderBy("doc_id")
       },
-      curationPipelineOracleSql)
+      curationPipelineOracleSql),
+
+    // Sliding-window chunking (RAG/embedding-indexing prep): 128-token
+    // chunks every 112 tokens (16-token overlap). Pure per-document
+    // explode — zero shuffles; the oracle replays the window arithmetic
+    // with generate_series + list_slice.
+    "chunk_docs" -> QueryDef(
+      (s, d) => Packing.chunkDocs(t(s, d, "documents"), chunkSize = 128, overlap = 16)
+        .orderBy("doc_id", "chunk_id"),
+      """WITH q AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |p AS (SELECT doc_id, toks, n FROM q WHERE n > 0),
+        |x AS (SELECT doc_id, toks, n,
+        |        CAST(unnest(generate_series(CAST(0 AS BIGINT),
+        |          GREATEST(CAST(1 AS BIGINT), (n - 16 + 111) // 112) - 1)) AS BIGINT) AS chunk_id
+        |      FROM p)
+        |SELECT doc_id, chunk_id, chunk_id * 112 AS chunk_start,
+        |  LEAST(CAST(128 AS BIGINT), n - chunk_id * 112) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, chunk_id * 112 + 1, LEAST(chunk_id * 112 + 128, n)), ' ') AS chunk_text
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // Gopher-style repetition screen: duplicate-token fraction +
+    // top-bigram fraction per doc, >0.18 top-2-gram flag (Rae et al. 2021
+    // §A1.1). Docs under 2 tokens have no bigram — excluded on both sides.
+    "quality_repetition" -> QueryDef(
+      (s, d) => TextAnalysis.repetition(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2),
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+        |ta0 AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+        |ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(*) AS BIGINT) AS n_distinct FROM ta0 GROUP BY doc_id),
+        |bg0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM tk),
+        |ba0 AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg0 GROUP BY doc_id, bg),
+        |ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |         CAST(MAX(c) AS BIGINT) AS top_c FROM ba0 GROUP BY doc_id)
+        |SELECT ta.doc_id, ta.n_tokens,
+        |  round(CAST(ta.n_tokens - ta.n_distinct AS DOUBLE) / ta.n_tokens, 6) AS dup_token_frac,
+        |  round(CAST(ba.top_c AS DOUBLE) / ba.n_bigrams, 6) AS top_bigram_frac,
+        |  (CAST(ba.top_c AS DOUBLE) / ba.n_bigrams) > 0.18 AS repetitive
+        |FROM ta JOIN ba ON ta.doc_id = ba.doc_id ORDER BY ta.doc_id""".stripMargin),
+
+    // Corpus vocabulary top-1000 with cumulative coverage — the
+    // tokenizer-training primitive. The top-k cut is distributed
+    // TakeOrdered; the rank window touches only k rows.
+    "vocab_topk" -> QueryDef(
+      (s, d) => TextAnalysis.vocabTopK(t(s, d, "documents"), k = 1000)
+        .orderBy("rk"),
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tt FROM c),
+        |r AS (SELECT tok, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rk,
+        |        SUM(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM c)
+        |SELECT rk, tok, cnt, round(CAST(cum AS DOUBLE) / tot.tt, 6) AS cum_frac
+        |FROM r, tot WHERE rk <= 1000 ORDER BY rk""".stripMargin)
   )
 
   /** The deterministic PII-bearing profile text, Spark side: every

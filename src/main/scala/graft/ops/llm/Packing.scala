@@ -77,4 +77,38 @@ object Packing {
         (least(col("__end"), (col("seq_id") + 1) * budget)
           - greatest(col("__start"), col("seq_id") * budget)).as("n_toks_in_seq"))
   }
+
+  /** Sliding-window document chunking — the retrieval/context-window prep
+    * counterpart of [[packSequences]]: each document is cut independently
+    * into `chunkSize`-token chunks starting every `chunkSize - overlap`
+    * tokens, so consecutive chunks share `overlap` tokens (the standard
+    * RAG/embedding-indexing shape). A trailing window that would add no
+    * NEW tokens is not emitted (its content is already covered by the
+    * previous chunk's overlap).
+    *
+    * Scale shape: embarrassingly parallel — a per-row `sequence` explode
+    * emitting ~tokens/stride rows, zero shuffles, whole-stage codegen'd
+    * built-ins only. Output is a pure per-document function, so it is
+    * partitioning-invariant by construction.
+    */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = 128, overlap: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+      // chunks that start before n - overlap add new tokens:
+      // nChunks = max(1, ceil((n - overlap) / stride))
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(CAST(0 AS BIGINT), greatest(CAST(1 AS BIGINT), (__n - $overlap + ${stride - 1}) div $stride) - 1)")))
+      .withColumn("chunk_start", col("chunk_id") * stride)
+      .select(col(idCol), col("chunk_id"), col("chunk_start"),
+        least(lit(chunkSize.toLong), col("__n") - col("chunk_start")).as("n_chunk_tokens"),
+        expr(s"array_join(slice(__toks, CAST(chunk_start + 1 AS INT), $chunkSize), ' ')")
+          .as("chunk_text"))
+  }
 }

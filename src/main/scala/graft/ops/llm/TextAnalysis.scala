@@ -70,6 +70,61 @@ object TextAnalysis {
         (col("p_lang") === col("lang")).as("correct"))
   }
 
+  /** Gopher-style repetition signals (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * §A1.1 repetition filters), on token granularity: duplicate-token
+    * fraction and top-bigram fraction, plus the classic >0.18 top-2-gram
+    * flag. Documents with heavy repetition are low-quality generations /
+    * boilerplate; this is the standard cheap screen between exact dedup
+    * and model-based quality scoring.
+    *
+    * Scale shape: two map-side-combinable (doc, gram) counts re-aggregated
+    * per doc — shuffles carry (doc, gram, count) rows, never text; the
+    * final join is doc-keyed. Fractions are exact-integer IEEE divisions
+    * rounded on both engines (the oracle-parity ladder).
+    */
+  def repetition(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", topBigramFlag: Double = 0.18): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val tokAgg = toks.select(col(idCol), explode(col("__toks")).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"))
+    val bgAgg = toks.select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__toks) - 2), i -> concat(__toks[i], ' ', __toks[i+1]))")).as("bg"))
+      .groupBy(idCol, "bg").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(sum("c").as("n_bigrams"), max("c").as("top_c"))
+    tokAgg.join(bgAgg, Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        round((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        round(col("top_c").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
+        (col("top_c").cast("double") / col("n_bigrams") > topBigramFlag).as("repetitive"))
+  }
+
+  /** Corpus vocabulary, top-k by frequency with deterministic ties
+    * (count desc, token asc) and cumulative corpus coverage — the
+    * tokenizer-training / stopword-discovery primitive.
+    *
+    * Scale shape: one map-side-combinable token count, then the top-k cut
+    * runs as distributed TakeOrdered (`orderBy.limit` — per-partition
+    * heaps, never a global sort or window over the full vocabulary); the
+    * rank/coverage window touches only the k surviving rows against a
+    * broadcast single-row total.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 1000, textCol: String = "text"): DataFrame = {
+    val counts = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("__tot"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    top.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("rk"), col("tok"), col("cnt"),
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 6).as("cum_frac"))
+  }
+
   /** Winnowing document fingerprint: rolling shingle hashes, minimum per
     * sliding window of `winnow` — the MOSS scheme (Schleimer, Wilkerson,
     * Aiken, "Winnowing: local algorithms for document fingerprinting",

@@ -36,7 +36,9 @@ class EntrySpec extends SparkSpec {
       "pii_redact", "contamination_ngram", "quality_unigram",
       "graph_shortest_paths", "snapshot_diff",
       // round-5 additions
-      "snapshot_diff_edges", "pack_sequences", "curation_pipeline")
+      "snapshot_diff_edges", "pack_sequences", "curation_pipeline",
+      // round-6 additions
+      "chunk_docs", "quality_repetition", "vocab_topk")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

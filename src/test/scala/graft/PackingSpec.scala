@@ -67,4 +67,44 @@ class PackingSpec extends SparkSpec {
     assert(base == shuffled)
     assert(base == otherRange)
   }
+
+  test("chunkDocs: stride layout, full coverage, lossless reconstruction") {
+    // 10 tokens, chunkSize 4, overlap 1 (stride 3) → chunks at 0, 3, 6;
+    // a 4th window at 9 would add no new token (9 ≥ n - overlap) so it
+    // must NOT be emitted.
+    val docs = docsOf((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+    val rows = Packing.chunkDocs(docs, chunkSize = 4, overlap = 1)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_start", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)))
+    assert(rows.head._4 == "t0 t1 t2 t3")
+    // dropping each later chunk's overlap prefix reconstructs the doc
+    val rebuilt = (rows.head._4 +: rows.tail.map(_._4.split(" ").drop(1).mkString(" ")))
+      .mkString(" ")
+    assert(rebuilt == (0 until 10).map(i => s"t$i").mkString(" "))
+  }
+
+  test("chunkDocs: short docs yield one chunk; coverage is exact at every length") {
+    val docs = docsOf((1L to 20L).map(i => (i, (0 until i.toInt).map(j => s"w$j").mkString(" "))): _*)
+    val chunks = Packing.chunkDocs(docs, chunkSize = 8, overlap = 2)
+      .select("doc_id", "chunk_id", "chunk_start", "n_chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // every doc's final chunk must end exactly at its token count, chunks
+    // never exceed the size, and every chunk past the first adds tokens
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val n = id // doc i has i tokens
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 0L)
+      assert(sorted.last._3 + sorted.last._4 == n, s"doc $id end mismatch")
+      sorted.foreach { c => assert(c._4 >= 1 && c._4 <= 8) }
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._3 == a._3 + 6, s"doc $id stride broken")
+          assert(b._3 + b._4 > a._3 + a._4, s"doc $id chunk ${b._2} adds no tokens")
+        case _ =>
+      }
+    }
+  }
 }

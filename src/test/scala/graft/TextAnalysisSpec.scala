@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.llm.TextAnalysis
+
+/** Hand-checked values for the round-6 text ops: Gopher repetition
+  * signals and the top-k vocabulary with cumulative coverage.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition: hand-computed fractions and the 0.18 flag") {
+    val docs = Seq(
+      (1L, "a a a a"),        // 4 tokens, 1 distinct; bigrams: "a a"×3
+      (2L, "x y z w"),        // no repetition; bigrams all distinct
+      (3L, "solo")            // <2 tokens → excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0.75, 1.0, true),
+      (2L, 4L, 0.0, math.rint(1.0 / 3 * 1e6) / 1e6, true)))
+    // doc 2's top bigram frac is 1/3 ≈ 0.333 — above Gopher's 0.18 only
+    // because the doc is tiny; that is the documented small-doc caveat
+  }
+
+  test("repetition: non-repetitive long doc stays under the flag") {
+    val text = (0 until 100).map(i => s"w$i").mkString(" ")
+    val got = TextAnalysis.repetition(Seq((1L, text)).toDF("doc_id", "text"))
+      .as[(Long, Long, Double, Double, Boolean)].collect().head
+    assert(got._3 == 0.0 && !got._5)
+  }
+
+  test("vocabTopK: deterministic rank, counts, cumulative coverage") {
+    val docs = Seq((1L, "b a b c b a"), (2L, "a c a d")).toDF("doc_id", "text")
+    // counts: a=4, b=3, c=2, d=1 (total 10)
+    val got = TextAnalysis.vocabTopK(docs, k = 3)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 4L, 0.4), (2L, "b", 3L, 0.7), (3L, "c", 2L, 0.9)))
+  }
+
+  test("vocabTopK: count ties break by token ascending") {
+    val docs = Seq((1L, "z y z y x")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabTopK(docs, k = 3)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq("y", "z", "x"))
+  }
+}
