@@ -107,6 +107,17 @@ object QueriesGraphX {
         .orderBy("id", "landmark"),
       spOracleSql),
 
+    // 8-core of the derived graph (Seidman's density screen): iterative
+    // peel with a 10-round bound — converges in ≤3 rounds on this graph
+    // family at every SF (the degree tiers make the cascade shallow);
+    // GraphAnalyticsSpec proves an 11th round changes nothing. Oracle =
+    // the same bounded peel as chained MATERIALIZED rounds.
+    "graph_kcore" -> QueryDef(
+      (s, d) => GraphAnalytics.kCoreDF(
+        DerivedGraph(s, d).edges.select("src", "dst"), k = 8, rounds = KcoreRounds)
+        .orderBy("id"),
+      kcoreOracleSql),
+
     // Triangle count over the co-order part projection, oracle-verified by
     // an ordered 3-way self-join ((x,y),(x,z),(y,z) with x<y<z counts each
     // triangle exactly once). Runs as the degree-ordered DataFrame wedge
@@ -174,6 +185,27 @@ object QueriesGraphX {
   // BEFORE later plain vals are assigned — a non-constant here would read
   // as 0 and silently generate a zero-round oracle.
   final val CcRounds = 12
+  final val KcoreRounds = 10
+
+  /** Generated oracle for graph_kcore: GraphAnalytics.kCoreDF's bounded
+    * peel replayed round by round — survivors of round i = vertices with
+    * ≥ k surviving neighbours in round i-1 — then within-core degrees.
+    * MATERIALIZED for the same exponential-inlining reason as graph_cc.
+    */
+  private lazy val kcoreOracleSql: String = {
+    val rounds = (1 to KcoreRounds).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT u.a AS id FROM ku u
+         |   JOIN w${i - 1} x ON x.id = u.a JOIN w${i - 1} y ON y.id = u.b
+         |   GROUP BY u.a HAVING COUNT(*) >= 8)""".stripMargin
+    }.mkString(",\n ")
+    s"""${DerivedGraphSql.cte},
+       | ku AS MATERIALIZED (SELECT a, b FROM und),
+       | w0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM ku),
+       | $rounds
+       |SELECT u.a AS id, CAST(COUNT(*) AS BIGINT) AS deg
+       |FROM ku u JOIN w$KcoreRounds x ON x.id = u.a JOIN w$KcoreRounds y ON y.id = u.b
+       |GROUP BY u.a ORDER BY id""".stripMargin
+  }
 
   /** Generated oracle for graph_cc: bounded min-label propagation —
     * label(v) after round k = MIN(id) over v's radius-k ball (LEAST of own

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import scala.collection.immutable.ListMap
 import Qh._
-import graft.ops.llm.{Curation, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.ops.llm.{Curation, Dedup, Mixture, Multimodal, Packing, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline inventory (north-star mandate): dedup ×4, similarity
   * search ×2, text analysis ×4, fingerprinting, multimodal ×2. Oracles
@@ -652,7 +652,33 @@ object QueriesLlm {
         |        SUM(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
         |      FROM c)
         |SELECT rk, tok, cnt, round(CAST(cum AS DOUBLE) / tot.tt, 6) AS cum_frac
-        |FROM r, tot WHERE rk <= 1000 ORDER BY rk""".stripMargin)
+        |FROM r, tot WHERE rk <= 1000 ORDER BY rk""".stripMargin),
+
+    // Deterministic data-mixing schedule (stride scheduling on integer
+    // virtual time): src0 at weight 3, src1 at weight 2, the rest at 1 —
+    // lcm 6 → steps 2/3/6. The closed-form global position needs no
+    // global window (broadcast per-source stats only); all-BIGINT, so the
+    // oracle replays it exactly.
+    "interleave_sources" -> QueryDef(
+      (s, d) => Mixture.interleaveSources(t(s, d, "documents"),
+        Map("src0" -> 3, "src1" -> 2))
+        .orderBy("global_pos"),
+      """WITH s AS (SELECT doc_id, source,
+        |             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS k
+        |           FROM documents),
+        |q AS (SELECT doc_id, source, k,
+        |        CAST(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3 ELSE 6 END AS BIGINT) AS step
+        |      FROM s),
+        |qv AS (SELECT doc_id, source, k, step, k * step AS vt FROM q),
+        |st AS (SELECT source AS osrc, MAX(k) AS n, MAX(step) AS ostep FROM qv GROUP BY source)
+        |SELECT CAST(SUM(LEAST(st.n, (qv.vt - 1) // st.ostep) +
+        |         CASE WHEN st.osrc < qv.source AND qv.vt % st.ostep = 0
+        |                   AND qv.vt // st.ostep <= st.n
+        |              THEN 1 ELSE 0 END) + 1 AS BIGINT) AS global_pos,
+        |  qv.vt, qv.source, qv.doc_id, qv.k
+        |FROM qv CROSS JOIN st
+        |GROUP BY qv.vt, qv.source, qv.doc_id, qv.k
+        |ORDER BY global_pos""".stripMargin)
   )
 
   /** The deterministic PII-bearing profile text, Spark side: every

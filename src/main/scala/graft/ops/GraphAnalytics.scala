@@ -246,6 +246,45 @@ object GraphAnalytics {
     labels.select(col("id"), col("lbl").as("community"))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop vertices
+    * with fewer than `k` neighbours among the survivors; the fixpoint is
+    * the maximal subgraph of minimum degree ≥ k (Seidman, "Network
+    * structure and minimum degree", Social Networks 1983 — the standard
+    * graph-density screen). `rounds` bounds the peel supersteps so the
+    * computation is replayable as chained SQL rounds; convergence within
+    * the bound is PROVEN per graph family in GraphAnalyticsSpec (one extra
+    * round must change nothing), not assumed. Returns the core members
+    * with their within-core degree.
+    *
+    * 100 TB shape: each round is two survivor semi-joins on the undirected
+    * edge list (vertex-keyed shuffles, no broadcast requirement) + one
+    * map-side-combinable degree count; survivors shrink monotonically and
+    * the lineage is cut per round like [[pageRankDF]]. Peel depth on
+    * real-world (heavy-tailed) graphs is small; a chain-of-pendants
+    * adversary needs O(chain length) rounds — that is a property the spec
+    * exercises, and the `rounds` parameter makes the trade explicit
+    * instead of unbounded.
+    */
+  def kCoreDF(edges: DataFrame, k: Int, rounds: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1, got $k")
+    require(rounds >= 1, s"rounds must be ≥ 1, got $rounds")
+    val e = edges.select("src", "dst")
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint()
+    def coreDegrees(keep: DataFrame): DataFrame =
+      und
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .groupBy("a").agg(count(lit(1)).as("deg"))
+    var keep = und.select(col("a").as("id")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      keep = coreDegrees(keep).filter(col("deg") >= k)
+        .select(col("a").as("id")).localCheckpoint()
+    }
+    coreDegrees(keep).select(col("a").as("id"), col("deg"))
+  }
+
   /** Unweighted undirected BFS distances from a seed via an explicit Pregel
     * program — the k-hop traversal (mongraph.py:252-274 intent) as message
     * passing. Each superstep relaxes dist(v) = min(dist(v), dist(u)+1); the

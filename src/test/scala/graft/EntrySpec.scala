@@ -38,7 +38,8 @@ class EntrySpec extends SparkSpec {
       // round-5 additions
       "snapshot_diff_edges", "pack_sequences", "curation_pipeline",
       // round-6 additions
-      "chunk_docs", "quality_repetition", "vocab_topk")
+      "chunk_docs", "quality_repetition", "vocab_topk", "interleave_sources",
+      "graph_kcore")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

@@ -95,6 +95,33 @@ class GraphAnalyticsSpec extends SparkSpec {
         bounded.count { case (k, v) => gx.get(k).exists(_ != v) }} vertices")
   }
 
+  test("kCoreDF: K4 plus pendant tail — the 3-core is exactly the K4") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = GraphAnalytics.kCoreDF(edges, k = 3, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCoreDF: pendant chain peels one layer per round — rounds bound is real") {
+    // path 1-2-…-8: the 2-core is empty, but each round only removes the
+    // two current endpoints, so 3 rounds leave a residue while 4 suffice.
+    val path = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(GraphAnalytics.kCoreDF(path, k = 2, rounds = 3).count() > 0)
+    assert(GraphAnalytics.kCoreDF(path, k = 2, rounds = 4).count() == 0)
+  }
+
+  test("graph_kcore oracle convergence: one extra round changes nothing on the real derived graph") {
+    val d = "/root/testdata/sf0.001"
+    val edges = graft.model.DerivedGraph(spark, d).edges.select("src", "dst")
+    val atBound = GraphAnalytics.kCoreDF(edges, k = 8, rounds = QueriesGraphX.KcoreRounds)
+      .as[(Long, Long)].collect().toMap
+    val oneMore = GraphAnalytics.kCoreDF(edges, k = 8, rounds = QueriesGraphX.KcoreRounds + 1)
+      .as[(Long, Long)].collect().toMap
+    assert(atBound == oneMore, "peel had not converged within the oracle's round bound")
+    assert(atBound.nonEmpty && atBound.values.forall(_ >= 8L))
+  }
+
   test("triangle count on a known graph") {
     val canonical = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
       .toDF("src", "dst")
