@@ -272,17 +272,39 @@ object GraphAnalytics {
     val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .select(col("src").as("a"), col("dst").as("b"))
       .localCheckpoint()
-    def coreDegrees(keep: DataFrame): DataFrame =
-      und
-        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-        .groupBy("a").agg(count(lit(1)).as("deg"))
-    var keep = und.select(col("a").as("id")).distinct().localCheckpoint()
-    for (_ <- 1 to rounds) {
-      keep = coreDegrees(keep).filter(col("deg") >= k)
-        .select(col("a").as("id")).localCheckpoint()
+    // INCREMENTAL peel: degrees are counted over the full edge list ONCE;
+    // each round subtracts the edges lost to that round's removed set
+    // instead of re-counting survivors against survivors (which would
+    // re-shuffle all |2E| rows every round — measured ~10× the query at
+    // bench scale). deg_i(v) = deg_{i-1}(v) − |neighbours removed in
+    // round i| is the same survivor sequence as the recompute form the
+    // SQL oracle replays. The loss join's removed side starts at the
+    // sub-k fringe and shrinks towards convergence — AQE picks the
+    // broadcast side from its real size (no unsafe hint).
+    var deg = und.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
+      val removed = deg.filter(col("deg") < k)
+        .select(col("a").as("rid")).localCheckpoint()
+      // an empty removed set makes every remaining round a no-op, so
+      // stopping early returns the SAME result as running all `rounds` —
+      // bounded-round semantics (and oracle parity) are unchanged.
+      if (removed.isEmpty) converged = true
+      else {
+        val loss = und.join(removed, col("b") === col("rid"))
+          .groupBy("a").agg(count(lit(1)).as("__lost"))
+        deg = deg.filter(col("deg") >= k)
+          .join(loss, Seq("a"), "left")
+          .select(col("a"), (col("deg") - coalesce(col("__lost"), lit(0L))).as("deg"))
+          .localCheckpoint()
+      }
     }
-    coreDegrees(keep).select(col("a").as("id"), col("deg"))
+    // deg now holds within-core degrees of the survivors; vertices whose
+    // neighbours were all peeled in the final bounded round carry deg 0
+    // and are edgeless in the core — the recompute/oracle form omits them.
+    deg.filter(col("deg") > 0).select(col("a").as("id"), col("deg"))
   }
 
   /** Unweighted undirected BFS distances from a seed via an explicit Pregel
