@@ -168,6 +168,10 @@ object GraphAnalytics {
       // shuffle reuse across an un-checkpointed boundary — measured as a
       // duplicated heavy stage per un-cut round). The cut itself
       // materializes only the |V|-row rank table.
+      // eager (default) on purpose: folding the materialization into the
+      // next round's broadcast-build job (eager=false) measured SLOWER —
+      // it serializes the cut into the broadcast thread instead of a
+      // parallel dedicated job.
       if (i % checkpointEvery == 0 || i == numIter) ranks = ranks.localCheckpoint()
     }
     // normalize Σranks to |V| like GraphX (SPARK-18847 sink correction):
