@@ -442,6 +442,19 @@ object QueriesRelational {
         .orderBy("l_returnflag"),
       None),
 
+    // The approximate count that IS value-checked: a HyperLogLog built
+    // from replayable integer arithmetic only (universal 31-bit hashes,
+    // trailing-zero ranks, exact scaled-power-of-two register sums), so
+    // the APPROXIMATE estimate hash-matches the DuckDB oracle bit for
+    // bit. agg_sketch above stays rows-only because Spark HLL++ and
+    // DuckDB's sketch differ; this row shows the sketch DISCIPLINE (≤ m
+    // shuffled rows per group — mergeable) under the full oracle.
+    "sketch_hll_replay" -> QueryDef(
+      (s, d) => graft.ops.Sketches.hllReplayable(
+        t(s, d, "lineitem"), "l_returnflag", "l_orderkey")
+        .orderBy("grp"),
+      graft.ops.Sketches.hllOracleSql("lineitem", "l_returnflag", "l_orderkey")),
+
     // Pivot to wide: per-linestatus quantity totals, one column per return
     // flag (explicit value list → no distinct-scan planning pass).
     "pivot_wide" -> QueryDef(

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches under EXACT verification.
+  *
+  * `agg_sketch` (approx_count_distinct / percentile_approx) is rows-only
+  * in the oracle contract because Spark's HLL++ and DuckDB's approx
+  * functions implement different sketches. This module closes that gap
+  * from the other side: a HyperLogLog built from REPLAYABLE integer
+  * arithmetic only — an affine-then-QUADRATIC hash mod the Mersenne
+  * prime 2³¹−1 (the quadratic step breaks the bucket/rank correlation
+  * that biased a two-affine-hash draft ~50% high on sequential keys; all
+  * intermediates ≤ (2³¹)² stay inside BIGINT), bucket = the hash's top
+  * 8 bits, rank = trailing zeros of its low 23 bits via
+  * `bit_count((h & -h) − 1)`, and registers
+  * folded as exact scaled powers of two (`1 << (31 − r)` summed as
+  * BIGINT, ≤ 2³⁹ for 256 buckets — far inside exact-integer range). The
+  * final estimate is one IEEE multiply/divide of identical exact inputs
+  * on both engines, so the APPROXIMATE count hash-matches the SQL oracle
+  * bit for bit (Flajolet et al., "HyperLogLog: the analysis of a
+  * near-optimal cardinality estimation algorithm", AofA 2007).
+  *
+  * 100 TB shape: one map-side-combinable `max` per (group, bucket) — the
+  * shuffle carries ≤ m rows per group regardless of input size, the
+  * defining property of a mergeable sketch; register tables for any
+  * group count are tiny. No linear-counting branch: it needs `ln`
+  * (libm ULPs differ across engines) and only matters when the estimate
+  * is below 2.5·m — callers counting that low should count exactly.
+  */
+object Sketches {
+
+  /** Buckets (m): 256 → standard error 1.04/√m ≈ 6.5 %. */
+  final val HllBuckets = 256
+  /** Bits feeding the rank (the hash's low bits; the top 8 pick the
+    * bucket) — rank ∈ [1, 24], an all-zero slice capping automatically.
+    */
+  final val HllRankBits = 23
+  // classic LCG multiplier/increment, < 2³¹ so a·x' stays in BIGINT
+  private final val P = 2147483647L // 2³¹ − 1 (Mersenne)
+  private final val A1 = 1103515245L
+  private final val B1 = 12345L
+
+  /** α_m · m² · 2³¹ as an exact double product of literals — the same
+    * expression the generated SQL evaluates, so both engines perform the
+    * identical IEEE operations.
+    */
+  private def alphaNumerator: Column =
+    lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(2147483648.0)
+
+  /** Per-`groupCol` HLL registers and estimate over non-negative integer
+    * keys in `keyCol`. Output: group, `v_zero` (empty registers),
+    * `z_scaled` (exact Σ 2^(31−r) over all m registers, BIGINT), and
+    * `est_hll` (raw HLL estimate, 4 dp).
+    */
+  def hllReplayable(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val x = (col(keyCol).cast("long") % P + P) % P
+    val h1 = (lit(A1) * x + lit(B1)) % P
+    val q = (h1 * h1 + h1) % P
+    val mask = (1L << HllRankBits) - 1
+    val reg = df.select(col(groupCol).as("grp"), q.as("q"))
+      .select(col("grp"),
+        expr(s"shiftright(q, $HllRankBits)").as("b"),
+        expr(s"least(${HllRankBits + 1}, bit_count(((q & $mask) & -(q & $mask)) - 1) + 1)").as("rk"))
+      .groupBy("grp", "b").agg(max("rk").as("r"))
+    reg.groupBy("grp")
+      .agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), 31 - r)"))
+          + (lit(HllBuckets.toLong) - count(lit(1))) * lit(1L << 31))
+          .as("z_scaled"),
+        (lit(HllBuckets.toLong) - count(lit(1))).as("v_zero"))
+      .select(col("grp"), col("v_zero"), col("z_scaled"),
+        round(alphaNumerator / col("z_scaled").cast("double"), 4).as("est_hll"))
+  }
+
+  /** DuckDB replay of [[hllReplayable]] over `keyExpr` grouped by
+    * `grpExpr` from `table` — generated from the same constants, so the
+    * implementation and its oracle cannot drift.
+    */
+  def hllOracleSql(table: String, grpExpr: String, keyExpr: String): String =
+    s"""WITH k AS (SELECT $grpExpr AS grp,
+       |             ((CAST($keyExpr AS BIGINT) % $P) + $P) % $P AS x FROM $table),
+       |h0 AS (SELECT grp, ($A1 * x + $B1) % $P AS h1 FROM k),
+       |h AS (SELECT grp, (h1 * h1 + h1) % $P AS q FROM h0),
+       |r AS (SELECT grp, q >> $HllRankBits AS b,
+       |        LEAST(${HllRankBits + 1}, bit_count(((q & ${(1L << HllRankBits) - 1}) & -(q & ${(1L << HllRankBits) - 1})) - 1) + 1) AS rk FROM h),
+       |reg AS (SELECT grp, b, MAX(rk) AS r FROM r GROUP BY grp, b),
+       |z AS (SELECT grp,
+       |        CAST(SUM(CAST(1 AS BIGINT) << (31 - r))
+       |          + ($HllBuckets - COUNT(*)) * ${1L << 31} AS BIGINT) AS z_scaled,
+       |        CAST($HllBuckets - COUNT(*) AS BIGINT) AS v_zero
+       |      FROM reg GROUP BY grp)
+       |SELECT grp, v_zero, z_scaled,
+       |  round(CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+       |    * CAST(65536 AS DOUBLE) * CAST(2147483648 AS DOUBLE)
+       |    / CAST(z_scaled AS DOUBLE), 4) AS est_hll
+       |FROM z ORDER BY grp""".stripMargin
+}

@@ -39,7 +39,7 @@ class EntrySpec extends SparkSpec {
       "snapshot_diff_edges", "pack_sequences", "curation_pipeline",
       // round-6 additions
       "chunk_docs", "quality_repetition", "vocab_topk", "interleave_sources",
-      "graph_kcore")
+      "graph_kcore", "sketch_hll_replay")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
