@@ -104,4 +104,24 @@ class LayoutInvarianceSpec extends SparkSpec {
       assert(ca.toSeq == cb.toSeq, "sampled IVF centers differ across partitionings")
     }
   }
+
+  test("round-6 text ops are partitioning-invariant") {
+    assertInvariant("repetition")(
+      d => TextAnalysis.repetition(d).orderBy("doc_id"), docs)
+    assertInvariant("vocabTopK")(
+      d => TextAnalysis.vocabTopK(d, 20).orderBy("rk"), docs)
+    assertInvariant("chunkDocs")(
+      d => graft.ops.llm.Packing.chunkDocs(d, 5, 1).orderBy("doc_id", "chunk_id"), docs)
+  }
+
+  test("k-core peel is partitioning-invariant") {
+    import spark.implicits._
+    val edges = ((1L to 20L).flatMap(i => (i + 1 to math.min(20L, i + 3)).map(j => (i, j))))
+      .toDF("src", "dst")
+    val a = graft.ops.GraphAnalytics.kCoreDF(edges.repartition(1), k = 3)
+      .orderBy("id").collect().toSeq
+    val b = graft.ops.GraphAnalytics.kCoreDF(edges.repartition(7), k = 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

@@ -68,6 +68,12 @@ class PackingSpec extends SparkSpec {
     assert(base == otherRange)
   }
 
+  test("chunkDocs plan: ZERO exchanges — the zero-shuffle claim, pinned") {
+    val plan = Packing.chunkDocs(docsOf((1L, "a b c d e")), 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunkDocs must not shuffle:\n$plan")
+  }
+
   test("chunkDocs: stride layout, full coverage, lossless reconstruction") {
     // 10 tokens, chunkSize 4, overlap 1 (stride 3) → chunks at 0, 3, 6;
     // a 4th window at 9 would add no new token (9 ≥ n - overlap) so it
