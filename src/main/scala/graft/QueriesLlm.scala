@@ -153,6 +153,32 @@ object QueriesLlm {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Generated oracle for neardedup_pipeline: the replayable minhash CTE →
+    * candidate pairs → EXACT shingle-set Jaccard verification
+    * (list_intersect over the same fold hashes, 6dp-rounded threshold) →
+    * min-label reachability fixpoint over the VERIFIED pairs → per-doc
+    * keep/drop verdict. Same recursion shape as clustersOracleSql; only
+    * the verification stage between them is new.
+    */
+  private lazy val nearDedupOracleSql: String =
+    s"""WITH RECURSIVE $minhashCte,
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |          FROM bkts a JOIN bkts b
+       |            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |hsets AS (SELECT doc_id, list_distinct(hs) AS shs FROM hb),
+       |vp AS (SELECT a_id, b_id FROM pairs p
+       |       JOIN hsets a ON a.doc_id = p.a_id
+       |       JOIN hsets b ON b.doc_id = p.b_id
+       |       WHERE round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |         / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 6)
+       |         >= ${Dedup.NearDedupThreshold}),
+       |und AS (SELECT a_id AS u, b_id AS v FROM vp
+       |        UNION SELECT b_id, a_id FROM vp),
+       |reach(id, r) AS (SELECT DISTINCT u, u FROM und
+       |                 UNION SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS cluster_rep, MIN(r) = id AS kept
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // Exact dedup: keep min doc_id per normalized text.
@@ -653,6 +679,53 @@ object QueriesLlm {
         |      FROM c)
         |SELECT rk, tok, cnt, round(CAST(cum AS DOUBLE) / tot.tt, 6) AS cum_frac
         |FROM r, tot WHERE rk <= 1000 ORDER BY rk""".stripMargin),
+
+    // The production near-dedup pipeline END TO END (candidates → exact
+    // verify → cluster → keep/drop): MinHash+LSH candidate pairs, exact
+    // shingle-set Jaccard verification via the codegen'd two-pointer
+    // intersect (kills LSH false positives), connected components over the
+    // verified pairs, min-id survivor per cluster. The full iterative
+    // pipeline is value-checked — the oracle replays the fold hashes, the
+    // set intersections, AND the reachability fixpoint.
+    "neardedup_pipeline" -> QueryDef(
+      (s, d) => Dedup.verifiedClusters(t(s, d, "documents"),
+        threshold = Dedup.NearDedupThreshold).orderBy("doc_id"),
+      nearDedupOracleSql),
+
+    // One BPE training step over the word-frequency table (never the
+    // corpus): weighted adjacent char-pair counts, top-20 merge candidates
+    // with deterministic ties. The tokenizer-training inner loop.
+    "bpe_merge_pairs" -> QueryDef(
+      (s, d) => TextAnalysis.bpeMergePairs(t(s, d, "documents"), k = 20)
+        .orderBy("rk"),
+      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wf AS (SELECT w, COUNT(*) AS freq FROM w0 WHERE length(w) >= 2 GROUP BY w),
+        |p AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, freq
+        |      FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i FROM wf)),
+        |a AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS weight FROM p GROUP BY pair),
+        |r AS (SELECT pair, weight,
+        |        CAST(row_number() OVER (ORDER BY weight DESC, pair) AS BIGINT) AS rk
+        |      FROM a)
+        |SELECT rk, pair, weight FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin),
+
+    // Per-document top-3 TF-IDF terms, log-free (score = tf·N/df as one
+    // exact-integer IEEE division, 6dp — ln would break oracle parity on
+    // libm ULPs; same ladder as quality_unigram).
+    "tfidf_topk" -> QueryDef(
+      (s, d) => TextAnalysis.tfidfTopK(t(s, d, "documents"), k = 3)
+        .orderBy("doc_id", "rk"),
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, tok),
+        |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY tok),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |sc AS (SELECT doc_id, tc.tok, tc.tf, dfq.df,
+        |         round(CAST(tc.tf * nn.n AS DOUBLE) / dfq.df, 6) AS score
+        |       FROM tc JOIN dfq USING (tok) CROSS JOIN nn),
+        |r AS (SELECT doc_id, tok, tf, df, score,
+        |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk
+        |      FROM sc)
+        |SELECT doc_id, rk, tok, tf, df, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin),
 
     // Deterministic data-mixing schedule (stride scheduling on integer
     // virtual time): src0 at weight 3, src1 at weight 2, the rest at 1 —

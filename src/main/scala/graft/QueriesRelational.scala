@@ -455,6 +455,80 @@ object QueriesRelational {
         .orderBy("grp"),
       graft.ops.Sketches.hllOracleSql("lineitem", "l_returnflag", "l_orderkey")),
 
+    // Two-pass z-score outlier screen over the events stream table: exact
+    // per-type mean/σ from DECIMAL power sums (the agg_stats formula —
+    // never the built-in stddev, whose streaming accumulation is
+    // order-dependent), broadcast back as a tiny dim, flag |v−μ| > 2σ.
+    // The standard anomaly-detection shape: the stats pass is map-side-
+    // combinable, the filter pass is a pure broadcast-join projection —
+    // nothing shuffles the events themselves at any scale.
+    "outlier_zscore" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val nD = col("n").cast("double")
+        val stats = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("value")).as("sx"),
+            dsum(col("value") * col("value")).as("sx2"))
+          .select(col("event_type"),
+            (col("sx") / nD).as("__mean"),
+            sqrt((nD * col("sx2") - col("sx") * col("sx")) / (nD * (nD - 1)))
+              .as("__std"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .filter(abs(col("value") - col("__mean")) > lit(2.0) * col("__std"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            round((col("value") - col("__mean")) / col("__std"), 4).as("z"))
+          .orderBy("event_id")
+      },
+      s"""WITH s AS (SELECT event_type, COUNT(*) AS n,
+         |  ${dsumSql("value")} AS sx, ${dsumSql("value*value")} AS sx2
+         |  FROM events GROUP BY event_type),
+         |st AS (SELECT event_type, sx / CAST(n AS DOUBLE) AS m,
+         |         sqrt((CAST(n AS DOUBLE)*sx2 - sx*sx)
+         |           / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1))) AS sd
+         |       FROM s)
+         |SELECT event_id, event_type, value, round((value - m) / sd, 4) AS z
+         |FROM events JOIN st USING (event_type)
+         |WHERE abs(value - m) > 2 * sd
+         |ORDER BY event_id""".stripMargin),
+
+    // Incremental view maintenance through the correctness gate: the
+    // maintained aggregate (old snapshot's aggregate + SnapshotDiff delta
+    // merged via ops.Incremental — added/removed/changed rows as signed
+    // DECIMAL contributions, group migration included) must hash-match the
+    // oracle's FULL RECOMPUTE over the new snapshot. That equality is the
+    // whole point of CDC at 100 TB: refresh cost scales with the delta,
+    // never the snapshot — and it only holds because sums accumulate in
+    // DECIMAL (an abelian group), not IEEE doubles.
+    "incremental_agg" -> QueryDef(
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val a = orders.filter(col("o_orderkey") % 7 =!= 0)
+        // the "new" snapshot: some rows gone (%5), some prices patched
+        // (%11), some rows migrated to a new group (%13) — adds, removes,
+        // in-place changes, and group migration all exercised.
+        val b = orders.filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(10.0))
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") % 13 === 0, lit("9-SYNTH"))
+              .otherwise(col("o_orderpriority")))
+        val oldAgg = graft.ops.Incremental.groupAgg(a, "o_orderpriority", "o_totalprice")
+        val delta = graft.ops.SnapshotDiff.diff(a, b, Seq("o_orderkey"))
+        graft.ops.Incremental.mergeGroupAgg(oldAgg, delta, "o_orderpriority", "o_totalprice")
+          .select(col("o_orderpriority"), col("n"),
+            col("s").cast("double").as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      """WITH b AS (SELECT
+        |    CASE WHEN o_orderkey % 13 = 0 THEN '9-SYNTH' ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
     // Pivot to wide: per-linestatus quantity totals, one column per return
     // flag (explicit value list → no distinct-scan planning pass).
     "pivot_wide" -> QueryDef(

@@ -58,6 +58,12 @@ object Dedup {
     */
   val MaxGramDf: Int = 1000
 
+  /** Jaccard threshold for [[verifiedClusters]]'s exact verification stage
+    * (shared with the generated oracle SQL). 0.5 is the conventional
+    * near-dup cut for 3-token shingle sets.
+    */
+  val NearDedupThreshold: Double = 0.5
+
   private def mix64(z0: Long): Long = { // splitmix64 finalizer
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -248,6 +254,58 @@ object Dedup {
         "returned labels would not be the component minima. Raise maxIters or " +
         "use the GraphX clusters() path.")
     labels.toDF("doc_id", "cluster_rep")
+  }
+
+  /** Sorted distinct shingle-hash set per document — the exact-verification
+    * side of the near-dedup pipeline. Same shingling + polynomial fold as
+    * [[minhashBuckets]] (shared constants → the DuckDB oracle replays it),
+    * aggregated back into one sorted array per doc. The shuffle carries
+    * 8-byte hashes, never shingle text.
+    */
+  def shingleHashSets(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleLen: Int = DefaultShingleLen): DataFrame =
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .filter(size(col("__toks")) >= shingleLen)
+      .select(col(idCol), explode(expr(
+        s"array_distinct(transform(sequence(0, size(__toks)-$shingleLen), i -> concat_ws(' ', slice(__toks, i+1, $shingleLen))))")).as("__sh"))
+      .withColumn("__hb", graft.functions.TextHash.poly_fold(col("__sh"), P))
+      .groupBy(idCol)
+      .agg(sort_array(collect_set(col("__hb"))).as("shs"))
+
+  /** The production near-dedup pipeline end to end: MinHash+LSH candidate
+    * generation → EXACT shingle-set Jaccard verification of each candidate
+    * pair → connected components over the verified pairs → per-doc survivor
+    * verdict (`kept` = this doc is its cluster's min-id representative).
+    * This is the candidates-verify-cluster shape every big corpus dedup
+    * runs (cf. Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022): LSH bounds the candidate count, the exact
+    * Jaccard kills LSH false positives, and clustering turns pairs into
+    * keep/drop decisions.
+    *
+    * Scale shape: candidates only meet inside LSH band buckets (never
+    * all-pairs); verification joins the candidate PAIRS (sparse) against
+    * the per-doc hash sets — the codegen'd two-pointer
+    * `sorted_intersect_count` does the set intersection without exploding
+    * set elements into rows; CC runs on the verified-pair graph only.
+    * Jaccard = inter/union of exact ints, rounded to 6dp before the
+    * threshold compare on both engines.
+    */
+  def verifiedClusters(docs: DataFrame, threshold: Double = NearDedupThreshold,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = minhashCandidatePairs(minhashBuckets(docs, textCol, idCol))
+    val sets = shingleHashSets(docs, textCol, idCol)
+    val verified = pairs
+      .join(sets.select(col(idCol).as("a_id"), col("shs").as("__sa")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("shs").as("__sb")), "b_id")
+      .withColumn("__inter",
+        graft.functions.ArrayFunctions.sorted_intersect_count(col("__sa"), col("__sb")))
+      .withColumn("__jac", round(col("__inter").cast("double") /
+        (size(col("__sa")) + size(col("__sb")) - col("__inter")), 6))
+      .filter(col("__jac") >= threshold)
+      .select("a_id", "b_id")
+    clusters(verified)
+      .withColumn("kept", col("cluster_rep") === col("doc_id"))
   }
 
   /** 60-bit SimHash: sign of the per-bit weighted sum of token hashes —

@@ -125,6 +125,58 @@ object TextAnalysis {
         round(col("__cum").cast("double") / col("__tot").cast("double"), 6).as("cum_frac"))
   }
 
+  /** One BPE training step: weighted adjacent-character-pair counts, top-k
+    * merge candidates (Sennrich, Haddow, Birch, "Neural Machine Translation
+    * of Rare Words with Subword Units", ACL 2016). The classic
+    * implementation trick — and the 100 TB shape — is that pair counting
+    * runs over the WORD-FREQUENCY TABLE, not the corpus: one map-side-
+    * combinable groupBy collapses the corpus to its vocabulary (bounded by
+    * Zipf, not corpus size), and the pair explode then touches each
+    * distinct word once, weighted by its frequency. The top-k cut is
+    * distributed TakeOrdered (per-partition heaps), never a global sort.
+    * Ties break deterministically (weight desc, pair asc).
+    */
+  def bpeMergePairs(docs: DataFrame, k: Int = 20, textCol: String = "text"): DataFrame = {
+    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("weight"))
+    val top = pairs.orderBy(col("weight").desc, col("pair")).limit(k)
+    val w = Window.orderBy(col("weight").desc, col("pair"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select("rk", "pair", "weight")
+  }
+
+  /** Per-document top-k TF-IDF terms, log-free: score = tf·N/df as ONE
+    * IEEE division of exact integers (ln-based idf would diverge on libm
+    * ULPs between engines — same reasoning as quality_unigram), rounded to
+    * 6dp before ranking. Monotone in tf/df, so the ranking is the familiar
+    * TF-IDF ranking; ties break (score desc, token asc).
+    *
+    * Scale shape: (doc, tok) term counts and the document-frequency table
+    * are both map-side-combinable aggregates; the df join is token-keyed
+    * with NO broadcast hint (vocabulary can be huge at 100 TB — AQE
+    * broadcasts small ones, shuffle-joins big ones, and hot stopword keys
+    * are exactly its skew-split case); the corpus-size scalar broadcasts.
+    * The final window partitions by doc — the natural key.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(docs, textCol, idCol)
+    val tf = toks.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("score",
+        round((col("tf") * col("__n")).cast("double") / col("df"), 6))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("tok"), col("tf"), col("df"), col("score"))
+  }
+
   /** Winnowing document fingerprint: rolling shingle hashes, minimum per
     * sliding window of `winnow` — the MOSS scheme (Schleimer, Wilkerson,
     * Aiken, "Winnowing: local algorithms for document fingerprinting",

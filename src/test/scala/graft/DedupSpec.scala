@@ -131,4 +131,41 @@ class DedupSpec extends SparkSpec {
     // exists to avoid.
     assert(plan.contains("__tb"), s"expected (table,bucket) join key in plan:\n$plan")
   }
+
+  test("shingleHashSets: sorted distinct fold hashes of the 3-token shingles") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.shingleHashSets(docs)
+      .select("shs").as[Seq[Long]].collect().head
+    val expected = Seq("a b c", "b c d")
+      .map(s => graft.functions.PolyFoldUtil.fold(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), Dedup.P))
+      .distinct.sorted
+    assert(got == expected)
+  }
+
+  test("verifiedClusters: exact dups cluster under min-id rep, uniques absent") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (4L, "the quick brown fox jumps over the dog"),   // exact dup of 1
+      (9L, "the quick brown fox jumps over the dog"),   // exact dup of 1
+      (2L, "completely unrelated text about spark plans and shuffles")
+    ).toDF("doc_id", "text")
+    val got = Dedup.verifiedClusters(docs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, true), (4L, 1L, false), (9L, 1L, false)))
+  }
+
+  test("verifiedClusters: exact-Jaccard verification kills candidates below threshold") {
+    // "a b c d" vs "a b c d e": shingle sets {abc,bcd} vs {abc,bcd,cde} →
+    // exact Jaccard 2/3, and the pair DOES collide in an LSH band (band 4
+    // under the fixed universal constants — computed once, deterministic
+    // forever). So it is a candidate whose fate the verify stage decides:
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val loose = Dedup.verifiedClusters(docs, threshold = 0.6)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(loose == Set((1L, 1L, true), (2L, 1L, false)))
+    val strict = Dedup.verifiedClusters(docs, threshold = 0.7)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(strict.isEmpty, s"0.667 < 0.7 must be rejected, got $strict")
+  }
 }

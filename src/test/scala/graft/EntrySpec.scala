@@ -39,7 +39,10 @@ class EntrySpec extends SparkSpec {
       "snapshot_diff_edges", "pack_sequences", "curation_pipeline",
       // round-6 additions
       "chunk_docs", "quality_repetition", "vocab_topk", "interleave_sources",
-      "graph_kcore", "sketch_hll_replay")
+      "graph_kcore", "sketch_hll_replay",
+      // round-6 late additions
+      "neardedup_pipeline", "bpe_merge_pairs", "tfidf_topk",
+      "outlier_zscore", "incremental_agg")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

@@ -114,6 +114,33 @@ class LayoutInvarianceSpec extends SparkSpec {
       d => graft.ops.llm.Packing.chunkDocs(d, 5, 1).orderBy("doc_id", "chunk_id"), docs)
   }
 
+  test("round-7 ops are partitioning-invariant") {
+    assertInvariant("bpeMergePairs")(
+      d => TextAnalysis.bpeMergePairs(d, k = 10).orderBy("rk"), docs)
+    assertInvariant("tfidfTopK")(
+      d => TextAnalysis.tfidfTopK(d, k = 2).orderBy("doc_id", "rk"), docs)
+    // threshold -1 keeps every verified candidate → non-vacuous output on
+    // the synthetic corpus (which has repeating token patterns)
+    assertInvariant("verifiedClusters")(
+      d => Dedup.verifiedClusters(d, threshold = -1.0).orderBy("doc_id"), docs)
+  }
+
+  test("incremental merge is partitioning-invariant") {
+    val neu = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" extra"))).otherwise(col("text")))
+      .withColumn("v", col("doc_id").cast("double") + 0.25)
+    val old = docs.withColumn("v", col("doc_id").cast("double") + 0.25)
+    def run(o: org.apache.spark.sql.DataFrame, n: org.apache.spark.sql.DataFrame) =
+      graft.ops.Incremental.mergeGroupAgg(
+        graft.ops.Incremental.groupAgg(o, "source", "v"),
+        graft.ops.SnapshotDiff.diff(o, n, Seq("doc_id")), "source", "v")
+        .orderBy("source")
+    val a = run(old.repartition(1), neu.repartition(1)).collect().toSeq
+    val b = run(old.repartition(7), neu.repartition(7)).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("k-core peel is partitioning-invariant") {
     import spark.implicits._
     val edges = ((1L to 20L).flatMap(i => (i + 1 to math.min(20L, i + 3)).map(j => (i, j))))

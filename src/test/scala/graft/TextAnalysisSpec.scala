@@ -46,4 +46,32 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String, Long, Double)].collect().toSeq
     assert(got.map(_._2) == Seq("y", "z", "x"))
   }
+
+  test("bpeMergePairs: pair counts weighted by word frequency, 1-char words skipped") {
+    // words: "abc"×1 → pairs ab, bc; "ab"×2 → pair ab; "x" skipped (<2 chars)
+    val docs = Seq((1L, "abc ab x"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergePairs(docs, k = 5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "ab", 3L), (2L, "bc", 1L)))
+  }
+
+  test("bpeMergePairs: weight ties break by pair ascending") {
+    val docs = Seq((1L, "zy ba")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergePairs(docs, k = 2)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "ba", 1L), (2L, "zy", 1L)))
+  }
+
+  test("tfidfTopK: score = tf*N/df, rarer terms rank first") {
+    // N=2; df: a=2, b=1, c=1. doc1 "a a b": a tf=2 score=2*2/2=2.0,
+    // b tf=1 score=1*2/1=2.0 → tie broken by token asc → a first.
+    // doc2 "a c": c score=2.0, a score=1.0.
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, k = 2)
+      .as[(Long, Long, String, Long, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got == Seq(
+      (1L, 1L, "a", 2L, 2L, 2.0), (1L, 2L, "b", 1L, 1L, 2.0),
+      (2L, 1L, "c", 1L, 1L, 2.0), (2L, 2L, "a", 1L, 2L, 1.0)))
+  }
 }
