@@ -179,6 +179,50 @@ object QueriesLlm {
        |SELECT id AS doc_id, MIN(r) AS cluster_rep, MIN(r) = id AS kept
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Generated oracle for rag_retrieval: replay the chunk windows
+    * (generate_series + list_slice, chunkSize=64 / stride=48), the
+    * hash-feature embeddings (per-dim affine sums over the shared fold,
+    * exact BIGINT, FLOAT-rounded exactly like Spark's cast), and the
+    * broadcast top-k (cross join + 4dp-rounded cosine + window). Every
+    * constant comes from Rag.featureConstants — one source of truth.
+    */
+  private lazy val ragOracleSql: String = {
+    import graft.ops.llm.Rag
+    val center = (Dedup.P - 1) / 2
+    def featExprs(toksCol: String): String =
+      Rag.featureConstants.map { case (a, b) =>
+        s"CAST(CAST(CAST(list_sum(list_transform($toksCol, t -> ($a * (${duckFold("t")}) + $b) % ${Dedup.P} - $center)) AS BIGINT) AS FLOAT) AS DOUBLE)"
+      }.mkString("[\n    ", ",\n    ", "]")
+    s"""WITH q0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |           FROM documents WHERE doc_id % 50 <> 0),
+       |ch AS (SELECT doc_id, toks, n,
+       |         CAST(unnest(generate_series(CAST(0 AS BIGINT),
+       |           GREATEST(CAST(1 AS BIGINT), (n - 16 + 47) // 48) - 1)) AS BIGINT) AS chunk_id
+       |       FROM q0 WHERE n > 0),
+       |ct AS (SELECT doc_id, chunk_id,
+       |         list_slice(toks, chunk_id * 48 + 1, LEAST(chunk_id * 48 + 64, n)) AS ctoks
+       |       FROM ch),
+       |ce AS (SELECT doc_id, chunk_id, ${featExprs("ctoks")} AS emb FROM ct),
+       |cn AS (SELECT doc_id AS c_doc, chunk_id, emb,
+       |         sqrt(list_dot_product(emb, emb)) AS nrm FROM ce
+       |       WHERE sqrt(list_dot_product(emb, emb)) > 0),
+       |qt AS (SELECT doc_id, string_split(text, ' ') AS qtoks FROM documents
+       |       WHERE doc_id % 50 = 0),
+       |qe AS (SELECT doc_id, ${featExprs("qtoks")} AS emb FROM qt),
+       |qn AS (SELECT doc_id AS q_doc, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+       |       FROM qe WHERE sqrt(list_dot_product(emb, emb)) > 0),
+       |sc AS (SELECT q.q_doc, c.c_doc, c.chunk_id,
+       |         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4) AS score
+       |       FROM qn q CROSS JOIN cn c),
+       |r AS (SELECT q_doc, c_doc, chunk_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_doc
+       |          ORDER BY score DESC, c_doc, chunk_id) AS BIGINT) AS rk
+       |      FROM sc)
+       |SELECT q_doc, rk, c_doc, chunk_id, score FROM r WHERE rk <= 3
+       |ORDER BY q_doc, rk""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // Exact dedup: keep min doc_id per normalized text.
@@ -726,6 +770,16 @@ object QueriesLlm {
         |      FROM sc)
         |SELECT doc_id, rk, tok, tf, df, score FROM r WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin),
+
+    // RAG indexing + retrieval composed end to end: sliding-window chunks
+    // → deterministic hash-feature embeddings (feature hashing, exact
+    // LONG sums) → broadcast cosine top-3 per query doc (eval slice as
+    // the query batch). The whole chain — chunk windows, embeddings,
+    // ranking — replays under the value oracle.
+    "rag_retrieval" -> QueryDef(
+      (s, d) => graft.ops.llm.Rag.retrieve(t(s, d, "documents"),
+        col("doc_id") % 50 === 0).orderBy("q_doc", "rk"),
+      ragOracleSql),
 
     // Deterministic data-mixing schedule (stride scheduling on integer
     // virtual time): src0 at weight 3, src1 at weight 2, the rest at 1 —

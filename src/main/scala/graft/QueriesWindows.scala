@@ -50,6 +50,49 @@ object QueriesWindows {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM y)
         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts, COUNT(*) AS n
-        |FROM z GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+        |FROM z GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin),
+
+    // Sequential conversion funnel view → click → purchase, each step
+    // strictly after the previous AND within 2 hours of it — per-user
+    // journey state (stage + the earliest qualifying timestamp per step,
+    // NULL once the chain breaks). No event-log self-join: one combinable
+    // min per step chained on the user key (Windows.funnel scaladoc has
+    // the 100 TB shape).
+    "event_funnel" -> QueryDef(
+      (s, d) => Windows.funnel(t(s, d, "events")).orderBy("user_id"),
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t
+        |         AND e.ts <= t1.t + INTERVAL '2 hours' GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t
+        |         AND e.ts <= t2.t + INTERVAL '2 hours' GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+        |       WHEN t2.user_id IS NOT NULL THEN 2
+        |       WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  t1.t AS t_view, t2.t AS t_click, t3.t AS t_purchase
+        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |  LEFT JOIN t3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin),
+
+    // Weekly cohort retention matrix: users bucketed by first-seen week,
+    // distinct-counted per whole-week offset. Both engines truncate weeks
+    // to Monday and the offsets are exact day arithmetic.
+    "retention_cohort" -> QueryDef(
+      (s, d) => Windows.retentionCohorts(t(s, d, "events"))
+        .orderBy("cohort_week", "week_offset"),
+      """WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        |           FROM events GROUP BY user_id),
+        |e AS (SELECT ev.user_id, f.cohort, date_trunc('week', ev.ts) AS w
+        |      FROM events ev JOIN f USING (user_id))
+        |SELECT CAST(cohort AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', cohort, w) // 7 AS BIGINT) AS week_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }

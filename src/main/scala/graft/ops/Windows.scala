@@ -43,6 +43,67 @@ object Windows {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("last_ts"), col("n"))
 
+  /** Sequential conversion funnel (view → click → purchase by default):
+    * per user, the earliest qualifying timestamp of each step, where a
+    * step qualifies only if it lands strictly after the previous step and
+    * (optionally) within `within` of it — the classic product-analytics
+    * query. Computed without self-joining the event log: one
+    * map-side-combinable min per step, chained by user-keyed joins (one
+    * hash partitioning serves the whole chain; AQE reuses it). No window
+    * over the raw events, no per-user event-list collection — at 100 TB
+    * the event log only ever flows through combinable mins.
+    *
+    * Returns one row per user: `stage` (how many steps completed, 0 =
+    * never did step 1) plus one `t_<step>` timestamp column per step
+    * (NULL from the first uncompleted step on).
+    */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      within: Option[String] = Some("2 hours")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    def stepTimes(step: String, prev: Option[DataFrame]): DataFrame = {
+      val cand = events.filter(col("event_type") === step)
+      val qualified = prev match {
+        case None => cand
+        case Some(p) =>
+          val after = cand.join(p.select(col("user_id"), col("__t").as("__prev")), "user_id")
+            .filter(col("ts") > col("__prev"))
+          within.fold(after)(w =>
+            after.filter(col("ts") <= col("__prev") + expr(s"INTERVAL $w")))
+      }
+      qualified.groupBy("user_id").agg(min(col("ts")).as("__t"))
+    }
+    val times = steps.scanLeft(Option.empty[DataFrame]) {
+      (prev, step) => Some(stepTimes(step, prev))
+    }.flatten
+    val joined = times.zip(steps).foldLeft(events.select(col("user_id")).distinct()) {
+      case (acc, (tdf, step)) =>
+        acc.join(tdf.select(col("user_id"), col("__t").as(s"t_$step")), Seq("user_id"), "left")
+    }
+    // fold so the LAST step's test lands outermost: deepest-completed wins
+    val stage = steps.zipWithIndex.foldLeft(lit(0L)) { case (els, (step, i)) =>
+      when(col(s"t_$step").isNotNull, lit(i + 1L)).otherwise(els)
+    }
+    joined.withColumn("stage", stage)
+      .select(col("user_id") +: col("stage") +: steps.map(s => col(s"t_$s")): _*)
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event (the cohort), counted per whole-week offset at which they came
+    * back. The standard growth-analytics matrix. Two combinable
+    * aggregations (first-seen per user, then distinct users per cell) and
+    * one user-keyed join — event rows never carry more than (user, week).
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("__cohort"))
+    events.select(col("user_id"), date_trunc("week", col("ts")).as("__w"))
+      .join(firstSeen, "user_id")
+      .groupBy(col("__cohort").cast("date").as("cohort_week"),
+        (datediff(col("__w"), col("__cohort")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** The same tumbling aggregation under Structured Streaming with a
     * watermark — demonstrates the batch transform runs unchanged on a
     * stream (state eviction bounded by the watermark).

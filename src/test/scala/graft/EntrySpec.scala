@@ -42,7 +42,8 @@ class EntrySpec extends SparkSpec {
       "graph_kcore", "sketch_hll_replay",
       // round-6 late additions
       "neardedup_pipeline", "bpe_merge_pairs", "tfidf_topk",
-      "outlier_zscore", "incremental_agg")
+      "outlier_zscore", "incremental_agg",
+      "event_funnel", "retention_cohort", "rag_retrieval")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Windows
+
+/** Hand-checked event analytics: the time-bounded sequential funnel and
+  * the weekly retention cohorts.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: stage per user honors order AND the step window") {
+    val events = Seq(
+      // user 1: full conversion inside the 2h windows → stage 3
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:10:00")),
+      (1L, "purchase", ts("2024-01-01 10:20:00")),
+      // user 2: click 3h after view (outside window) → stage 1
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 13:00:00")),
+      // user 3: click only, never viewed → stage 0
+      (3L, "click", ts("2024-01-01 10:00:00")),
+      // user 4: purchase 4h after click → stage 2
+      (4L, "view", ts("2024-01-01 10:00:00")),
+      (4L, "click", ts("2024-01-01 10:30:00")),
+      (4L, "purchase", ts("2024-01-01 14:31:00")),
+      // user 5: purchase BEFORE the click → not a qualifying step → stage 2
+      (5L, "view", ts("2024-01-01 10:00:00")),
+      (5L, "purchase", ts("2024-01-01 10:05:00")),
+      (5L, "click", ts("2024-01-01 10:30:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Windows.funnel(events)
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("funnel: earliest qualifying timestamps are reported, later steps NULL") {
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 09:00:00")),
+      (1L, "view", ts("2024-01-01 08:00:00")),   // earlier view wins
+      (1L, "click", ts("2024-01-01 08:30:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Windows.funnel(events).head()
+    assert(r.getAs[Timestamp]("t_view") == ts("2024-01-01 08:00:00"))
+    assert(r.getAs[Timestamp]("t_click") == ts("2024-01-01 08:30:00"))
+    assert(r.getAs[Timestamp]("t_purchase") == null)
+    assert(r.getAs[Long]("stage") == 2L)
+  }
+
+  test("retentionCohorts: cohort = first-seen week, offsets in whole weeks") {
+    val events = Seq(
+      (1L, "view", ts("2024-01-02 10:00:00")),  // week of Mon 2024-01-01
+      (1L, "view", ts("2024-01-16 10:00:00")),  // +2 weeks
+      (2L, "view", ts("2024-01-10 10:00:00")),  // week of Mon 2024-01-08
+      (2L, "view", ts("2024-01-08 00:00:00")),  // same week (boundary)
+      (2L, "view", ts("2024-01-15 10:00:00"))   // +1 week
+    ).toDF("user_id", "event_type", "ts")
+    val got = Windows.retentionCohorts(events)
+      .as[(java.sql.Date, Long, Long)].collect().toSet
+    assert(got == Set(
+      (java.sql.Date.valueOf("2024-01-01"), 0L, 1L),
+      (java.sql.Date.valueOf("2024-01-01"), 2L, 1L),
+      (java.sql.Date.valueOf("2024-01-08"), 0L, 1L),
+      (java.sql.Date.valueOf("2024-01-08"), 1L, 1L)))
+  }
+}
