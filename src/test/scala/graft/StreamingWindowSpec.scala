@@ -96,6 +96,44 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: state advances across micro-batches; window still enforced") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.ops.Stateful.streamingFunnel(
+      stream.toDF().toDF("user_id", "event_type", "ts"))
+      .writeStream.outputMode("update").format("memory").queryName("funnel_out").start()
+    try {
+      // batch 1: user 1 views+clicks; user 2 views; user 3 clicks (no view)
+      stream.addData(
+        (1L, "view", ts("2024-01-01 10:00:00")),
+        (1L, "click", ts("2024-01-01 10:10:00")),
+        (2L, "view", ts("2024-01-01 10:00:00")),
+        (3L, "click", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases in-window (state crossed the batch
+      // boundary); user 2 clicks 3h after the view → outside the window
+      stream.addData(
+        (1L, "purchase", ts("2024-01-01 10:20:00")),
+        (2L, "click", ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val byUser = spark.table("funnel_out")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("stage").as("stage"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(byUser == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+      // cross-check vs the batch funnel over the union of both batches
+      val allEvents = Seq(
+        (1L, "view", ts("2024-01-01 10:00:00")),
+        (1L, "click", ts("2024-01-01 10:10:00")),
+        (2L, "view", ts("2024-01-01 10:00:00")),
+        (3L, "click", ts("2024-01-01 10:00:00")),
+        (1L, "purchase", ts("2024-01-01 10:20:00")),
+        (2L, "click", ts("2024-01-01 13:00:00"))).toDF("user_id", "event_type", "ts")
+      val batchStages = Windows.funnel(allEvents)
+        .select("user_id", "stage").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(batchStages == byUser)
+    } finally q.stop()
+  }
+
   test("sessions: merge is inclusive at exactly the gap; strictly greater splits") {
     val data = Seq(
       (ts("2024-01-01 00:00:00"), 1L, 1.0),
