@@ -108,6 +108,31 @@ class SnapshotDiffSpec extends SparkSpec {
       s"no cartesian/nested-loop expected, plan:\n$plan")
   }
 
+  test("membership (key-only) diff plans as one hash-aggregate, no join at all") {
+    val oldE = Seq((1L, 2L, "x"), (1L, 3L, "x")).toDF("src", "dst", "label")
+    val neuE = Seq((1L, 2L, "x"), (3L, 1L, "z")).toDF("src", "dst", "label")
+    val plan = SnapshotDiff.diff(oldE, neuE, Seq("src", "dst", "label"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected the agg path, plan:\n$plan")
+    assert(!plan.contains("Join"), s"membership diff must not join, plan:\n$plan")
+    // presence markers keep the full-outer NULL contract: absent side NULL
+    val rows = SnapshotDiff.diff(oldE, neuE, Seq("src", "dst", "label"))
+      .orderBy("src").collect()
+    assert(rows(0).getAs[String]("change") == "removed"
+      && rows(0).getAs[Any]("new_val") == null && rows(0).getBoolean(rows(0).fieldIndex("old_val")))
+    assert(rows(1).getAs[String]("change") == "added"
+      && rows(1).getAs[Any]("old_val") == null && rows(1).getBoolean(rows(1).fieldIndex("new_val")))
+  }
+
+  test("membership diff groups NULL keys like the null-safe join would") {
+    val oldE = Seq((null.asInstanceOf[java.lang.Long], "x")).toDF("src", "label")
+    val neuE = Seq((null.asInstanceOf[java.lang.Long], "x"),
+      (null.asInstanceOf[java.lang.Long], "y")).toDF("src", "label")
+    val got = SnapshotDiff.diff(oldE, neuE, Seq("src", "label"))
+      .select("label", "change").as[(String, String)].collect().toSet
+    assert(got == Set(("y", "added")))
+  }
+
   test("checkKeys = true rejects duplicate keys loudly") {
     val dup = old.unionByName(old.limit(1))
     val err = intercept[IllegalArgumentException] {
