@@ -50,6 +50,43 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("stage") == 2L)
   }
 
+  test("property: funnel stages match an independent in-memory evaluator") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val steps = Seq("view", "click", "purchase")
+    val withinMs = 2L * 3600 * 1000
+    // independent greedy evaluator: earliest occurrence of each step
+    // strictly after and within the window of the previous one
+    def ref(evs: Seq[(Long, String, Long)]): Map[Long, Long] =
+      evs.groupBy(_._1).map { case (u, es) =>
+        var stage = 0
+        var last = 0L
+        var advanced = true
+        while (advanced && stage < steps.length) {
+          val cand = es.collect {
+            case (_, typ, t) if typ == steps(stage)
+              && (stage == 0 || (t > last && t <= last + withinMs)) => t
+          }
+          if (cand.nonEmpty) { last = cand.min; stage += 1 } else advanced = false
+        }
+        u -> stage.toLong
+      }
+    val base = ts("2024-01-01 00:00:00").getTime
+    val evGen = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, Gen.zip(
+      Gen.chooseNum(1L, 5L),
+      Gen.oneOf("view", "click", "purchase", "error"),
+      // minute-granularity offsets up to ~5h → windows genuinely bind
+      Gen.chooseNum(0L, 300L).map(m => base + m * 60000))))
+    val p = Prop.forAll(evGen) { evs =>
+      val df = evs.map { case (u, ty, t) => (u, ty, new Timestamp(t)) }
+        .toDF("user_id", "event_type", "ts")
+      val got = Windows.funnel(df).select("user_id", "stage")
+        .as[(Long, Long)].collect().toMap
+      got == ref(evs)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("retentionCohorts: cohort = first-seen week, offsets in whole weeks") {
     val events = Seq(
       (1L, "view", ts("2024-01-02 10:00:00")),  // week of Mon 2024-01-01
