@@ -110,7 +110,7 @@ object GraphAnalytics {
     * rows only.
     */
   def pageRankDF(vertices: DataFrame, edges: DataFrame, numIter: Int = 10,
-      roundScale: Int = 6, checkpointEvery: Int = 1,
+      roundScale: Int = 6, checkpointEvery: Int = 2,
       broadcastRankLimit: Long = 5000000L): DataFrame = {
     val e = edges.select("src", "dst")
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
@@ -162,12 +162,15 @@ object GraphAnalytics {
       // no-in vertices: round(0.15 + 0.85·0, s) = 0.15 exactly for any s≥2
       ranks = msum.select(col("dst").as("id"), rankOf(col("__msum")).as("rank"))
         .unionAll(noIn.select(col("id"), lit(0.15).as("rank")))
-      // cut lineage EVERY round: the next round's broadcast-build job would
-      // otherwise re-execute this round's whole 1-join+agg chain a second
-      // time (a broadcast job and the following checkpoint job share no
-      // shuffle reuse across an un-checkpointed boundary — measured as a
-      // duplicated heavy stage per un-cut round). The cut itself
-      // materializes only the |V|-row rank table.
+      // cut lineage every TWO rounds (default): each materialization+
+      // convergence job costs fixed driver latency, and two stacked rounds
+      // per cut measured ~25% faster than one (3.5–5.1 s vs 4.7–8.0 s on
+      // the sf0.1 graph) while five rounds per cut regressed again (plan
+      // growth). The un-cut round's chain re-executes once inside the next
+      // broadcast build — cheaper than the extra job round-trip at this
+      // |V|; past broadcast sizes the hint drops and per-round cuts win
+      // back (pass checkpointEvery = 1). The cut itself materializes only
+      // the |V|-row rank table.
       // eager (default) on purpose: folding the materialization into the
       // next round's broadcast-build job (eager=false) measured SLOWER —
       // it serializes the cut into the broadcast thread instead of a
