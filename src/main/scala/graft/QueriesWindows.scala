@@ -52,6 +52,20 @@ object QueriesWindows {
         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts, COUNT(*) AS n
         |FROM z GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin),
 
+    // Time-RANGE window frame (not expressible as a ROWS frame): per-user
+    // trailing 1-hour value sum, frame bounds in exact microseconds on
+    // both engines (unix_micros / epoch_us — a seconds key would truncate
+    // and shift boundary events).
+    "window_time_range" -> QueryDef(
+      (s, d) => Windows.trailingSum(t(s, d, "events"))
+        .orderBy("event_id"),
+      """SELECT event_id, user_id, ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_sum
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // Sequential conversion funnel view → click → purchase, each step
     // strictly after the previous AND within 2 hours of it — per-user
     // journey state (stage + the earliest qualifying timestamp per step,

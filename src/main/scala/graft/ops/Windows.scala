@@ -43,6 +43,27 @@ object Windows {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("last_ts"), col("n"))
 
+  /** Trailing time-RANGE window: per-user sum of `value` over the last
+    * `seconds` (inclusive of the current row and its timestamp peers) —
+    * the time-decay-feature shape (rolling spend, rate limiting, fraud
+    * scores). A ROWS frame cannot express this: the frame width varies
+    * with event density. Ordering key is exact MICROSECONDS
+    * (`unix_micros`) so the frame boundary is integer-exact — the DuckDB
+    * mirror orders by `epoch_us`; a seconds-granularity key would
+    * truncate and shift boundary events. One shuffle on user_id; the
+    * frame scan is per-partition and the sum is exact DECIMAL.
+    */
+  def trailingSum(events: DataFrame, seconds: Long = 3600): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("__us"))
+      .rangeBetween(-seconds * 1000000L, 0)
+    events.withColumn("__us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        sum(col("value").cast(DecimalType(18, 6))).over(w)
+          .cast("double").as("trailing_sum"))
+  }
+
   /** Sequential conversion funnel (view → click → purchase by default):
     * per user, the earliest qualifying timestamp of each step, where a
     * step qualifies only if it lands strictly after the previous step and

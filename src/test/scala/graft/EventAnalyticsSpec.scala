@@ -87,6 +87,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("trailingSum: time-RANGE frame includes exactly-1h-old and peer rows") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, ts("2024-01-01 11:00:00"), 2.0),  // exactly 1h later: frame holds both
+      (3L, 1L, ts("2024-01-01 12:00:01"), 4.0),  // 1h01s after #2 → #2 now out
+      (4L, 1L, ts("2024-01-01 12:00:01"), 8.0),  // same-instant peer of #3
+      (5L, 2L, ts("2024-01-01 10:30:00"), 16.0)  // other user: own partition
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Windows.trailingSum(events)
+      .select("event_id", "trailing_sum").as[(Long, Double)].collect().toMap
+    // #2 sees #1 (exactly 1h earlier → INCLUSIVE bound); #3/#4 are RANGE
+    // peers (same timestamp), each seeing both, with #1 and #2 aged out
+    assert(got == Map(1L -> 1.0, 2L -> 3.0, 3L -> 12.0, 4L -> 12.0, 5L -> 16.0))
+  }
+
   test("retentionCohorts: cohort = first-seen week, offsets in whole weeks") {
     val events = Seq(
       (1L, "view", ts("2024-01-02 10:00:00")),  // week of Mon 2024-01-01
