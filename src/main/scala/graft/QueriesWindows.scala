@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 import Qh._
 import graft.ops.Windows
@@ -51,6 +52,30 @@ object QueriesWindows {
         |  FROM y)
         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts, COUNT(*) AS n
         |FROM z GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin),
+
+    // Click→purchase attribution as an interval SELF-join on the event
+    // log (the batch twin of Windows.clickAttribution, whose
+    // stream-stream form — watermarks both sides, time-bounded state —
+    // runs in StreamingWindowSpec). Distinct from theta_range_join: same
+    // table both sides, user-equi + time-band condition.
+    "stream_join_attribution" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("ts_c"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("ts_p"))
+        p.join(c, Seq("user_id"))
+          .filter(col("ts_c") < col("ts_p") &&
+            col("ts_c") >= col("ts_p") - expr("INTERVAL 30 minutes"))
+          .select("user_id", "purchase_id", "click_id")
+          .orderBy("purchase_id", "click_id")
+      },
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+        |ORDER BY purchase_id, click_id""".stripMargin),
 
     // Time-RANGE window frame (not expressible as a ROWS frame): per-user
     // trailing 1-hour value sum, frame bounds in exact microseconds on

@@ -133,6 +133,29 @@ object Windows {
       watermark: String = "1 hour"): DataFrame =
     tumbling(streamingEvents.withWatermark("ts", watermark), every)
 
+  /** Stream-STREAM interval join: each purchase joined to the same user's
+    * clicks in the preceding `lookback` — attribution, the canonical
+    * stream-stream join. Both sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, so the state store
+    * can evict: click state is held only `lookback` past its watermark,
+    * purchase state only to the watermark. Unbounded-state joins are
+    * exactly what Structured Streaming rejects without these bounds —
+    * this shape is the one that runs forever. Works identically on batch
+    * DataFrames (the batch twin is an interval self-join).
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      lookback: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c, p("user_id") === c("user_id")
+        && col("click_ts") < col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"))
+      .select(p("user_id"), col("purchase_ts"), col("purchase_value"), col("click_ts"))
+  }
+
   /** [[sessions]] under Structured Streaming: the watermark both bounds
     * session state and decides when a gap-closed session becomes final
     * (append mode emits a session only once the watermark passes its

@@ -43,7 +43,8 @@ class EntrySpec extends SparkSpec {
       // round-6 late additions
       "neardedup_pipeline", "bpe_merge_pairs", "tfidf_topk",
       "outlier_zscore", "incremental_agg",
-      "event_funnel", "retention_cohort", "rag_retrieval", "window_time_range")
+      "event_funnel", "retention_cohort", "rag_retrieval", "window_time_range",
+      "stream_join_attribution")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

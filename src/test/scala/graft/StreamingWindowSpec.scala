@@ -134,6 +134,37 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases attribute to in-window clicks only") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, Double)]) =
+      m.toDF().toDF("user_id", "ts", "value")
+    val q = Windows.clickAttribution(df(clicks), df(purchases))
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 10:00:00"), 0.0),  // 20 min before → attributed
+        (1L, ts("2024-01-01 09:00:00"), 0.0),  // 80 min before → outside lookback
+        (2L, ts("2024-01-01 10:15:00"), 0.0))  // other user
+      purchases.addData((1L, ts("2024-01-01 10:20:00"), 99.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("user_id", "click_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(got == Set((1L, ts("2024-01-01 10:00:00"))))
+      // batch twin: the same function over batch frames gives the same rows
+      val cb = Seq((1L, ts("2024-01-01 10:00:00"), 0.0),
+        (1L, ts("2024-01-01 09:00:00"), 0.0),
+        (2L, ts("2024-01-01 10:15:00"), 0.0)).toDF("user_id", "ts", "value")
+      val pb = Seq((1L, ts("2024-01-01 10:20:00"), 99.0)).toDF("user_id", "ts", "value")
+      val batch = Windows.clickAttribution(cb, pb)
+        .select("user_id", "click_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("sessions: merge is inclusive at exactly the gap; strictly greater splits") {
     val data = Seq(
       (ts("2024-01-01 00:00:00"), 1L, 1.0),
