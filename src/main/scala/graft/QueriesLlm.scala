@@ -180,7 +180,7 @@ object QueriesLlm {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** Generated oracle for rag_retrieval: replay the chunk windows
-    * (generate_series + list_slice, chunkSize=64 / stride=48), the
+    * (generate_series + list_slice over Rag.ChunkSize/Overlap), the
     * hash-feature embeddings (per-dim affine sums over the shared fold,
     * exact BIGINT, FLOAT-rounded exactly like Spark's cast), and the
     * broadcast top-k (cross join + 4dp-rounded cosine + window). Every
@@ -189,26 +189,30 @@ object QueriesLlm {
   private lazy val ragOracleSql: String = {
     import graft.ops.llm.Rag
     val center = (Dedup.P - 1) / 2
+    // every literal below derives from Rag's constants — implementation
+    // and oracle share one source of truth (the minhashCte convention)
+    val (cs, ov, k, em) = (Rag.ChunkSize, Rag.Overlap, Rag.TopK, Rag.EvalMod)
+    val stride = cs - ov
     def featExprs(toksCol: String): String =
       Rag.featureConstants.map { case (a, b) =>
         s"CAST(CAST(CAST(list_sum(list_transform($toksCol, t -> ($a * (${duckFold("t")}) + $b) % ${Dedup.P} - $center)) AS BIGINT) AS FLOAT) AS DOUBLE)"
       }.mkString("[\n    ", ",\n    ", "]")
     s"""WITH q0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-       |           FROM documents WHERE doc_id % 50 <> 0),
+       |           FROM documents WHERE doc_id % $em <> 0),
        |ch AS (SELECT doc_id, toks, n,
        |         CAST(unnest(generate_series(CAST(0 AS BIGINT),
-       |           GREATEST(CAST(1 AS BIGINT), (n - 16 + 47) // 48) - 1)) AS BIGINT) AS chunk_id
+       |           GREATEST(CAST(1 AS BIGINT), (n - $ov + ${stride - 1}) // $stride) - 1)) AS BIGINT) AS chunk_id
        |       FROM q0 WHERE n > 0),
        |ct AS (SELECT doc_id, chunk_id,
-       |         list_slice(toks, chunk_id * 48 + 1, LEAST(chunk_id * 48 + 64, n)) AS ctoks
+       |         list_slice(toks, chunk_id * $stride + 1, LEAST(chunk_id * $stride + $cs, n)) AS ctoks
        |       FROM ch),
        |ce AS (SELECT doc_id, chunk_id, ${featExprs("ctoks")} AS emb FROM ct),
        |cn AS (SELECT doc_id AS c_doc, chunk_id, emb,
        |         sqrt(list_dot_product(emb, emb)) AS nrm FROM ce
        |       WHERE sqrt(list_dot_product(emb, emb)) > 0),
        |qt AS (SELECT doc_id, string_split(text, ' ') AS qtoks FROM documents
-       |       WHERE doc_id % 50 = 0),
+       |       WHERE doc_id % $em = 0),
        |qe AS (SELECT doc_id, ${featExprs("qtoks")} AS emb FROM qt),
        |qn AS (SELECT doc_id AS q_doc, emb, sqrt(list_dot_product(emb, emb)) AS nrm
        |       FROM qe WHERE sqrt(list_dot_product(emb, emb)) > 0),
@@ -219,7 +223,7 @@ object QueriesLlm {
        |        CAST(row_number() OVER (PARTITION BY q_doc
        |          ORDER BY score DESC, c_doc, chunk_id) AS BIGINT) AS rk
        |      FROM sc)
-       |SELECT q_doc, rk, c_doc, chunk_id, score FROM r WHERE rk <= 3
+       |SELECT q_doc, rk, c_doc, chunk_id, score FROM r WHERE rk <= $k
        |ORDER BY q_doc, rk""".stripMargin
   }
 
@@ -778,7 +782,7 @@ object QueriesLlm {
     // ranking — replays under the value oracle.
     "rag_retrieval" -> QueryDef(
       (s, d) => graft.ops.llm.Rag.retrieve(t(s, d, "documents"),
-        col("doc_id") % 50 === 0).orderBy("q_doc", "rk"),
+        col("doc_id") % graft.ops.llm.Rag.EvalMod === 0).orderBy("q_doc", "rk"),
       ragOracleSql),
 
     // Deterministic data-mixing schedule (stride scheduling on integer

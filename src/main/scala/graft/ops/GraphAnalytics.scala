@@ -100,14 +100,15 @@ object GraphAnalytics {
     * Scale shape: the static (src, dst, outdeg) edge relation materializes
     * ONCE (localCheckpoint — the same lineage-bounding pattern as the
     * k-hop frontier and clustersDF loops; a GraphX Pregel run persists its
-    * edge RDD per superstep the same way), and each round checkpoints the
-    * tiny |V|-row rank table. Without the per-round cut the 10 rounds
-    * stack into one ~40-join nested plan whose Catalyst/AQE optimization
-    * time DWARFS the data work (measured 38 s vs 2 s on the sf0.1 derived
-    * graph — planning, not execution); with it, each round is a flat
-    * join+agg over |V| rows (AQE broadcasts ranks against the edge table
-    * when small) and the per-round shuffle carries (dst, decimal) message
-    * rows only.
+    * edge RDD per superstep the same way), and the tiny |V|-row rank
+    * table checkpoints every `checkpointEvery` rounds (default 2 — see
+    * the in-loop comment for the cadence measurement). Without periodic
+    * cuts the 10 rounds stack into one ~40-join nested plan whose
+    * Catalyst/AQE optimization time DWARFS the data work (measured 38 s
+    * vs 2 s on the sf0.1 derived graph — planning, not execution); with
+    * them, each round is a flat join+agg over |V| rows (AQE broadcasts
+    * ranks against the edge table when small) and the per-round shuffle
+    * carries (dst, decimal) message rows only.
     */
   def pageRankDF(vertices: DataFrame, edges: DataFrame, numIter: Int = 10,
       roundScale: Int = 6, checkpointEvery: Int = 2,

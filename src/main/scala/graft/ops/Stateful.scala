@@ -44,8 +44,8 @@ object Stateful {
     *
     * Each micro-batch's events are folded in timestamp order, so on
     * in-order delivery the reached stage equals the batch
-    * `Windows.funnel`'s greedy earliest-chain semantics (StatefulSpec
-    * cross-checks); an event arriving out of order ACROSS micro-batches
+    * `Windows.funnel`'s greedy earliest-chain semantics (cross-checked in
+    * StreamingWindowSpec); an event arriving out of order ACROSS micro-batches
     * cannot retroactively advance an already-passed window — the standard
     * streaming-funnel caveat, bounded by the source's delivery disorder.
     */

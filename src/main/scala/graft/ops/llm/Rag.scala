@@ -27,12 +27,22 @@ object Rag {
   /** Embedding dimensionality of the hash featurizer. */
   val Dims: Int = 8
 
+  /** Defaults of the declared `rag_retrieval` query — the generated oracle
+    * SQL derives every literal from THESE values (chunk geometry, top-k,
+    * eval-slice modulus), so implementation and oracle cannot silently
+    * diverge.
+    */
+  val ChunkSize: Int = 64
+  val Overlap: Int = 16
+  val TopK: Int = 3
+  val EvalMod: Int = 50
+
   /** Affine constants of the per-dimension token-hash transforms — drawn
     * from the same splitmix64-derived universal family as MinHash but at
     * disjoint indices (100+), so the two sketches are independent. Shared
     * with the generated oracle SQL.
     */
-  def featureConstants: Seq[(Long, Long)] =
+  val featureConstants: Seq[(Long, Long)] =
     Dedup.universalConstants(100 + Dims).drop(100)
 
   private val center: Long = (Dedup.P - 1) / 2
@@ -62,8 +72,8 @@ object Rag {
     * vectors (structurally possible only for degenerate token sets) are
     * excluded on both sides before ranking.
     */
-  def retrieve(docs: DataFrame, queryPred: Column, k: Int = 3,
-      chunkSize: Int = 64, overlap: Int = 16,
+  def retrieve(docs: DataFrame, queryPred: Column, k: Int = TopK,
+      chunkSize: Int = ChunkSize, overlap: Int = Overlap,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import graft.functions.VectorFunctions.{float_dot, float_norm}
     val corpus = hashEmbed(
