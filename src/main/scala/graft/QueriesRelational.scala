@@ -16,6 +16,16 @@ import Qh._
   */
 object QueriesRelational {
 
+  /** Columns profiled by the `table_profile` query — one list drives both
+    * the Spark aggregation and the generated oracle SQL. Declared BEFORE
+    * `defs`: the oracle generator runs eagerly during `defs` construction,
+    * and a val declared after it would still be null at that point (the
+    * object-initialization-order gotcha documented in SURVEY §8d).
+    */
+  private val profiledOrderCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val profiledOrderIntCols = Set("o_orderkey", "o_custkey")
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // search_vertex's projection-free scan, done right: column-pruned
@@ -528,6 +538,38 @@ object QueriesRelational {
         |SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // Per-column data profile of the orders table (null counts, exact
+    // distinct cardinalities, integral min/max) in ONE aggregation pass,
+    // unpivoted to a row per column — the land-then-look primitive.
+    // Oracle generated from the same column lists (ops.Profiling).
+    "table_profile" -> QueryDef(
+      (s, d) => graft.ops.Profiling.profile(t(s, d, "orders"),
+        profiledOrderCols, profiledOrderIntCols).orderBy("col_name"),
+      graft.ops.Profiling.profileOracleSql("orders",
+        profiledOrderCols, profiledOrderIntCols)),
+
+    // Quartile distribution summary: ntile(4) per event type over
+    // (value, event_id) — the deterministic total order makes the tile
+    // boundaries identical on both engines — then count + exact sum per
+    // tile. The distribution-sketching window family (ntile/percent_rank)
+    // that window_rank/window_running don't cover.
+    "window_ntile" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy("event_type", "quartile")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type", "quartile")
+      },
+      s"""SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+         |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM (SELECT event_type, value,
+         |        ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+         |      FROM events)
+         |GROUP BY event_type, quartile ORDER BY event_type, quartile""".stripMargin),
 
     // Pivot to wide: per-linestatus quantity totals, one column per return
     // flag (explicit value list → no distinct-scan planning pass).
