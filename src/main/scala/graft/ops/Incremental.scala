@@ -72,4 +72,36 @@ object Incremental {
     rows.groupBy(groupField)
       .agg(count(lit(1)).as("n"),
         sum(col(valueField).cast(DecimalType(18, scale))).cast(DecimalType(18, scale)).as("s"))
+
+  /** CONTINUOUS view maintenance: a handle whose [[MaintainedView.sink]]
+    * folds each micro-batch of [[SnapshotDiff.diff]]-shaped delta rows
+    * into the maintained aggregate via `foreachBatch` — the materialized
+    * view over a CDC stream. Because the merge algebra is exact and
+    * order-independent, the maintained view equals the full recompute
+    * after ANY prefix of delta batches (IncrementalSpec drives it over
+    * memory-stream micro-batches and checks exactly that). State held is
+    * only the aggregate itself (|groups| rows, lineage cut per batch).
+    */
+  def maintained(initial: DataFrame, groupField: String, valueField: String,
+      scale: Int = 6): MaintainedView =
+    new MaintainedView(initial, groupField, valueField, scale)
+}
+
+/** Handle to a continuously-maintained aggregate — see
+  * [[Incremental.maintained]]. `current` is safe to read between batches;
+  * batches fold under a lock (micro-batches of one query never overlap,
+  * the lock just makes the handle safe to share).
+  */
+final class MaintainedView private[ops] (initial: DataFrame,
+    groupField: String, valueField: String, scale: Int) {
+  @volatile private var cur: DataFrame = initial.localCheckpoint()
+
+  def current: DataFrame = cur
+
+  /** `foreachBatch` function: `stream.writeStream.foreachBatch(view.sink)`. */
+  def sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => synchronized {
+      cur = Incremental.mergeGroupAgg(cur, batch.toDF(), groupField, valueField, scale)
+        .localCheckpoint()
+    }
 }

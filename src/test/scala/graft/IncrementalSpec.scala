@@ -46,6 +46,37 @@ class IncrementalSpec extends SparkSpec {
     assert(canon(maintained(a, a)) == canon(agg(a)))
   }
 
+  test("streaming: a delta stream folds into the view batch by batch") {
+    implicit val ctx = spark.sqlContext
+    // delta rows in SnapshotDiff shape: (id, change, old_val?, new_val?)
+    // — Option[tuple] encodes the absent side as a NULL struct
+    val deltas = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Option[(String, Double)], Option[(String, Double)])]
+    val deltaDf = deltas.toDF().toDF("id", "change", "old_val", "new_val")
+      .selectExpr("id", "change",
+        "if(old_val IS NULL, NULL, named_struct('grp', old_val._1, 'v', old_val._2)) AS old_val",
+        "if(new_val IS NULL, NULL, named_struct('grp', new_val._1, 'v', new_val._2)) AS new_val")
+    val a = Seq((1L, "g1", 1.5), (2L, "g2", 2.0)).toDF("id", "grp", "v")
+    val view = graft.ops.Incremental.maintained(agg(a), "grp", "v")
+    val q = deltaDf.writeStream.outputMode("update")
+      .foreachBatch(view.sink).start()
+    try {
+      // batch 1: add (3, g1, 3.0); change id 2's value
+      deltas.addData((3L, "added", None, Some(("g1", 3.0))),
+        (2L, "changed", Some(("g2", 2.0)), Some(("g2", 5.0))))
+      q.processAllAvailable()
+      assert(canon(view.current) == Seq(("g1", 2L, 4.5), ("g2", 1L, 5.0)))
+      // batch 2: remove id 1; migrate id 2 to g1 — folds onto batch-1 state
+      deltas.addData((1L, "removed", Some(("g1", 1.5)), None),
+        (2L, "changed", Some(("g2", 5.0)), Some(("g1", 5.0))))
+      q.processAllAvailable()
+      assert(canon(view.current) == Seq(("g1", 2L, 8.0)))
+      // equals the full recompute over the final snapshot
+      val fin = Seq((2L, "g1", 5.0), (3L, "g1", 3.0)).toDF("id", "grp", "v")
+      assert(canon(view.current) == canon(agg(fin)))
+    } finally q.stop()
+  }
+
   test("randomized snapshots: maintained == recomputed (seeded)") {
     val rnd = new scala.util.Random(42)
     val aRows = (0L until 200L).map(i =>
