@@ -152,9 +152,10 @@ object QueriesGraph {
     // snapshot, keyed by the full edge identity (src, dst, label) — the
     // reference's edge dedup key (mongraph.py:120-124). Every column is a
     // key column, so SnapshotDiff.diff degenerates to the membership diff
-    // (added/removed only; `changed` is impossible by construction) through
-    // the SAME full-outer SMJ plan the vertex diff uses (plan-spec'd in
-    // SnapshotDiffSpec). Mutation: a supplier churn scenario — suppliers
+    // (added/removed only; `changed` is impossible by construction), which
+    // runs as ONE hash-aggregate — no join at all (plan-spec'd in
+    // SnapshotDiffSpec; ~2× the former full-outer SMJ). Mutation: a
+    // supplier churn scenario — suppliers
     // with s_suppkey % 7 = 0 leave (their in_nation and supplies edges go),
     // and the surviving supplies relationships gain a reversed
     // 'supplied_by' audit edge.
@@ -187,6 +188,31 @@ object QueriesGraph {
          |FROM e FULL OUTER JOIN ne
          |  ON e.src = ne.src AND e.dst = ne.dst AND e.label = ne.label
          |WHERE e.src IS NULL OR ne.src IS NULL
-         |ORDER BY src, dst, label""".stripMargin)
+         |ORDER BY src, dst, label""".stripMargin),
+
+    // Degree assortativity (Newman PRL 2002) of the derived graph: the
+    // Pearson degree-degree correlation over the undirected edge list,
+    // recomputed from exact DECIMAL power sums (the agg_stats ladder —
+    // never the built-in corr). Single-row answer; negative here
+    // (hub-and-spoke: customers/suppliers attach to few high-degree
+    // nations/parts).
+    "graph_assortativity" -> QueryDef(
+      (s, d) => {
+        val g = DerivedGraph(s, d)
+        graft.ops.GraphAnalytics.degreeAssortativity(g.edges).orderBy("n")
+      },
+      s"""${DerivedGraphSql.cte},
+         | deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+         | xy AS (SELECT dx.d AS x, dy.d AS y
+         |        FROM und JOIN deg dx ON und.a = dx.a JOIN deg dy ON und.b = dy.a),
+         | st AS (SELECT COUNT(*) AS n,
+         |   ${graft.Qh.dsumSql("x")} AS sx, ${graft.Qh.dsumSql("y")} AS sy,
+         |   ${graft.Qh.dsumSql("x*y")} AS sxy,
+         |   ${graft.Qh.dsumSql("x*x")} AS sx2, ${graft.Qh.dsumSql("y*y")} AS sy2
+         |   FROM xy)
+         |SELECT n, round((CAST(n AS DOUBLE)*sxy - sx*sy)
+         |  / (sqrt(CAST(n AS DOUBLE)*sx2 - sx*sx)
+         |     * sqrt(CAST(n AS DOUBLE)*sy2 - sy*sy)), 6) AS assortativity
+         |FROM st ORDER BY n""".stripMargin)
   )
 }

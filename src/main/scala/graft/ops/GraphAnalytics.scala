@@ -476,4 +476,39 @@ object GraphAnalytics {
       .select(col("src"),
         explode(slice(col("__ps"), col("__i") + 2, size(col("__ps")))).as("dst"))
       .distinct()
+
+  /** Degree assortativity (Newman, "Assortative mixing in networks",
+    * PRL 2002): Pearson correlation of endpoint degrees over the
+    * undirected edge list (each edge contributes both orientations — the
+    * standard symmetric form). Positive = hubs link to hubs, negative =
+    * hub-and-spoke. Exact determinism: degrees are integers, the
+    * correlation is recomputed from DECIMAL power sums exactly like
+    * `agg_stats` (never the built-in corr, whose streaming accumulation
+    * is order-dependent).
+    *
+    * Scale shape: one combinable degree count, two vertex-keyed joins of
+    * the edge list against the |V|-row degree table (AQE broadcasts small
+    * ones), one combinable power-sum aggregation. Per-value DECIMAL(18,6)
+    * casts bound each x·y at 1e12 — degrees beyond ~10⁶ need a wider
+    * scale parameter.
+    */
+  def degreeAssortativity(edges: DataFrame, roundScale: Int = 6): DataFrame = {
+    import graft.Qh
+    val und = graft.model.DerivedGraph.undirected(edges)
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    val xy = und
+      .join(deg.select(col("a"), col("deg").as("x")), "a")
+      .join(deg.select(col("a").as("b"), col("deg").as("y")), "b")
+    val nD = col("n").cast("double")
+    xy.agg(count(lit(1)).as("n"),
+        Qh.dsum(col("x")).as("sx"), Qh.dsum(col("y")).as("sy"),
+        Qh.dsum(col("x") * col("y")).as("sxy"),
+        Qh.dsum(col("x") * col("x")).as("sx2"),
+        Qh.dsum(col("y") * col("y")).as("sy2"))
+      .select(col("n"),
+        round((nD * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(nD * col("sx2") - col("sx") * col("sx")) *
+            sqrt(nD * col("sy2") - col("sy") * col("sy"))), roundScale)
+          .as("assortativity"))
+  }
 }

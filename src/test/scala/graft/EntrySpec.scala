@@ -44,7 +44,8 @@ class EntrySpec extends SparkSpec {
       "neardedup_pipeline", "bpe_merge_pairs", "tfidf_topk",
       "outlier_zscore", "incremental_agg",
       "event_funnel", "retention_cohort", "rag_retrieval", "window_time_range",
-      "stream_join_attribution", "table_profile", "window_ntile")
+      "stream_join_attribution", "table_profile", "window_ntile",
+      "graph_assortativity")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

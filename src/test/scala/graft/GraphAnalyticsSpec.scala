@@ -164,4 +164,24 @@ class GraphAnalyticsSpec extends SparkSpec {
     }.toSet
     assert(multi == singles)
   }
+
+  test("degreeAssortativity: a star is perfectly disassortative (r = -1)") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = GraphAnalytics.degreeAssortativity(star).head()
+    assert(r.getLong(0) == 6L) // 3 edges × both orientations
+    assert(r.getDouble(1) == -1.0)
+  }
+
+  test("degreeAssortativity: hand-computed mixed graph") {
+    // path A-B-C plus pendant D on B: degrees A=1, B=3, C=1, D=1
+    // und pairs (x,y): (1,3)×3, (3,1)×3 → r = -1; add edge C-D:
+    // degrees become A=1, B=3, C=2, D=2 — no longer extremal
+    val g = Seq((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphAnalytics.degreeAssortativity(g).head()
+    assert(r.getLong(0) == 8L)
+    // power sums by hand: pairs (1,3),(3,1),(3,2),(2,3),(3,2),(2,3),(2,2),(2,2)
+    // n=8 Σx=18 Σy=18 Σxy=38 Σx²=44 Σy²=44
+    // r = (8·38−324)/(8·44−324) = (304−324)/(352−324) = −20/28
+    assert(r.getDouble(1) == math.rint(-20.0 / 28.0 * 1e6) / 1e6)
+  }
 }
