@@ -539,6 +539,22 @@ object QueriesRelational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // The INVERSE of flatten_attrs: nest rows INTO sorted arrays — one row
+    // per customer carrying their full order-key list. The
+    // denormalization shape that builds nested training examples /
+    // document-with-context records; `sort_array` makes the list a pure
+    // function of the group (collect_list alone is arrival-ordered and
+    // could never hash-match). One combinable-ish groupBy whose buffers
+    // are bounded by per-customer order counts.
+    "nest_collect" -> QueryDef(
+      (s, d) => t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        .orderBy("o_custkey"),
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  list_sort(list(o_orderkey)) AS order_keys
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+
     // Per-column data profile of the orders table (null counts, exact
     // distinct cardinalities, integral min/max) in ONE aggregation pass,
     // unpivoted to a row per column — the land-then-look primitive.
