@@ -23,6 +23,10 @@ object Tables {
     * filter/prune into the parquet scan, and a cache would pin wide
     * row-group reads instead. At cluster scale the analog of this persist
     * is a hot cached/bucketed table shared by the pipeline's jobs.
+    * `events` measured the same either way (round 6: persisting it moved
+    * the ten event-analytics queries 3.70→3.81 s — the 1M-row scan plus
+    * nanos→µs projection costs about what the cache lookup does), so it
+    * stays unpersisted with the other relational tables.
     */
   private val persisted: Set[String] = Set("documents", "embeddings")
 
