@@ -59,12 +59,31 @@ object Bench {
       val p = java.nio.file.Paths.get("BENCH_local.json")
       java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
     } catch { case e: Exception => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results, 2)},"sf":"$sfDir"}"""
-    // belt-and-braces: if the inventory ever grows the 2-dp line past the
-    // driver's tail window, degrade per-query precision before overflowing
-    println(if (line.length <= 1800) line
-      else s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results, 1)},"sf":"$sfDir"}""")
+    // The driver parses this line from the LAST 2000 chars of captured
+    // stdout (measured: BENCH_r04 tail is exactly 2000 and includes sbt's
+    // ~75-char "[success] Total time: …" trailer after our line — r5's
+    // full-precision line overflowed that window and the round recorded
+    // parsed:null). Budget the line at ≤1850 chars; degrade per-query
+    // precision 2dp → 1dp, then keep only the slowest queries (the full
+    // detail is always in the BENCH_local.json sidecar) — the line must
+    // stay valid JSON with a correct total at ANY inventory size.
+    def line(qs: Map[String, Double], dp: Int, truncated: Boolean = false) =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(qs, dp)}""" +
+        (if (truncated) s""","queries_truncated":true""" else "") +
+        s""","sf":"$sfDir"}"""
+    val l2 = line(results, 2)
+    val l1 = line(results, 1)
+    println(
+      if (l2.length <= 1850) l2
+      else if (l1.length <= 1850) l1
+      else {
+        val top = results.toSeq.sortBy(-_._2)
+          .foldLeft(Vector.empty[(String, Double)]) { (acc, kv) =>
+            val cand = acc :+ kv
+            if (line(cand.toMap, 1, truncated = true).length <= 1850) cand else acc
+          }
+        line(top.toMap, 1, truncated = true)
+      })
     spark.stop()
   }
 }

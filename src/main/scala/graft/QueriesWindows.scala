@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import scala.collection.immutable.ListMap
 import Qh._
 import graft.ops.Windows
@@ -76,6 +77,37 @@ object QueriesWindows {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
         |ORDER BY purchase_id, click_id""".stripMargin),
+
+    // First-order Markov transition matrix over per-user event sequences:
+    // lag() over the deterministic (ts, event_id) order pairs each event
+    // with its successor, then one combinable count per (from, to) cell +
+    // an exact-integer IEEE division for the row-normalized probability
+    // (6dp — the established ladder). The behavior-modeling primitive
+    // (what follows what), one user-keyed window + one tiny aggregation.
+    "event_transitions" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val pairs = t(s, d, "events")
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = pairs.groupBy("from_type").agg(sum("n").as("row_n"))
+        pairs.join(tot, "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            round(col("n").cast("double") / col("row_n"), 6).as("p"))
+          .orderBy("from_type", "to_type")
+      },
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, SUM(n) AS row_n FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / t.row_n, 6) AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin),
 
     // Time-RANGE window frame (not expressible as a ROWS frame): per-user
     // trailing 1-hour value sum, frame bounds in exact microseconds on
