@@ -77,12 +77,19 @@ object Bench {
       if (l2.length <= 1850) l2
       else if (l1.length <= 1850) l1
       else {
-        val top = results.toSeq.sortBy(-_._2)
-          .foldLeft(Vector.empty[(String, Double)]) { (acc, kv) =>
-            val cand = acc :+ kv
-            if (line(cand.toMap, 1, truncated = true).length <= 1850) cand else acc
+        // longest slowest-PREFIX that fits: stop at the first entry that
+        // doesn't — continuing would let faster queries with shorter names
+        // displace slower ones and the map would no longer be "the slowest"
+        val sorted = results.toSeq.sortBy(-_._2)
+        @annotation.tailrec
+        def fit(i: Int, acc: Vector[(String, Double)]): Vector[(String, Double)] =
+          if (i >= sorted.size) acc
+          else {
+            val cand = acc :+ sorted(i)
+            if (line(cand.toMap, 1, truncated = true).length <= 1850) fit(i + 1, cand)
+            else acc
           }
-        line(top.toMap, 1, truncated = true)
+        line(fit(0, Vector.empty).toMap, 1, truncated = true)
       })
     spark.stop()
   }

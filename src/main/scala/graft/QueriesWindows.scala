@@ -68,18 +68,18 @@ object QueriesWindows {
           .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("ts_p"))
         p.join(c, Seq("user_id"))
           .filter(col("ts_c") < col("ts_p") &&
-            col("ts_c") >= col("ts_p") - expr("INTERVAL 30 minutes"))
+            col("ts_c") >= col("ts_p") - expr(s"INTERVAL ${Windows.AttributionLookback}"))
           .select("user_id", "purchase_id", "click_id")
           .orderBy("purchase_id", "click_id")
       },
-      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      s"""SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
         |FROM events p JOIN events c ON p.user_id = c.user_id
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-        |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+        |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL '${Windows.AttributionLookback}'
         |ORDER BY purchase_id, click_id""".stripMargin),
 
     // First-order Markov transition matrix over per-user event sequences:
-    // lag() over the deterministic (ts, event_id) order pairs each event
+    // lead() over the deterministic (ts, event_id) order pairs each event
     // with its successor, then one combinable count per (from, to) cell +
     // an exact-integer IEEE division for the row-normalized probability
     // (6dp — the established ladder). The behavior-modeling primitive
@@ -116,10 +116,10 @@ object QueriesWindows {
     "window_time_range" -> QueryDef(
       (s, d) => Windows.trailingSum(t(s, d, "events"))
         .orderBy("event_id"),
-      """SELECT event_id, user_id, ts,
+      s"""SELECT event_id, user_id, ts,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
         |    PARTITION BY user_id ORDER BY epoch_us(ts)
-        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    RANGE BETWEEN ${Windows.TrailingWindowSeconds * 1000000L} PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS trailing_sum
         |FROM events ORDER BY event_id""".stripMargin),
 

@@ -491,6 +491,13 @@ object GraphAnalytics {
     * ones), one combinable power-sum aggregation. Per-value DECIMAL(18,6)
     * casts bound each x·y at 1e12 — degrees beyond ~10⁶ need a wider
     * scale parameter.
+    *
+    * Degenerate case: a REGULAR graph (every degree equal — one edge, a
+    * cycle, a clique) has zero degree variance, so the correlation is
+    * 0/0 and the column is NaN — the mathematically honest answer
+    * (assortativity is undefined without degree variance; Pearson's r has
+    * no value to report). Callers needing a sentinel should null it out
+    * with `nanvl`/`when(isnan(...))`.
     */
   def degreeAssortativity(edges: DataFrame, roundScale: Int = 6): DataFrame = {
     import graft.Qh

@@ -43,6 +43,18 @@ object Windows {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("last_ts"), col("n"))
 
+  /** Frame width of the declared `window_time_range` query — the oracle
+    * SQL derives its microsecond bound from THIS value (single source of
+    * truth, like Rag's chunk constants).
+    */
+  val TrailingWindowSeconds: Long = 3600
+
+  /** Attribution lookback of the declared `stream_join_attribution` query
+    * and [[clickAttribution]]'s default — shared with the generated
+    * oracle SQL and the batch QueryDef so the three cannot drift.
+    */
+  val AttributionLookback: String = "30 minutes"
+
   /** Trailing time-RANGE window: per-user sum of `value` over the last
     * `seconds` (inclusive of the current row and its timestamp peers) —
     * the time-decay-feature shape (rolling spend, rate limiting, fraud
@@ -53,7 +65,7 @@ object Windows {
     * truncate and shift boundary events. One shuffle on user_id; the
     * frame scan is per-partition and the sum is exact DECIMAL.
     */
-  def trailingSum(events: DataFrame, seconds: Long = 3600): DataFrame = {
+  def trailingSum(events: DataFrame, seconds: Long = TrailingWindowSeconds): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("__us"))
@@ -144,7 +156,7 @@ object Windows {
     * DataFrames (the batch twin is an interval self-join).
     */
   def clickAttribution(clicks: DataFrame, purchases: DataFrame,
-      lookback: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+      lookback: String = AttributionLookback, watermark: String = "1 hour"): DataFrame = {
     val c = clicks.select(col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", watermark)
     val p = purchases.select(col("user_id"), col("ts").as("purchase_ts"),

@@ -102,6 +102,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Map(1L -> 1.0, 2L -> 3.0, 3L -> 12.0, 4L -> 12.0, 5L -> 16.0))
   }
 
+  test("declared attribution query = clickAttribution batch rows (sf0.001)") {
+    // ties the stream_join_attribution QueryDef to the operator whose
+    // streaming twin StreamingWindowSpec exercises — the three copies of
+    // the lookback now share Windows.AttributionLookback, and this check
+    // makes the "batch twin" claim enforced, not just documented.
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.model.Tables(spark, d, "events")
+    val viaOp = Windows.clickAttribution(
+      ev.filter(col("event_type") === "click").select("user_id", "ts", "value"),
+      ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value"))
+      .select("user_id", "purchase_ts", "click_ts")
+      .as[(Long, Timestamp, Timestamp)].collect().toSeq.sorted
+    val idTs = ev.select("event_id", "ts").as[(Long, Timestamp)].collect().toMap
+    val viaQuery = Queries.all("stream_join_attribution").fn(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+      .map { case (u, pid, cid) => (u, idTs(pid), idTs(cid)) }.sorted
+    assert(viaQuery == viaOp && viaQuery.nonEmpty)
+  }
+
   test("retentionCohorts: cohort = first-seen week, offsets in whole weeks") {
     val events = Seq(
       (1L, "view", ts("2024-01-02 10:00:00")),  // week of Mon 2024-01-01
