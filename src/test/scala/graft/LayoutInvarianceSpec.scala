@@ -141,6 +141,26 @@ class LayoutInvarianceSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("event-analytics ops are partitioning-invariant") {
+    import spark.implicits._
+    val events = (0L until 300L).map { i =>
+      (i, new java.sql.Timestamp(1704067200000L + (i * 137) % 86400 * 1000),
+        i % 17, Seq("view", "click", "purchase", "error")((i % 4).toInt),
+        (i % 23).toDouble / 4)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    assertInvariant("funnel")(
+      d => graft.ops.Windows.funnel(d).orderBy("user_id"), events)
+    assertInvariant("retentionCohorts")(
+      d => graft.ops.Windows.retentionCohorts(d)
+        .orderBy("cohort_week", "week_offset"), events)
+    assertInvariant("trailingSum")(
+      d => graft.ops.Windows.trailingSum(d).orderBy("event_id"), events)
+    assertInvariant("degreeAssortativity")(
+      d => graft.ops.GraphAnalytics.degreeAssortativity(
+        d.select(col("user_id").as("src"), (col("event_id") % 29).as("dst"))),
+      events)
+  }
+
   test("k-core peel is partitioning-invariant") {
     import spark.implicits._
     val edges = ((1L to 20L).flatMap(i => (i + 1 to math.min(20L, i + 3)).map(j => (i, j))))
