@@ -227,7 +227,75 @@ object QueriesLlm {
        |ORDER BY q_doc, rk""".stripMargin
   }
 
+  /** Generated oracle for minhash_est_error: the minhash CTE already
+    * carries per-doc signatures (`sig`) and shingle-hash lists (`hb`) —
+    * estimate = fraction of agreeing signature slots, truth = exact
+    * Jaccard over the distinct hash sets, both 6dp.
+    */
+  private lazy val minhashEstOracleSql: String = {
+    val agreeTerms = (0 until Dedup.DefaultNumHashes)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $minhashCte,
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |          FROM bkts a JOIN bkts b
+       |            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |hsets AS (SELECT doc_id, list_distinct(hs) AS shs FROM hb),
+       |est AS (SELECT p.a_id, p.b_id,
+       |          round(CAST($agreeTerms AS DOUBLE) / ${Dedup.DefaultNumHashes}, 6) AS est_jac
+       |        FROM pairs p JOIN sig sa ON sa.doc_id = p.a_id
+       |                     JOIN sig sb ON sb.doc_id = p.b_id),
+       |ex AS (SELECT p.a_id, p.b_id,
+       |         round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |           / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 6) AS exact_jac
+       |       FROM pairs p JOIN hsets a ON a.doc_id = p.a_id
+       |                    JOIN hsets b ON b.doc_id = p.b_id)
+       |SELECT e.a_id AS a_id, e.b_id AS b_id, e.est_jac, x.exact_jac,
+       |  round(abs(e.est_jac - x.exact_jac), 6) AS err
+       |FROM est e JOIN ex x ON e.a_id = x.a_id AND e.b_id = x.b_id
+       |ORDER BY e.a_id, e.b_id""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
+
+    // Sketch calibration through the correctness gate: for every LSH
+    // candidate pair, the MinHash Jaccard ESTIMATE (fraction of agreeing
+    // signature slots — Broder's estimator) next to the EXACT shingle-set
+    // Jaccard and the absolute error. Both sides replay in DuckDB, so the
+    // engine's own sketch-quality measurement is value-checked — the
+    // validation loop a production dedup pipeline runs before trusting
+    // its thresholds.
+    "minhash_est_error" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashCandidatePairs(Dedup.minhashBuckets(docs))
+        val sigs = Dedup.minhashSignatures(docs)
+        val n = Dedup.DefaultNumHashes
+        val sa = sigs.select(col("doc_id").as("a_id") +:
+          (0 until n).map(i => col(s"__m$i").as(s"a_m$i")): _*)
+        val sb = sigs.select(col("doc_id").as("b_id") +:
+          (0 until n).map(i => col(s"__m$i").as(s"b_m$i")): _*)
+        val agree = (0 until n)
+          .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val est = pairs.join(sa, "a_id").join(sb, "b_id")
+          .select(col("a_id"), col("b_id"),
+            round(agree.cast("double") / n, 6).as("est_jac"))
+        val sets = Dedup.shingleHashSets(docs)
+        val ex = pairs
+          .join(sets.select(col("doc_id").as("a_id"), col("shs").as("__sa")), "a_id")
+          .join(sets.select(col("doc_id").as("b_id"), col("shs").as("__sb")), "b_id")
+          .withColumn("__inter",
+            graft.functions.ArrayFunctions.sorted_intersect_count(col("__sa"), col("__sb")))
+          .select(col("a_id"), col("b_id"),
+            round(col("__inter").cast("double") /
+              (size(col("__sa")) + size(col("__sb")) - col("__inter")), 6).as("exact_jac"))
+        est.join(ex, Seq("a_id", "b_id"))
+          .select(col("a_id"), col("b_id"), col("est_jac"), col("exact_jac"),
+            round(abs(col("est_jac") - col("exact_jac")), 6).as("err"))
+          .orderBy("a_id", "b_id")
+      },
+      minhashEstOracleSql),
 
     // Exact dedup: keep min doc_id per normalized text.
     "dedup_exact" -> QueryDef(

@@ -142,11 +142,14 @@ object Dedup {
     * Nested array lambdas would run interpreted (higher-order functions
     * aren't codegen'd) and were ~8× slower still.
     */
-  def minhashBuckets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands,
+  /** MinHash signature per document: one `__m$i` column per hash function
+    * (the `sig` stage of [[minhashBuckets]], exposed for estimator
+    * calibration — `minhash_est_error` compares signature agreement
+    * against the exact Jaccard).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = DefaultNumHashes,
       shingleLen: Int = DefaultShingleLen): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
     val ab = universalConstants(numHashes)
     val shingles = docs
       .withColumn("__toks", split(col(textCol), " "))
@@ -162,7 +165,15 @@ object Dedup {
       .withColumn("__hb", graft.functions.TextHash.poly_fold(col("__sh"), P))
     val minAggs = ab.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__hb") + lit(b)) % lit(P)).as(s"__m$i") }
-    val sig = shingles.groupBy(idCol).agg(minAggs.head, minAggs.tail: _*)
+    shingles.groupBy(idCol).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  def minhashBuckets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands,
+      shingleLen: Int = DefaultShingleLen): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(docs, textCol, idCol, numHashes, shingleLen)
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}"))
       val bucket = slice.foldLeft(lit(0L): org.apache.spark.sql.Column)(

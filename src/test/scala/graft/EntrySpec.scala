@@ -45,7 +45,8 @@ class EntrySpec extends SparkSpec {
       "outlier_zscore", "incremental_agg",
       "event_funnel", "retention_cohort", "rag_retrieval", "window_time_range",
       "stream_join_attribution", "table_profile", "window_ntile",
-      "graph_assortativity", "nest_collect", "event_transitions")
+      "graph_assortativity", "nest_collect", "event_transitions",
+      "minhash_est_error")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
