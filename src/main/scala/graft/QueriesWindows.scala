@@ -78,6 +78,52 @@ object QueriesWindows {
         |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL '${Windows.AttributionLookback}'
         |ORDER BY purchase_id, click_id""".stripMargin),
 
+    // Exact INTERPOLATED quantiles (percentile_cont semantics) per event
+    // type at p ∈ {0.25, 0.5, 0.9}: rank the values once, compute the
+    // fractional position (n−1)·p, and interpolate lo + (hi−lo)·frac with
+    // the SAME expression shape on both engines (the built-in
+    // quantile_cont's internal arithmetic order isn't specified, so both
+    // sides spell it out). Complements quality_filter's percentile_disc
+    // median and agg_sketch's approximate path. One window + two
+    // rank-keyed joins against a 15-row probe table.
+    "quantile_cont" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val ranked = ev.withColumn("rk", row_number().over(w).cast("long"))
+          .select("event_type", "rk", "value")
+        val probes = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("n"),
+            explode(array(lit(0.25), lit(0.5), lit(0.9))).as("p"))
+          .withColumn("pos", (col("n") - 1).cast("double") * col("p"))
+          .withColumn("lo_rk", floor(col("pos")).cast("long") + 1)
+          .withColumn("hi_rk", ceil(col("pos")).cast("long") + 1)
+        probes
+          .join(ranked.select(col("event_type"), col("rk").as("lo_rk"),
+            col("value").as("lo_v")), Seq("event_type", "lo_rk"))
+          .join(ranked.select(col("event_type"), col("rk").as("hi_rk"),
+            col("value").as("hi_v")), Seq("event_type", "hi_rk"))
+          .select(col("event_type"), col("p"),
+            round(col("lo_v") + (col("hi_v") - col("lo_v")) *
+              (col("pos") - floor(col("pos"))), 6).as("q"))
+          .orderBy("event_type", "p")
+      },
+      """WITH ranked AS (SELECT event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rk
+        |  FROM events),
+        |probes AS (SELECT event_type, n, p,
+        |    CAST(n - 1 AS DOUBLE) * p AS pos,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) + 1 AS lo_rk,
+        |    CAST(ceil(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) + 1 AS hi_rk
+        |  FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+        |       (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS p))
+        |SELECT pr.event_type, pr.p,
+        |  round(lo.value + (hi.value - lo.value) * (pr.pos - floor(pr.pos)), 6) AS q
+        |FROM probes pr
+        |JOIN ranked lo ON lo.event_type = pr.event_type AND lo.rk = pr.lo_rk
+        |JOIN ranked hi ON hi.event_type = pr.event_type AND hi.rk = pr.hi_rk
+        |ORDER BY pr.event_type, pr.p""".stripMargin),
+
     // First-order Markov transition matrix over per-user event sequences:
     // lead() over the deterministic (ts, event_id) order pairs each event
     // with its successor, then one combinable count per (from, to) cell +
