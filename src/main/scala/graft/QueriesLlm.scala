@@ -268,8 +268,12 @@ object QueriesLlm {
     "minhash_est_error" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.minhashCandidatePairs(Dedup.minhashBuckets(docs))
-        val sigs = Dedup.minhashSignatures(docs)
+        // ONE shingle pass: materialize the signatures (|docs|×33 narrow
+        // rows) and derive both the LSH buckets and the agreement join
+        // from them — without the cut, each consumer re-runs the full
+        // shingle explode + 32-min aggregation.
+        val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+        val pairs = Dedup.minhashCandidatePairs(Dedup.minhashBandBuckets(sigs))
         val n = Dedup.DefaultNumHashes
         val sa = sigs.select(col("doc_id").as("a_id") +:
           (0 until n).map(i => col(s"__m$i").as(s"a_m$i")): _*)

@@ -170,10 +170,19 @@ object Dedup {
 
   def minhashBuckets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands,
-      shingleLen: Int = DefaultShingleLen): DataFrame = {
+      shingleLen: Int = DefaultShingleLen): DataFrame =
+    minhashBandBuckets(minhashSignatures(docs, textCol, idCol, numHashes, shingleLen),
+      numHashes, bands, idCol)
+
+  /** The band stage of [[minhashBuckets]] over an existing signature frame
+    * — lets callers that also need the signatures (e.g. the
+    * `minhash_est_error` calibration query) compute them ONCE instead of
+    * re-running the shingle pass per consumer.
+    */
+  def minhashBandBuckets(sig: DataFrame, numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands, idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(docs, textCol, idCol, numHashes, shingleLen)
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"__m${b * rowsPerBand + r}"))
       val bucket = slice.foldLeft(lit(0L): org.apache.spark.sql.Column)(
