@@ -539,6 +539,37 @@ object QueriesRelational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // Schema-evolution merge: two "file versions" of the orders table —
+    // v1 lacking a later-added column, v2 having dropped an old one —
+    // unioned by NAME with missing columns null-filled
+    // (unionByName(allowMissingColumns)), then aggregated across the
+    // seam. The lakehouse schema-drift shape; the oracle replays it as a
+    // NULL-cast UNION ALL. Spark sorts NULLS FIRST on asc — mirrored
+    // explicitly (the §2.2 determinism rule).
+    "schema_evolution" -> QueryDef(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val v1 = o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val v2 = o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        v1.unionByName(v2, allowMissingColumns = true)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), count(col("o_custkey")).as("n_with_cust"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      s"""SELECT o_orderpriority, COUNT(*) AS n, COUNT(o_custkey) AS n_with_cust,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM (
+         |  SELECT o_orderkey, o_custkey, o_totalprice,
+         |    CAST(NULL AS VARCHAR) AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 2 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, CAST(NULL AS BIGINT), o_totalprice, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 2 = 1)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin),
+
     // The INVERSE of flatten_attrs: nest rows INTO sorted arrays — one row
     // per customer carrying their full order-key list. The
     // denormalization shape that builds nested training examples /
