@@ -268,11 +268,14 @@ object QueriesLlm {
     "minhash_est_error" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
-        // ONE shingle pass: materialize the signatures (|docs|×33 narrow
-        // rows) and derive both the LSH buckets and the agreement join
-        // from them — without the cut, each consumer re-runs the full
-        // shingle explode + 32-min aggregation.
-        val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+        // ONE text pass: materialize the exploded hashed shingles and
+        // derive BOTH downstream forms from them — the signatures (which
+        // feed the LSH buckets AND the agreement join) and the exact
+        // shingle sets. Without the cut, each consumer re-runs the full
+        // shingle explode + fold over the corpus.
+        val hashed = Dedup.shingleHashes(docs).localCheckpoint()
+        val sigs = Dedup.signaturesFromHashes(hashed).localCheckpoint()
+        val sets = Dedup.setsFromHashes(hashed)
         val pairs = Dedup.minhashCandidatePairs(Dedup.minhashBandBuckets(sigs))
         val n = Dedup.DefaultNumHashes
         val sa = sigs.select(col("doc_id").as("a_id") +:
@@ -285,7 +288,6 @@ object QueriesLlm {
         val est = pairs.join(sa, "a_id").join(sb, "b_id")
           .select(col("a_id"), col("b_id"),
             round(agree.cast("double") / n, 6).as("est_jac"))
-        val sets = Dedup.shingleHashSets(docs)
         val ex = pairs
           .join(sets.select(col("doc_id").as("a_id"), col("shs").as("__sa")), "a_id")
           .join(sets.select(col("doc_id").as("b_id"), col("shs").as("__sb")), "b_id")

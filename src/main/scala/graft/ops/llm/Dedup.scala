@@ -127,47 +127,51 @@ object Dedup {
       .drop("__h1", "__h2")
   }
 
-  /** MinHash signature → LSH band buckets. One row per (doc, band); docs
-    * sharing a (band, bucket) are near-dup candidates. The `numHashes`
-    * minhash functions are affine universal hashes of a per-shingle
-    * polynomial fold ([[universalConstants]]); shingles are
-    * `shingleLen`-token windows.
-    *
-    * Shape: explode doc × shingle ONCE, then compute all `numHashes`
-    * min-aggregates in a single map-side-combinable groupBy — one codegen'd
-    * `min((a_i·base + b_i) mod p)` column per hash function. No ×numHashes
-    * row explosion (32× fewer shuffle rows than the explode-per-function
-    * form), no second shuffle, no collect_list/sort: the signature is just
-    * the agg output row, and band buckets hash fixed column slices of it.
-    * Nested array lambdas would run interpreted (higher-order functions
-    * aren't codegen'd) and were ~8× slower still.
+  /** Exploded (idCol, `__hb`) DISTINCT hashed shingles — the shared base
+    * of [[minhashSignatures]] and [[shingleHashSets]]: one char fold per
+    * shingle (the codegen'd PolyFold expression — identical arithmetic to
+    * [[polyFoldExpr]], TextHashSpec pins it, minus the two interpreted
+    * lambdas per character). Callers needing both downstream forms can
+    * `localCheckpoint` THIS frame and pay the text pass once.
     */
-  /** MinHash signature per document: one `__m$i` column per hash function
-    * (the `sig` stage of [[minhashBuckets]], exposed for estimator
-    * calibration — `minhash_est_error` compares signature agreement
-    * against the exact Jaccard).
-    */
-  def minhashSignatures(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", numHashes: Int = DefaultNumHashes,
-      shingleLen: Int = DefaultShingleLen): DataFrame = {
-    val ab = universalConstants(numHashes)
-    val shingles = docs
+  def shingleHashes(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleLen: Int = DefaultShingleLen): DataFrame =
+    docs
       .withColumn("__toks", split(col(textCol), " "))
       .filter(size(col("__toks")) >= shingleLen)
       .select(col(idCol), explode(expr(
         s"array_distinct(transform(sequence(0, size(__toks)-$shingleLen), i -> concat_ws(' ', slice(__toks, i+1, $shingleLen))))")).as("__sh"))
-      // one char fold per shingle; the 32 hash functions are affine
-      // transforms of this base (Broder's universal-hash MinHash), so the
-      // per-function work is codegen'd arithmetic, not another text pass.
-      // The fold itself is the codegen'd PolyFold expression — identical
-      // arithmetic to polyFoldExpr (TextHashSpec pins it), minus the two
-      // interpreted lambdas per character.
       .withColumn("__hb", graft.functions.TextHash.poly_fold(col("__sh"), P))
+      .drop("__sh")
+
+  /** MinHash signature per document: one `__m$i` column per hash
+    * function. The `numHashes` functions are affine universal hashes of
+    * the per-shingle fold ([[universalConstants]]) — all `numHashes`
+    * min-aggregates run in a single map-side-combinable groupBy, one
+    * codegen'd `min((a_i·base + b_i) mod p)` column each. No ×numHashes
+    * row explosion (32× fewer shuffle rows than the explode-per-function
+    * form), no second shuffle, no collect_list/sort.
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = DefaultNumHashes,
+      shingleLen: Int = DefaultShingleLen): DataFrame =
+    signaturesFromHashes(shingleHashes(docs, textCol, idCol, shingleLen), numHashes, idCol)
+
+  /** The min-aggregation stage of [[minhashSignatures]] over an existing
+    * [[shingleHashes]] frame.
+    */
+  def signaturesFromHashes(hashed: DataFrame, numHashes: Int = DefaultNumHashes,
+      idCol: String = "doc_id"): DataFrame = {
+    val ab = universalConstants(numHashes)
     val minAggs = ab.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__hb") + lit(b)) % lit(P)).as(s"__m$i") }
-    shingles.groupBy(idCol).agg(minAggs.head, minAggs.tail: _*)
+    hashed.groupBy(idCol).agg(minAggs.head, minAggs.tail: _*)
   }
 
+  /** MinHash signature → LSH band buckets. One row per (doc, band); docs
+    * sharing a (band, bucket) are near-dup candidates — the signature is
+    * the agg output row, and band buckets hash fixed column slices of it.
+    */
   def minhashBuckets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands,
       shingleLen: Int = DefaultShingleLen): DataFrame =
@@ -284,13 +288,13 @@ object Dedup {
     */
   def shingleHashSets(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleLen: Int = DefaultShingleLen): DataFrame =
-    docs
-      .withColumn("__toks", split(col(textCol), " "))
-      .filter(size(col("__toks")) >= shingleLen)
-      .select(col(idCol), explode(expr(
-        s"array_distinct(transform(sequence(0, size(__toks)-$shingleLen), i -> concat_ws(' ', slice(__toks, i+1, $shingleLen))))")).as("__sh"))
-      .withColumn("__hb", graft.functions.TextHash.poly_fold(col("__sh"), P))
-      .groupBy(idCol)
+    setsFromHashes(shingleHashes(docs, textCol, idCol, shingleLen), idCol)
+
+  /** The set-aggregation stage of [[shingleHashSets]] over an existing
+    * [[shingleHashes]] frame.
+    */
+  def setsFromHashes(hashed: DataFrame, idCol: String = "doc_id"): DataFrame =
+    hashed.groupBy(idCol)
       .agg(sort_array(collect_set(col("__hb"))).as("shs"))
 
   /** The production near-dedup pipeline end to end: MinHash+LSH candidate
