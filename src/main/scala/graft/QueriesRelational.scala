@@ -576,14 +576,19 @@ object QueriesRelational {
     // document-with-context records; `sort_array` makes the list a pure
     // function of the group (collect_list alone is arrival-ordered and
     // could never hash-match). One combinable-ish groupBy whose buffers
-    // are bounded by per-customer order counts.
+    // are bounded by per-customer order counts. The list is emitted as a
+    // canonical comma-joined STRING rather than ARRAY<BIGINT>: the sorted
+    // list is the same pure function of the group either way, but a flat
+    // string is hashable by any external comparator (an ARRAY column broke
+    // the round-6 oracle harness on the driver side).
     "nest_collect" -> QueryDef(
       (s, d) => t(s, d, "orders").groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
-          sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+          concat_ws(",", sort_array(collect_list(col("o_orderkey"))))
+            .as("order_keys"))
         .orderBy("o_custkey"),
       """SELECT o_custkey, COUNT(*) AS n_orders,
-        |  list_sort(list(o_orderkey)) AS order_keys
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
 
     // Per-column data profile of the orders table (null counts, exact

@@ -30,48 +30,73 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Incremental {
 
-  /** Maintain `oldAgg` — schema `(groupField, n: LONG, s: DECIMAL)` as
-    * produced by [[groupAgg]] — under a [[SnapshotDiff.diff]] delta whose
-    * value structs carry `groupField` and `valueField`. Returns the same
-    * schema; groups whose count reaches zero are dropped (they no longer
-    * exist in the maintained view).
+  /** Sums accumulate in DECIMAL(38, scale): at scale 6 that is headroom to
+    * ~1e31 — wide enough that a group sum can never overflow on any real
+    * dataset (1e12 rows of 1e12-valued doubles stay 14 orders of magnitude
+    * short). The earlier DECIMAL(18,·) store could silently NULL a group
+    * past ~1e12 in non-ANSI mode, which contradicts the exactness contract.
+    */
+  private def dec(scale: Int) = DecimalType(38, scale)
+
+  /** Maintain `oldAgg` — schema `(groupField, n: LONG, nv: LONG,
+    * s: DECIMAL(38,scale))` as produced by [[groupAgg]] — under a
+    * [[SnapshotDiff.diff]] delta whose value structs carry `groupField`
+    * and `valueField`. Returns the same schema; groups whose count reaches
+    * zero are dropped (they no longer exist in the maintained view).
+    *
+    * `nv` counts NON-NULL values: it is what lets the maintained sum agree
+    * with a full recompute on NULL-ness — SQL's SUM over a group whose
+    * values are all NULL is NULL, not 0, and a bare signed-sum merge
+    * cannot distinguish "all contributions were NULL" from "they summed to
+    * zero". When `nv` hits 0 the sum is forced back to NULL.
     */
   def mergeGroupAgg(oldAgg: DataFrame, delta: DataFrame,
       groupField: String, valueField: String,
       scale: Int = 6): DataFrame = {
-    val dec = DecimalType(18, scale)
+    val d38 = dec(scale)
     def side(st: String, sgn: Int) = struct(
       lit(sgn.toLong).as("sgn"),
       col(s"$st.$groupField").as("grp"),
       col(s"$st.$valueField").as("v"),
       col(st).isNull.as("skip"))
     // one signed contribution per present side; `changed` emits both (old
-    // group loses the row, new group gains it — group migration included)
+    // group loses the row, new group gains it — group migration included).
+    // The sign is applied by negation, not multiplication: DECIMAL(38,·) ×
+    // LONG would exceed max precision and trigger Spark's precision-loss
+    // rounding, while negation is always exact.
     val contrib = delta
       .select(explode(array(side("old_val", -1), side("new_val", 1))).as("c"))
       .filter(!col("c.skip"))
       .groupBy(col("c.grp").as(groupField))
       .agg(sum(col("c.sgn")).as("__dn"),
-        sum(col("c.v").cast(dec) * col("c.sgn")).as("__ds"))
+        sum(when(col("c.v").isNotNull, col("c.sgn")).otherwise(lit(0L))).as("__dnv"),
+        sum(when(col("c.sgn") < 0, -col("c.v").cast(d38))
+          .otherwise(col("c.v").cast(d38))).as("__ds"))
     val cond: Column = oldAgg(groupField) <=> contrib(groupField)
+    val mergedNv = coalesce(col("nv"), lit(0L)) + coalesce(col("__dnv"), lit(0L))
     oldAgg.join(contrib, cond, "full_outer")
       .select(
         coalesce(oldAgg(groupField), contrib(groupField)).as(groupField),
         (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
-        (coalesce(col("s"), lit(BigDecimal(0)).cast(dec))
-          + coalesce(col("__ds"), lit(BigDecimal(0)).cast(dec))).cast(dec).as("s"))
+        mergedNv.as("nv"),
+        when(mergedNv === 0L, lit(null).cast(d38))
+          .otherwise((coalesce(col("s"), lit(BigDecimal(0)).cast(d38))
+            + coalesce(col("__ds"), lit(BigDecimal(0)).cast(d38))).cast(d38))
+          .as("s"))
       .filter(col("n") > 0)
   }
 
-  /** The base aggregate [[mergeGroupAgg]] maintains: per-group count +
-    * exact DECIMAL sum (kept as DECIMAL — casting to double here would
-    * forfeit the exact subtraction the merge relies on).
+  /** The base aggregate [[mergeGroupAgg]] maintains: per-group row count,
+    * non-null value count, and exact DECIMAL sum (kept as DECIMAL —
+    * casting to double here would forfeit the exact subtraction the merge
+    * relies on; see [[dec]] for why precision 38).
     */
   def groupAgg(rows: DataFrame, groupField: String, valueField: String,
       scale: Int = 6): DataFrame =
     rows.groupBy(groupField)
       .agg(count(lit(1)).as("n"),
-        sum(col(valueField).cast(DecimalType(18, scale))).cast(DecimalType(18, scale)).as("s"))
+        count(col(valueField)).as("nv"),
+        sum(col(valueField).cast(dec(scale))).cast(dec(scale)).as("s"))
 
   /** CONTINUOUS view maintenance: a handle whose [[MaintainedView.sink]]
     * folds each micro-batch of [[SnapshotDiff.diff]]-shaped delta rows

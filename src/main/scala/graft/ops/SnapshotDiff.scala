@@ -30,11 +30,18 @@ object SnapshotDiff {
     *
     * PRECONDITION: `idCols` uniquely key both snapshots — duplicate keys
     * would fan out through the full-outer join into contradictory delta
-    * rows. The canonical snapshots satisfy this by construction (vertex
-    * `id` / edge `(src,dst,label)` are dedup identities); pass
-    * `checkKeys = true` to pay one aggregation per side and fail loudly
-    * instead (worth it on snapshots of unknown provenance, not on the
-    * hot path).
+    * rows. Note the two code paths VIOLATE this precondition differently:
+    * the join path fans duplicates out (N×M contradictory delta rows),
+    * while the key-only aggregation path silently collapses them (max-
+    * based presence sees "the key", not each row) — so with
+    * `checkKeys = false` a malformed input yields different garbage
+    * depending on whether value columns exist. Neither output is
+    * meaningful; if the inputs aren't dedup-canonical by construction,
+    * pass `checkKeys = true`. The canonical snapshots satisfy the
+    * precondition by construction (vertex `id` / edge `(src,dst,label)`
+    * are dedup identities); `checkKeys = true` pays one aggregation per
+    * side and fails loudly (worth it on snapshots of unknown provenance,
+    * not on the hot path).
     */
   def diff(old: DataFrame, neu: DataFrame, idCols: Seq[String],
       checkKeys: Boolean = false): DataFrame = {

@@ -317,8 +317,14 @@ object Dedup {
     */
   def verifiedClusters(docs: DataFrame, threshold: Double = NearDedupThreshold,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val pairs = minhashCandidatePairs(minhashBuckets(docs, textCol, idCol))
-    val sets = shingleHashSets(docs, textCol, idCol)
+    // ONE shingle-explode + poly-fold text pass, materialized, feeding both
+    // the LSH candidate side (signatures → bands) and the exact-verify side
+    // (hash sets) — the sharing [[shingleHashes]] was factored out for; the
+    // text pass dominates everything downstream of it (ADVICE r6).
+    val hashed = shingleHashes(docs, textCol, idCol).localCheckpoint()
+    val pairs = minhashCandidatePairs(
+      minhashBandBuckets(signaturesFromHashes(hashed, idCol = idCol), idCol = idCol))
+    val sets = setsFromHashes(hashed, idCol)
     val verified = pairs
       .join(sets.select(col(idCol).as("a_id"), col("shs").as("__sa")), "a_id")
       .join(sets.select(col(idCol).as("b_id"), col("shs").as("__sb")), "b_id")

@@ -194,6 +194,20 @@ object Prof {
       time("aged clusters: full") {
         graft.QueriesLlm.defs("dedup_clusters").fn(spark, sfDir).count()
       }
+      // r6 verdict: skew_salted_join recorded an unexplained 5.3× AGED
+      // regression (1.49 → 7.89 s) with a clean cold time — re-time it
+      // back-to-back in the aged session to separate a real aged-state
+      // cause (reproduces every run) from one-off host/GC noise.
+      (1 to 3).foreach { i =>
+        time(s"aged skew_salted_join: run $i") {
+          graft.QueriesRelational.defs("skew_salted_join").fn(spark, sfDir).count()
+        }
+      }
+      (1 to 3).foreach { i =>
+        time(s"aged snapshot_diff: run $i") {
+          graft.QueriesGraph.defs("snapshot_diff").fn(spark, sfDir).count()
+        }
+      }
     }
     spark.stop()
   }

@@ -41,6 +41,20 @@ class IncrementalSpec extends SparkSpec {
     assert(canon(maintained(a, b)) == Seq(("g1", 1L, 1.0)))
   }
 
+  test("a group whose remaining values are all NULL keeps a NULL sum (not 0)") {
+    val a = Seq((1L, "g1", Some(1.5)), (2L, "g1", None), (3L, "g2", Some(2.0)))
+      .toDF("id", "grp", "v")
+    val b = Seq((2L, "g1", None: Option[Double]), (3L, "g2", Some(2.0)))
+      .toDF("id", "grp", "v")
+    def canonN(df: DataFrame): Seq[(String, Long, Option[Double])] =
+      df.select(col("grp"), col("n"), col("s").cast("double"))
+        .as[(String, Long, Option[Double])].collect().toSeq.sorted
+    // full recompute's SUM over g1 is NULL (its only value is NULL); the
+    // maintained view must agree — a signed-sum merge alone would say 0
+    assert(canonN(maintained(a, b)) == Seq(("g1", 1L, None), ("g2", 1L, Some(2.0))))
+    assert(canonN(maintained(a, b)) == canonN(agg(b)))
+  }
+
   test("empty delta is the identity") {
     val a = Seq((1L, "g1", 1.25), (2L, "g2", 2.5)).toDF("id", "grp", "v")
     assert(canon(maintained(a, a)) == canon(agg(a)))
