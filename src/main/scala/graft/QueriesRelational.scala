@@ -539,6 +539,55 @@ object QueriesRelational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // SCD Type-2 temporal upsert — the MERGE INTO-style history the
+    // incremental_agg/snapshot_diff CDC pair was missing: the same
+    // A→B orders delta folded into a row-versioned dimension history
+    // (valid_from/valid_to half-open intervals, deletions close rows).
+    // The oracle rebuilds the same history set-wise (closed = A rows
+    // left-joined against B for change/absence; opened = B rows new or
+    // changed vs A) — the interval algebra must agree row for row.
+    "scd2_upsert" -> QueryDef(
+      (s, d) => {
+        val orders = t(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val a = orders.filter(col("o_orderkey") % 7 =!= 0)
+        val b = orders.filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(10.0))
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") % 13 === 0, lit("9-SYNTH"))
+              .otherwise(col("o_orderpriority")))
+        graft.ops.Scd2.fromSnapshots(Seq(a -> 1L, b -> 2L), Seq("o_orderkey"))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("o_orderkey", "valid_from")
+      },
+      """WITH a AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |b AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN '9-SYNTH' ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |closed AS (
+        |  SELECT a.o_orderkey, a.o_orderpriority, a.o_totalprice,
+        |    CAST(1 AS BIGINT) AS valid_from,
+        |    CASE WHEN b.o_orderkey IS NULL
+        |           OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |         THEN CAST(2 AS BIGINT) END AS valid_to
+        |  FROM a LEFT JOIN b ON a.o_orderkey = b.o_orderkey),
+        |opened AS (
+        |  SELECT b.o_orderkey, b.o_orderpriority, b.o_totalprice,
+        |    CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM b LEFT JOIN a ON a.o_orderkey = b.o_orderkey
+        |  WHERE a.o_orderkey IS NULL
+        |     OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |     OR a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM (SELECT * FROM closed UNION ALL SELECT * FROM opened)
+        |ORDER BY o_orderkey, valid_from""".stripMargin),
+
     // Schema-evolution merge: two "file versions" of the orders table —
     // v1 lacking a later-added column, v2 having dropped an old one —
     // unioned by NAME with missing columns null-filled
