@@ -883,8 +883,55 @@ object QueriesLlm {
         |  qv.vt, qv.source, qv.doc_id, qv.k
         |FROM qv CROSS JOIN st
         |GROUP BY qv.vt, qv.source, qv.doc_id, qv.k
-        |ORDER BY global_pos""".stripMargin)
+        |ORDER BY global_pos""".stripMargin),
+
+    // Approximate heavy hitters through the correctness gate: a Count-Min
+    // sketch (d×w = 4×1024 BIGINT counters — fixed memory at ANY corpus
+    // size, mergeable by elementwise sum) built from the replayable token
+    // fold, point-queried for every vocabulary token, top-20 by estimate.
+    // The exact count rides along as the calibration column (CMS error is
+    // one-sided: overcount = est − exact >= 0 always, asserted in
+    // SketchesSpec) — the sketch-vs-truth loop a pipeline runs before
+    // trusting a frequency threshold, like minhash_est_error for MinHash
+    // and sketch_hll_replay for HLL. At 100 TB the sketch build shuffles
+    // <= 4096 rows however many tokens stream through; the full-vocab
+    // probe here is the small-scale calibration harness, not the scale
+    // path (production queries the broadcast sketch per candidate item).
+    "sketch_cms_topk" -> QueryDef(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .withColumn("__h", graft.functions.TextHash.poly_fold(col("tok"), Dedup.P))
+        val sketch = graft.ops.Sketches.cmsSketch(toks, "__h")
+        val exact = toks.groupBy("tok", "__h").agg(count(lit(1)).as("exact_cnt"))
+        graft.ops.Sketches.cmsEstimate(exact, sketch, "__h")
+          .select(col("tok"), col("est_cnt"), col("exact_cnt"),
+            (col("est_cnt") - col("exact_cnt")).as("overcount"))
+          .orderBy(col("est_cnt").desc, col("tok")).limit(20)
+      },
+      cmsTopkOracleSql)
   )
+
+  /** Generated oracle for sketch_cms_topk: the sketch rebuilt from the
+    * per-token exact counts (weight-summed per bucket — identical to the
+    * per-occurrence build by distributivity), probed with the same
+    * [[graft.ops.Sketches.cmsRows]] constants the Spark side uses.
+    */
+  private lazy val cmsTopkOracleSql: String = {
+    import graft.ops.Sketches
+    val bucketSelects = (0 until Sketches.CmsDepth).map(j =>
+      s"SELECT tok, exact_cnt, CAST($j AS BIGINT) AS j, ${Sketches.cmsBucketSql("h", j)} AS bucket FROM hv")
+      .mkString("\n UNION ALL ")
+    s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |ex AS (SELECT tok, COUNT(*) AS exact_cnt FROM tk GROUP BY tok),
+       |hv AS (SELECT tok, exact_cnt, ${duckFold("tok")} AS h FROM ex),
+       |pb AS ($bucketSelects),
+       |cms AS (SELECT j, bucket, SUM(exact_cnt) AS cnt FROM pb GROUP BY j, bucket),
+       |est AS (SELECT tok, exact_cnt, MIN(cnt) AS est_cnt
+       |        FROM pb JOIN cms USING (j, bucket) GROUP BY tok, exact_cnt)
+       |SELECT tok, est_cnt, exact_cnt, est_cnt - exact_cnt AS overcount
+       |FROM est ORDER BY est_cnt DESC, tok LIMIT 20""".stripMargin
+  }
 
   /** The deterministic PII-bearing profile text, Spark side: every
     * interpolated field is an integer or a plain string column, so the

@@ -75,6 +75,91 @@ object Sketches {
         round(alphaNumerator / col("z_scaled").cast("double"), 4).as("est_hll"))
   }
 
+  // ---------------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan, "An improved data stream
+  // summary: the count-min sketch and its applications", J. Algorithms
+  // 2005) from REPLAYABLE integer arithmetic — the heavy-hitters /
+  // frequency-estimation companion to [[hllReplayable]]: d×w bounded
+  // counters whatever the input size, merge = elementwise BIGINT sum (an
+  // abelian group → map-side combinable, partition-layout invariant), and
+  // estimates are exact-integer minima, so the APPROXIMATE counts
+  // hash-match a SQL oracle built from the same constants.
+  //
+  // 100 TB shape: the sketch build shuffles ≤ d·w rows total regardless
+  // of token count — the fixed-memory alternative to a vocabulary-wide
+  // exact groupBy for frequency screening (stopword thresholds, candidate
+  // heavy-hitter cuts). Estimates never undercount (one-sided error:
+  // est ≥ exact always; ε = e/w overcount bound with probability
+  // 1 − e^−d), which is what makes a CMS cut safe for keep/drop
+  // decisions — a true heavy hitter cannot slip under the threshold.
+  // ---------------------------------------------------------------------
+
+  /** Sketch depth (independent hash rows): error prob e^−4 ≈ 1.8 %. */
+  final val CmsDepth = 4
+  /** Sketch width (buckets per row): overcount ε = e/1024 ≈ 0.27 % of
+    * the total stream count, with d×w = 4096 total counters.
+    */
+  final val CmsWidth = 1024
+
+  /** Per-row affine constants (a_j, b_j) for the universal hash family
+    * h_j(x) = ((a_j·x + b_j) mod P) mod w — fixed odd literals < P so
+    * a·x stays inside BIGINT and the same numbers drive the generated
+    * oracle SQL.
+    */
+  private[graft] val cmsRows: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L),
+    (1223106847L, 271828183L),
+    (1431655765L, 141421357L),
+    (1140671485L, 720720733L))
+
+  private def cmsBucket(x: Column, j: Int): Column = {
+    val (a, b) = cmsRows(j)
+    ((lit(a) * x + lit(b)) % P) % CmsWidth
+  }
+
+  /** Build the sketch over one row per ITEM OCCURRENCE: `keyCol` is a
+    * non-negative BIGINT item hash (e.g. a poly_fold of the token).
+    * Output `(j, bucket, cnt)` — at most [[CmsDepth]]×[[CmsWidth]] rows,
+    * one map-side-combinable groupBy however large the input. Building
+    * from pre-aggregated `(item, count)` pairs via weights summed per
+    * bucket yields the identical sketch (the oracle does exactly that).
+    */
+  def cmsSketch(items: DataFrame, keyCol: String): DataFrame = {
+    val x = (col(keyCol).cast("long") % P + P) % P
+    val probes = (0 until CmsDepth).map(j =>
+      struct(lit(j.toLong).as("j"), cmsBucket(x, j).as("bucket")))
+    items.select(explode(array(probes: _*)).as("r"))
+      .groupBy(col("r.j").as("j"), col("r.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for every candidate row: `est_cnt` = the
+    * minimum over the d probed counters (0 for never-seen keys).
+    * Candidate rows must be DISTINCT (the estimate groups by the full
+    * candidate row). The sketch side is d·w-bounded by construction →
+    * broadcast: candidates never shuffle.
+    */
+  def cmsEstimate(candidates: DataFrame, sketch: DataFrame, keyCol: String): DataFrame = {
+    val x = (col(keyCol).cast("long") % P + P) % P
+    val probes = (0 until CmsDepth).map(j =>
+      struct(lit(j.toLong).as("j"), cmsBucket(x, j).as("bucket")))
+    val candCols = candidates.columns.toSeq
+    candidates
+      .withColumn("__p", explode(array(probes: _*)))
+      .select(candCols.map(col) :+ col("__p.j").as("j") :+ col("__p.bucket").as("bucket"): _*)
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(candCols.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
+  /** DuckDB replay of the [[cmsSketch]] bucket expression over `hExpr`
+    * for row `j` — same constants as [[cmsBucket]].
+    */
+  def cmsBucketSql(hExpr: String, j: Int): String = {
+    val (a, b) = cmsRows(j)
+    s"(($a * $hExpr + $b) % $P) % $CmsWidth"
+  }
+
   /** DuckDB replay of [[hllReplayable]] over `keyExpr` grouped by
     * `grpExpr` from `table` — generated from the same constants, so the
     * implementation and its oracle cannot drift.
