@@ -199,7 +199,11 @@ object QueriesGraph {
     "graph_assortativity" -> QueryDef(
       (s, d) => {
         val g = DerivedGraph(s, d)
-        graft.ops.GraphAnalytics.degreeAssortativity(g.edges).orderBy("n")
+        // broadcastDeg: the derived graph's vertex set is far under the
+        // documented ~10⁷ bound; the hint only changes join strategy,
+        // never values (same per-edge xy formula and decimal sums)
+        graft.ops.GraphAnalytics.degreeAssortativity(g.edges, broadcastDeg = true)
+          .orderBy("n")
       },
       s"""${DerivedGraphSql.cte},
          | deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),

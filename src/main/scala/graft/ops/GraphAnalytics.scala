@@ -499,13 +499,23 @@ object GraphAnalytics {
     * no value to report). Callers needing a sentinel should null it out
     * with `nanvl`/`when(isnan(...))`.
     */
-  def degreeAssortativity(edges: DataFrame, roundScale: Int = 6): DataFrame = {
+  def degreeAssortativity(edges: DataFrame, roundScale: Int = 6,
+      broadcastDeg: Boolean = false): DataFrame = {
     import graft.Qh
     val und = graft.model.DerivedGraph.undirected(edges)
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    // The degree table is |V| rows with UNKNOWN post-aggregation stats, so
+    // the planner sort-merges the edge list against it TWICE (one full
+    // edge shuffle per endpoint). `broadcastDeg = true` hints both probe
+    // sides instead — the edge list then never shuffles at all (measured
+    // 3.85 → 1.6 s on the sf0.1 derived graph, Prof --assort). Same
+    // opt-in-with-shuffle-default policy as triangleCountDF.broadcastSides:
+    // safe while |V| is broadcast-sized (~10⁷ vertices at 16 B/row); past
+    // that, keep the default and let the two shuffle joins scale out.
+    val hint: DataFrame => DataFrame = if (broadcastDeg) broadcast(_) else identity
     val xy = und
-      .join(deg.select(col("a"), col("deg").as("x")), "a")
-      .join(deg.select(col("a").as("b"), col("deg").as("y")), "b")
+      .join(hint(deg.select(col("a"), col("deg").as("x"))), "a")
+      .join(hint(deg.select(col("a").as("b"), col("deg").as("y"))), "b")
     val nD = col("n").cast("double")
     xy.agg(count(lit(1)).as("n"),
         Qh.dsum(col("x")).as("sx"), Qh.dsum(col("y")).as("sy"),

@@ -87,6 +87,26 @@ object Prof {
         .agg(count(lit(1)).as("n")).count()
     }
 
+    // ---- graph_assortativity A/B (r6 verdict item 8)
+    if (args.contains("--assort")) {
+      val g = graft.model.DerivedGraph(spark, sfDir)
+      val und = graft.model.DerivedGraph.undirected(g.edges)
+      time("assort: und count")(und.count())
+      val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+      time("assort: deg count")(deg.count())
+      (1 to 2).foreach { i =>
+        time(s"assort: CURRENT two-join form run $i") {
+          graft.ops.GraphAnalytics.degreeAssortativity(g.edges).count()
+        }
+      }
+      (1 to 2).foreach { i =>
+        time(s"assort: broadcast-deg form run $i") {
+          graft.ops.GraphAnalytics.degreeAssortativity(g.edges, broadcastDeg = true)
+            .count()
+        }
+      }
+    }
+
     // ---- dedup_clusters
     time("clusters: full query") {
       graft.QueriesLlm.defs("dedup_clusters").fn(spark, sfDir).count()
