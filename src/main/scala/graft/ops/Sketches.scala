@@ -152,6 +152,19 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** CONTINUOUS sketch maintenance: a handle whose [[MaintainedCms.sink]]
+    * folds each micro-batch of item occurrences into the running sketch
+    * via `foreachBatch` — the streaming twin of [[cmsSketch]], and the
+    * shape a pipeline actually runs over an unbounded token stream.
+    * Because merge is an elementwise BIGINT sum (abelian), the maintained
+    * sketch equals the batch-built sketch over ANY prefix of batches
+    * (SketchesSpec drives it over memory-stream micro-batches and checks
+    * exactly that). State held is the sketch itself — ≤ d·w rows, lineage
+    * cut per batch — so the query runs forever in constant space, no
+    * watermark needed (pure monotone accumulation).
+    */
+  def maintainedCms(keyCol: String): MaintainedCms = new MaintainedCms(keyCol)
+
   /** DuckDB replay of the [[cmsSketch]] bucket expression over `hExpr`
     * for row `j` — same constants as [[cmsBucket]].
     */
@@ -182,4 +195,28 @@ object Sketches {
        |    * CAST(65536 AS DOUBLE) * CAST(2147483648 AS DOUBLE)
        |    / CAST(z_scaled AS DOUBLE), 4) AS est_hll
        |FROM z ORDER BY grp""".stripMargin
+}
+
+/** Handle to a continuously-maintained Count-Min sketch — see
+  * [[Sketches.maintainedCms]]. Mirrors [[MaintainedView]]: `current` is
+  * safe to read between batches; batches fold under a lock (micro-batches
+  * of one query never overlap, the lock just makes the handle shareable).
+  */
+final class MaintainedCms private[ops] (keyCol: String) {
+  @volatile private var cur: Option[DataFrame] = None
+
+  /** The running sketch `(j, bucket, cnt)`; empty before the first batch. */
+  def current: Option[DataFrame] = cur
+
+  /** `foreachBatch` function: `stream.writeStream.foreachBatch(cms.sink)`. */
+  def sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => synchronized {
+      val b = Sketches.cmsSketch(batch.toDF(), keyCol)
+      val merged = cur match {
+        case Some(s) => s.unionAll(b)
+          .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+        case None => b
+      }
+      cur = Some(merged.localCheckpoint())
+    }
 }

@@ -89,6 +89,27 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("streaming: micro-batch-folded CMS equals the batch sketch over all data") {
+    implicit val ctx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val occ = stream.toDF().toDF("h")
+    val cms = Sketches.maintainedCms("h")
+    val q = occ.writeStream.outputMode("append").foreachBatch(cms.sink).start()
+    try {
+      val batch1 = (0L until 400L).map(i => i % 37 * 104729L % 1000003L)
+      val batch2 = (0L until 300L).map(i => i % 11 * 15485863L % 1000003L)
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = cms.current.get.orderBy("j", "bucket").collect().toSeq
+      val all = (batch1 ++ batch2).toDF("h")
+      val batch = Sketches.cmsSketch(all, "h").orderBy("j", "bucket").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("CMS sketch size is bounded by d x w; unseen-key estimate stays near the noise floor") {
     val occ = zipfStream
     val sketch = Sketches.cmsSketch(occ, "h").cache()
