@@ -107,6 +107,23 @@ object QueriesGraphX {
         .orderBy("id", "landmark"),
       spOracleSql),
 
+    // Landmark closeness centrality (Bavelas 1950 form over the reachable
+    // set): closeness(L) = (|reached|−1) / Σ dist(L,·) — the same
+    // multi-landmark Pregel traversal as graph_shortest_paths aggregated
+    // per landmark, so the oracle reuses the identical BFS CTE prefix.
+    // n_reached and sum_dist are exact BIGINTs; closeness is one IEEE
+    // division of those exact inputs, 6 dp — the determinism ladder.
+    "graph_closeness" -> QueryDef(
+      (s, d) => GraphAnalytics.multiSourceBfs(
+        GraphAnalytics.derivedGraphX(s, d), spLandmarks, 10)
+        .groupBy("landmark")
+        .agg(count(lit(1)).as("n_reached"), sum("dist").as("sum_dist"))
+        .select(col("landmark"), col("n_reached"), col("sum_dist"),
+          round((col("n_reached") - 1).cast("double") /
+            col("sum_dist").cast("double"), 6).as("closeness"))
+        .orderBy("landmark"),
+      closenessOracleSql),
+
     // 8-core of the derived graph (Seidman's density screen): iterative
     // peel with a 10-round bound — converges in ≤3 rounds on this graph
     // family at every SF (the degree tiers make the cascade shallow);
@@ -266,11 +283,12 @@ object QueriesGraphX {
   private lazy val spLandmarks: Seq[Long] =
     Seq(3L, 7L, 12L).map(DerivedGraph.NationBase + _)
 
-  /** Generated oracle for graph_shortest_paths: the graph_bfs_dist chained
-    * frontier-join pattern instantiated once per landmark (distinct CTE
-    * prefixes), min level per (vertex, landmark).
+  /** Shared CTE prefix producing `d(id, landmark, dist)` — the
+    * graph_bfs_dist chained frontier-join pattern instantiated once per
+    * landmark (distinct CTE prefixes), min level per (vertex, landmark).
+    * Drives BOTH the graph_shortest_paths and graph_closeness oracles.
     */
-  private lazy val spOracleSql: String = {
+  private lazy val spCtePrefix: String = {
     val tagged = spLandmarks.zipWithIndex.map { case (seed, i) => (s"sp$i", seed) }
     val ctes = tagged.map { case (tag, seed) =>
       (Seq(s"${tag}h0 AS (SELECT CAST($seed AS BIGINT) AS id)") ++
@@ -284,8 +302,23 @@ object QueriesGraphX {
     }.mkString("\n   UNION ALL ")
     s"""${DerivedGraphSql.cte},
        | $ctes,
-       | lv AS ($lv)
-       |SELECT id, landmark, CAST(MIN(dist) AS BIGINT) AS dist
-       |FROM lv GROUP BY id, landmark ORDER BY id, landmark""".stripMargin
+       | lv AS ($lv),
+       | d AS (SELECT id, landmark, CAST(MIN(dist) AS BIGINT) AS dist
+       |       FROM lv GROUP BY id, landmark)""".stripMargin
   }
+
+  private lazy val spOracleSql: String =
+    s"""$spCtePrefix
+       |SELECT id, landmark, dist FROM d ORDER BY id, landmark""".stripMargin
+
+  /** Generated oracle for graph_closeness: the same per-landmark BFS
+    * distances aggregated to the landmark's closeness centrality.
+    */
+  private lazy val closenessOracleSql: String =
+    s"""$spCtePrefix
+       |SELECT landmark, COUNT(*) AS n_reached,
+       |  CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       |  round(CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(dist) AS DOUBLE), 6)
+       |    AS closeness
+       |FROM d GROUP BY landmark ORDER BY landmark""".stripMargin
 }
