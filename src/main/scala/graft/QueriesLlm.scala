@@ -909,7 +909,29 @@ object QueriesLlm {
             (col("est_cnt") - col("exact_cnt")).as("overcount"))
           .orderBy(col("est_cnt").desc, col("tok")).limit(20)
       },
-      cmsTopkOracleSql)
+      cmsTopkOracleSql),
+
+    // Deterministic corpus shuffle — the reproducible training-order
+    // permutation (seeded affine bijection of doc_id, never rand()),
+    // with global positions from the two-level prefix-sum rank: the only
+    // unpartitioned window in the plan runs on the 1024-row bucket-count
+    // table, never per-doc rows (ops.llm.Shuffle). Oracle = the plain
+    // global window spelling of the same rank — results identical, which
+    // is exactly the claim the distributed form has to prove.
+    "shuffle_deterministic" -> QueryDef(
+      (s, d) => graft.ops.llm.Shuffle.deterministicShuffle(
+        t(s, d, "documents").select("doc_id", "source"))
+        .select("pos", "doc_id", "source", "shuffle_key")
+        .orderBy("pos"),
+      {
+        import graft.ops.llm.Shuffle
+        s"""WITH k AS (SELECT doc_id, source,
+           |  (${Shuffle.A} * (doc_id % ${Shuffle.P}) + ${Shuffle.B}) % ${Shuffle.P} AS shuffle_key
+           |  FROM documents)
+           |SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+           |  doc_id, source, shuffle_key
+           |FROM k ORDER BY pos""".stripMargin
+      })
   )
 
   /** Generated oracle for sketch_cms_topk: the sketch rebuilt from the

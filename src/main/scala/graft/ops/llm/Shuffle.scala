@@ -1,0 +1,75 @@
+package graft.ops.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus shuffle — the training-order primitive: every
+  * pretraining pipeline shuffles its curated corpus into a reproducible
+  * pseudo-random order before packing (a seeded permutation, never
+  * `rand()`, so a re-run or a resumed job sees the identical order; cf.
+  * the data-ordering discipline in Rae et al. 2021 §A1 and the
+  * sample_stratified / interleave_sources rows of SURVEY §2.2).
+  *
+  * The shuffle key is an affine bijection of the doc id modulo the prime
+  * [[P]]: `key = (A·(id mod P) + B) mod P`. For ids below P (every
+  * driver-generated corpus here; ~1e9 docs) this is a PERMUTATION of the
+  * id space — distinct ids, distinct keys — and the (key, id) tie-break
+  * keeps the order total even if a >P id space ever wraps. Corpora past
+  * ~1e9 docs swap P for a wider prime (2⁶¹−1 needs 128-bit multiply —
+  * split-limb arithmetic) or shuffle hierarchically per shard; documented
+  * rather than hidden.
+  *
+  * Global positions come from [[globalRowNumber]] — the two-level
+  * prefix-sum rank (the Packing.packSequences discipline): an
+  * order-preserving range bucketing on the key, per-bucket counts, a
+  * running offset over the TINY bucket table, then per-bucket windows.
+  * No single-partition window ever touches per-doc rows; the affine key
+  * is uniform over [0, P), so the range buckets are balanced by
+  * construction (no skew salt needed).
+  */
+object Shuffle {
+
+  /** Key-space modulus (prime, shared fold discipline with Dedup.P). */
+  val P: Long = 1000000007L
+  /** Knuth–Lewis LCG multiplier/increment — A·x stays far inside BIGINT. */
+  val A: Long = 1664525L
+  val B: Long = 1013904223L
+
+  /** The replayable shuffle key for an id column. */
+  def shuffleKey(id: Column): Column = (lit(A) * (id % P) + lit(B)) % P
+
+  /** Global `row_number() OVER (ORDER BY keyCol, tieCol)` WITHOUT a
+    * global single-partition window: `keyCol` must be non-negative and
+    * below `keyBound`; buckets = order-preserving ranges of the key
+    * space. Shuffles per-row data once (by bucket — balanced when the
+    * key is hash/affine-uniform); the only unpartitioned window runs on
+    * the `buckets`-row count table.
+    */
+  def globalRowNumber(df: DataFrame, keyCol: String, tieCol: String,
+      keyBound: Long, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && keyBound > 0, "buckets and keyBound must be positive")
+    val step = (keyBound + buckets - 1) / buckets
+    val b = df.withColumn("__bk", (col(keyCol) / step).cast("long"))
+    val counts = b.groupBy("__bk").agg(count(lit(1)).as("__c"))
+    // deliberately unpartitioned: runs on the ≤`buckets`-row count table
+    val wB = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wB), lit(0L)))
+      .select("__bk", "__off")
+    val wIn = Window.partitionBy("__bk").orderBy(col(keyCol), col(tieCol))
+    b.join(broadcast(offs), "__bk")
+      .withColumn("pos", (col("__off") + row_number().over(wIn)).cast("long"))
+      .drop("__bk", "__off")
+  }
+
+  /** Shuffle a corpus: each row keyed by [[shuffleKey]] and assigned its
+    * global position in the shuffled order (1-based, a bijection onto
+    * 1..n — property-tested in ShuffleSpec).
+    */
+  def deterministicShuffle(docs: DataFrame, idCol: String = "doc_id",
+      buckets: Int = 1024): DataFrame =
+    globalRowNumber(
+      docs.withColumn("shuffle_key", shuffleKey(col(idCol))),
+      "shuffle_key", idCol, P, buckets)
+}
