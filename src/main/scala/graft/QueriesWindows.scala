@@ -124,6 +124,20 @@ object QueriesWindows {
         |JOIN ranked hi ON hi.event_type = pr.event_type AND hi.rk = pr.hi_rk
         |ORDER BY pr.event_type, pr.p""".stripMargin),
 
+    // The approximate side of the quantile ladder, value-checked: equi
+    // -width histogram quantiles (ops.Sketches.histQuantile) at the SAME
+    // probe points as quantile_cont — two combinable passes + a 256-row
+    // -per-group cumulative window instead of ranking every event row.
+    // quantile_cont (exact) stays the calibration twin; SketchesSpec
+    // asserts |est − exact| ≤ one bin width per probe. Completes the
+    // replayable sketch trio: HLL distincts, CMS frequencies, histogram
+    // quantiles.
+    "sketch_quantile_hist" -> QueryDef(
+      (s, d) => graft.ops.Sketches.histQuantile(
+        t(s, d, "events"), "event_type", "value")
+        .orderBy("event_type", "p"),
+      graft.ops.Sketches.histQuantileOracleSql("events", "event_type", "value")),
+
     // First-order Markov transition matrix over per-user event sequences:
     // lead() over the deterministic (ts, event_id) order pairs each event
     // with its successor, then one combinable count per (from, to) cell +

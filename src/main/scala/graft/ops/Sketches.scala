@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches under EXACT verification.
@@ -171,6 +172,111 @@ object Sketches {
   def cmsBucketSql(hExpr: String, j: Int): String = {
     val (a, b) = cmsRows(j)
     s"(($a * $hExpr + $b) % $P) % $CmsWidth"
+  }
+
+  // ---------------------------------------------------------------------
+  // Equi-width histogram quantiles — the third replayable sketch next to
+  // HLL (distinct) and CMS (frequency): approximate per-group quantiles
+  // from a bins-bounded count histogram. Two combinable passes (min/max/n,
+  // then bin counts against the broadcast stats), a ≤bins-row per-group
+  // cumulative window, and an interpolated estimate that is pure IEEE
+  // arithmetic over exact integers and the two range endpoints — the same
+  // expression shape on both engines, so the APPROXIMATE quantile
+  // hash-matches its oracle. Error bound: the true rank-target value lies
+  // in the chosen bin, so |est − exact| ≤ one bin width = (hi−lo)/bins
+  // (asserted against the exact interpolated quantile in SketchesSpec).
+  //
+  // 100 TB shape: where the exact quantile (quantile_cont) must rank every
+  // row (a full per-group sort), this shuffles ≤ groups·bins count rows
+  // after map-side combine. The bin range is data-dependent (pass 1), so
+  // merging sketches requires a shared range — fix the range a priori for
+  // streaming accumulation, as production histogram sketches do.
+  // ---------------------------------------------------------------------
+
+  /** Histogram buckets per group. */
+  final val HistBins = 256
+
+  /** Per-`groupCol` approximate quantiles of `valCol` at the rational
+    * probe points `ps` (numerator, denominator). Output: group, `p`
+    * (double), `est_q` (roundScale dp).
+    */
+  def histQuantile(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[(Int, Int)] = Seq((1, 4), (1, 2), (9, 10)),
+      bins: Int = HistBins, roundScale: Int = 6): DataFrame = {
+    val v = col(valCol).cast("double")
+    val stats = df.groupBy(groupCol).agg(
+      min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("__n"))
+    // degenerate single-value groups land in bin 0; the top edge value is
+    // clamped into the last bin (floor of exactly bins otherwise)
+    val binExpr = when(col("__hi") === col("__lo"), lit(0L))
+      .otherwise(least(lit((bins - 1).toLong),
+        floor((v - col("__lo")) / (col("__hi") - col("__lo")) * lit(bins.toDouble))
+          .cast("long")))
+    val counts = df.join(broadcast(stats), groupCol)
+      .withColumn("__bin", binExpr)
+      .groupBy(col(groupCol), col("__bin")).agg(count(lit(1)).as("__c"))
+    val wC = Window.partitionBy(groupCol).orderBy("__bin")
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(wC))
+      .withColumn("__before", col("__cum") - col("__c"))
+    // rank targets as EXACT integers: target = ceil(n·nu/de) via div
+    val probes = stats.select(col(groupCol), col("__lo"), col("__hi"), col("__n"),
+        explode(array(ps.map { case (nu, de) =>
+          struct(lit(nu.toLong).as("nu"), lit(de.toLong).as("de")) }: _*)).as("__p"))
+      .select(col(groupCol), col("__lo"), col("__hi"), col("__n"),
+        col("__p.nu").as("__nu"), col("__p.de").as("__de"))
+      .withColumn("__target", expr("(__n * __nu + __de - 1) div __de"))
+    val crossing = probes
+      .join(cum.select(col(groupCol), col("__bin"), col("__cum")), Seq(groupCol))
+      .filter(col("__cum") >= col("__target"))
+      .groupBy(col(groupCol), col("__nu"), col("__de"), col("__target"),
+        col("__lo"), col("__hi"))
+      .agg(min(col("__bin")).as("__bstar"))
+    crossing
+      .join(cum.select(col(groupCol), col("__bin").as("__bstar"),
+        col("__c"), col("__before")), Seq(groupCol, "__bstar"))
+      .select(col(groupCol),
+        (col("__nu").cast("double") / col("__de")).as("p"),
+        round(col("__lo") + (col("__hi") - col("__lo")) / lit(bins.toDouble) *
+          (col("__bstar").cast("double") +
+            (col("__target") - col("__before")).cast("double") /
+              col("__c").cast("double")), roundScale).as("est_q"))
+  }
+
+  /** DuckDB replay of [[histQuantile]] — same bins, same probe rationals,
+    * same IEEE expression shapes, generated so the two sides cannot
+    * drift.
+    */
+  def histQuantileOracleSql(table: String, grpCol: String, valCol: String,
+      ps: Seq[(Int, Int)] = Seq((1, 4), (1, 2), (9, 10)),
+      bins: Int = HistBins, roundScale: Int = 6): String = {
+    val values = ps.map { case (nu, de) => s"($nu, $de)" }.mkString(", ")
+    s"""WITH st AS (SELECT $grpCol AS grp, MIN(CAST($valCol AS DOUBLE)) AS lo,
+       |    MAX(CAST($valCol AS DOUBLE)) AS hi, COUNT(*) AS n
+       |  FROM $table GROUP BY 1),
+       |bnd AS (SELECT st.grp,
+       |    CASE WHEN st.hi = st.lo THEN CAST(0 AS BIGINT)
+       |         ELSE LEAST(${bins - 1}, CAST(floor((CAST(t.$valCol AS DOUBLE) - st.lo)
+       |                / (st.hi - st.lo) * $bins.0) AS BIGINT)) END AS bin
+       |  FROM $table t JOIN st ON t.$grpCol = st.grp),
+       |c AS (SELECT grp, bin, COUNT(*) AS c FROM bnd GROUP BY grp, bin),
+       |cum AS (SELECT grp, bin, c,
+       |    SUM(c) OVER (PARTITION BY grp ORDER BY bin) AS cum FROM c),
+       |pr AS (SELECT st.grp, st.lo, st.hi,
+       |    CAST(p.nu AS BIGINT) AS nu, CAST(p.de AS BIGINT) AS de,
+       |    (st.n * p.nu + p.de - 1) // p.de AS target
+       |  FROM st, (VALUES $values) p(nu, de)),
+       |cr AS (SELECT pr.grp, pr.nu, pr.de, pr.lo, pr.hi, pr.target,
+       |    MIN(cum.bin) AS bstar
+       |  FROM pr JOIN cum ON cum.grp = pr.grp AND cum.cum >= pr.target
+       |  GROUP BY pr.grp, pr.nu, pr.de, pr.lo, pr.hi, pr.target)
+       |SELECT cr.grp AS $grpCol, CAST(cr.nu AS DOUBLE) / cr.de AS p,
+       |  round(cr.lo + (cr.hi - cr.lo) / $bins.0 *
+       |    (CAST(cr.bstar AS DOUBLE) +
+       |      CAST(cr.target - (cum.cum - cum.c) AS DOUBLE) / CAST(cum.c AS DOUBLE)),
+       |    $roundScale) AS est_q
+       |FROM cr JOIN cum ON cum.grp = cr.grp AND cum.bin = cr.bstar
+       |ORDER BY $grpCol, p""".stripMargin
   }
 
   /** DuckDB replay of [[hllReplayable]] over `keyExpr` grouped by

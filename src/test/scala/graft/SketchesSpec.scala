@@ -110,6 +110,45 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- histogram quantiles ----
+
+  test("histogram quantile lands within one bin width of the exact quantile") {
+    // two groups with different shapes: uniform-ish and heavy-tailed
+    val df = spark.range(20000).select(
+      (col("id") % 2).cast("string").as("g"),
+      when(col("id") % 2 === 0, (col("id") % 997).cast("double"))
+        .otherwise(((col("id") % 100) * (col("id") % 100)).cast("double"))
+        .as("v"))
+    val est = Sketches.histQuantile(df, "g", "v")
+      .select("g", "p", "est_q").as[(String, Double, Double)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap
+    val rows = df.select("g", "v").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (g <- Seq("0", "1"); (nu, de) <- Seq((1, 4), (1, 2), (9, 10))) {
+      val vs = rows(g)
+      val width = (vs.last - vs.head) / Sketches.HistBins
+      // the value at the sketch's rank target sits inside the chosen bin
+      val target = (vs.length.toLong * nu + de - 1) / de
+      val exactAtTarget = vs(target.toInt - 1)
+      val e = est((g, nu.toDouble / de))
+      assert(math.abs(e - exactAtTarget) <= width + 1e-9,
+        s"g=$g p=$nu/$de est=$e exact=$exactAtTarget width=$width")
+    }
+  }
+
+  test("histogram quantile is layout-invariant and handles constant groups") {
+    val df = spark.range(5000).select(
+      (col("id") % 3).cast("string").as("g"),
+      when(col("id") % 3 === 2, lit(42.0))
+        .otherwise((col("id") % 613).cast("double")).as("v"))
+    val a = Sketches.histQuantile(df, "g", "v").orderBy("g", "p").collect().toSeq
+    val b = Sketches.histQuantile(df.repartition(17), "g", "v")
+      .orderBy("g", "p").collect().toSeq
+    assert(a == b)
+    // the all-constant group estimates the constant at every probe
+    a.filter(_.getString(0) == "2").foreach(r => assert(r.getDouble(2) == 42.0))
+  }
+
   test("CMS sketch size is bounded by d x w; unseen-key estimate stays near the noise floor") {
     val occ = zipfStream
     val sketch = Sketches.cmsSketch(occ, "h").cache()
