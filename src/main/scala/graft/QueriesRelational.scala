@@ -26,6 +26,44 @@ object QueriesRelational {
     "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
   private val profiledOrderIntCols = Set("o_orderkey", "o_custkey")
 
+  /** Generated oracle for bloom_semi_join — every constant (probe family,
+    * word geometry, modulus) comes from [[graft.ops.Bloom]], so the
+    * implementation and its replay cannot drift.
+    */
+  private lazy val bloomSemiJoinOracleSql: String = {
+    import graft.ops.Bloom
+    val p = Bloom.P
+    val m = Bloom.BloomWords * Bloom.BloomBitsPerWord
+    val w = Bloom.BloomBitsPerWord
+    def x(c: String) = s"(($c % $p) + $p) % $p"
+    def pos(j: Int, c: String) = {
+      val (a, b) = Bloom.hashRows(j)
+      s"(($a * (${x(c)}) + $b) % $p) % $m"
+    }
+    val kp = (0 until Bloom.BloomK)
+      .map(j => s"SELECT ${pos(j, "key")} AS pos FROM k")
+      .mkString("\n   UNION ALL ")
+    val op = (0 until Bloom.BloomK)
+      .map(j => s"SELECT o_orderkey, o_custkey, ${pos(j, "o_custkey")} AS pos FROM orders")
+      .mkString("\n   UNION ALL ")
+    s"""WITH k AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0),
+       |kp AS ($kp),
+       |w AS (SELECT pos // $w AS word_idx,
+       |        BIT_OR(CAST(1 AS BIGINT) << (pos % $w)) AS word
+       |      FROM kp GROUP BY 1),
+       |op AS ($op),
+       |chk AS (SELECT o_orderkey, o_custkey,
+       |    SUM(CASE WHEN w.word IS NOT NULL
+       |              AND (w.word & (CAST(1 AS BIGINT) << (op.pos % $w))) <> 0
+       |         THEN 1 ELSE 0 END) AS hits
+       |  FROM op LEFT JOIN w ON w.word_idx = op.pos // $w
+       |  GROUP BY o_orderkey, o_custkey)
+       |SELECT o_orderkey, o_custkey,
+       |  o_custkey IN (SELECT key FROM k) AS true_member
+       |FROM chk WHERE hits = ${Bloom.BloomK}
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // search_vertex's projection-free scan, done right: column-pruned
@@ -464,6 +502,31 @@ object QueriesRelational {
         t(s, d, "lineitem"), "l_returnflag", "l_orderkey")
         .orderBy("grp"),
       graft.ops.Sketches.hllOracleSql("lineitem", "l_returnflag", "l_orderkey")),
+
+    // Bloom-filter semi-join pruning through the correctness gate: build
+    // an 8 KB replayable filter over the dim keys (negative-balance
+    // customers — the semi_join_ids key set), broadcast it, and keep the
+    // orders rows whose custkey MIGHT be a member — false positives
+    // included, because they are a pure function of the published
+    // constants and both engines compute the identical bit arithmetic.
+    // The exact verdict rides along as `true_member` (a fp shows up as
+    // false — zero false NEGATIVES is the Bloom contract, asserted per
+    // row in BloomSpec). At scale this prunes the fact side BEFORE its
+    // shuffle — the explicit form of runtime bloom-pruned joins.
+    "bloom_semi_join" -> QueryDef(
+      (s, d) => {
+        val keys = t(s, d, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("key"))
+        val bloom = graft.ops.Bloom.build(keys, "key")
+        val probe = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        graft.ops.Bloom.mightContain(probe, bloom, "o_custkey")
+          .join(keys.distinct().select(col("key").as("o_custkey"),
+            lit(1).as("__m")), Seq("o_custkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("__m").isNotNull.as("true_member"))
+          .orderBy("o_orderkey")
+      },
+      bloomSemiJoinOracleSql),
 
     // Two-pass z-score outlier screen over the events stream table: exact
     // per-type mean/σ from DECIMAL power sums (the agg_stats formula —

@@ -46,7 +46,10 @@ class EntrySpec extends SparkSpec {
       "event_funnel", "retention_cohort", "rag_retrieval", "window_time_range",
       "stream_join_attribution", "table_profile", "window_ntile",
       "graph_assortativity", "nest_collect", "event_transitions",
-      "minhash_est_error", "quantile_cont", "schema_evolution")
+      "minhash_est_error", "quantile_cont", "schema_evolution",
+      // round-7 additions
+      "scd2_upsert", "sketch_cms_topk", "graph_closeness",
+      "shuffle_deterministic", "sketch_quantile_hist")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
