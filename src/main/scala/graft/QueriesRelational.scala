@@ -528,6 +528,34 @@ object QueriesRelational {
       },
       bloomSemiJoinOracleSql),
 
+    // Z-order layout clustering through the correctness gate: Morton
+    // -interleave (l_partkey, l_suppkey), tile by the top z-bits
+    // (bucket = z div 4096 → 6 free bits per dimension), and profile each
+    // tile's min/max span in BOTH dimensions — the rectangle property
+    // (span < 64 × 64, provable and spec-asserted) that makes parquet
+    // min/max pruning work for 2-D predicates after a z-sorted write
+    // (ops.ZOrder.clusterByZ is the write-side form). Pure replayable bit
+    // arithmetic; the oracle interleaves with the identical expression.
+    "layout_zorder" -> QueryDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey").cast("long").as("x"),
+            col("l_suppkey").cast("long").as("y"))
+        li.withColumn("z", graft.ops.ZOrder.interleave16(col("x"), col("y")))
+          .withColumn("bucket", expr("z div 4096"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+          .orderBy("bucket")
+      },
+      s"""WITH z AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+         |    CAST(l_suppkey AS BIGINT) AS y,
+         |    ${graft.ops.ZOrder.interleave16Sql("CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)")} AS zv
+         |  FROM lineitem)
+         |SELECT zv // 4096 AS bucket, COUNT(*) AS n,
+         |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin),
+
     // Two-pass z-score outlier screen over the events stream table: exact
     // per-type mean/σ from DECIMAL power sums (the agg_stats formula —
     // never the built-in stddev, whose streaming accumulation is
