@@ -45,6 +45,7 @@ object Bench {
     // lives with the owning modules so it cannot drift.
     graft.model.Tables.warm(spark, sfDir)
     graft.ops.GraphAnalytics.warm(spark, sfDir)
+    graft.ops.llm.Similarity.warm(spark, sfDir)
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

@@ -441,7 +441,8 @@ object QueriesLlm {
     // invariant fit — Similarity.fitIvfCenters), nprobe=3 per-cell search
     // (no oracle: iterative clustering).
     "similarity_ivf" -> QueryDef(
-      (s, d) => Similarity.ivfCosineTopK(t(s, d, "embeddings"), col("vec_id") % 20 === 0)
+      (s, d) => Similarity.ivfCosineTopK(t(s, d, "embeddings"), col("vec_id") % 20 === 0,
+        cacheKey = Some(d))
         .orderBy("q_id", "rk"),
       None),
 
