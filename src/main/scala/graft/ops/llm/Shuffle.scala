@@ -50,7 +50,9 @@ object Shuffle {
       keyBound: Long, buckets: Int = 1024): DataFrame = {
     require(buckets > 0 && keyBound > 0, "buckets and keyBound must be positive")
     val step = (keyBound + buckets - 1) / buckets
-    val b = df.withColumn("__bk", (col(keyCol) / step).cast("long"))
+    // integer `div`, not `/`: Spark's `/` on longs is DOUBLE division,
+    // which silently loses exactness for keys past 2^53
+    val b = df.withColumn("__bk", expr(s"$keyCol div ${step}L"))
     val counts = b.groupBy("__bk").agg(count(lit(1)).as("__c"))
     // deliberately unpartitioned: runs on the ≤`buckets`-row count table
     val wB = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
