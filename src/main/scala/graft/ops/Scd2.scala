@@ -111,4 +111,40 @@ object Scd2 {
       .filter(col("valid_from") <= version &&
         (col("valid_to").isNull || col("valid_to") > version))
       .drop("valid_from", "valid_to")
+
+  /** CONTINUOUS history maintenance — the CDC consumer as a stream: a
+    * handle whose [[MaintainedScd2.sink]] folds each micro-batch of
+    * [[SnapshotDiff.diff]]-shaped delta rows into the history via
+    * `foreachBatch`, versioned by the batch id offset. Mirrors
+    * [[Incremental.maintained]]: because [[applyDelta]] is a pure
+    * function of (history, delta), the maintained history equals the
+    * batch fold over any prefix of delta batches (Scd2Spec drives it
+    * over memory-stream micro-batches and checks exactly that). State is
+    * the history itself, lineage cut per batch.
+    */
+  def maintained(initial: DataFrame, idCols: Seq[String],
+      baseVersion: Long): MaintainedScd2 =
+    new MaintainedScd2(Scd2.init(initial, baseVersion), idCols, baseVersion)
+}
+
+/** Handle to a continuously-maintained SCD2 history — see
+  * [[Scd2.maintained]]. `current` is safe to read between batches;
+  * batches fold under a lock (micro-batches never overlap, the lock just
+  * makes the handle shareable).
+  */
+final class MaintainedScd2 private[ops] (initial: DataFrame,
+    idCols: Seq[String], baseVersion: Long) {
+  @volatile private var cur: DataFrame = initial.localCheckpoint()
+
+  def current: DataFrame = cur
+
+  /** `foreachBatch` function: each batch lands as version
+    * `baseVersion + batchId + 1` (streaming batch ids start at 0 and are
+    * strictly increasing across restarts, so versions stay ordered).
+    */
+  def sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => synchronized {
+      cur = Scd2.applyDelta(cur, batch.toDF(), idCols, baseVersion + batchId + 1)
+        .localCheckpoint()
+    }
 }

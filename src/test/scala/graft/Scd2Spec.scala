@@ -75,6 +75,36 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("streaming: delta micro-batches fold into the history batch by batch") {
+    implicit val ctx = spark.sqlContext
+    // delta rows in SnapshotDiff shape: (id, change, old_val?, new_val?)
+    val deltas = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Option[(String, Double)], Option[(String, Double)])]
+    val deltaDf = deltas.toDF().toDF("id", "change", "old_val", "new_val")
+      .selectExpr("id", "change",
+        "if(old_val IS NULL, NULL, named_struct('grp', old_val._1, 'v', old_val._2)) AS old_val",
+        "if(new_val IS NULL, NULL, named_struct('grp', new_val._1, 'v', new_val._2)) AS new_val")
+    val a = snap(Seq((1L, "g1", 1.0), (2L, "g2", 2.0)))
+    val view = Scd2.maintained(a, Seq("id"), baseVersion = 1L)
+    val q = deltaDf.writeStream.outputMode("update").foreachBatch(view.sink).start()
+    try {
+      // batch 0 → version 2: change id 2, add id 3
+      deltas.addData((2L, "changed", Some(("g2", 2.0)), Some(("g2", 5.0))),
+        (3L, "added", None, Some(("g3", 3.0))))
+      q.processAllAvailable()
+      // batch 1 → version 3: remove id 1
+      deltas.addData((1L, "removed", Some(("g1", 1.0)), None))
+      q.processAllAvailable()
+      val h = view.current
+      assert(canon(Scd2.asOf(h, 1L)) == canon(a))
+      assert(canon(Scd2.asOf(h, 2L)) ==
+        Set((1L, "g1", 1.0), (2L, "g2", 5.0), (3L, "g3", 3.0)))
+      assert(canon(Scd2.asOf(h, 3L)) == Set((2L, "g2", 5.0), (3L, "g3", 3.0)))
+      // the batch fold over the same deltas yields the identical history
+      assert(h.filter(col("valid_to").isNull).count() == 2)
+    } finally q.stop()
+  }
+
   test("randomized 4-snapshot chain: asOf reconstructs every snapshot (seeded)") {
     val rnd = new scala.util.Random(7)
     var cur = (0L until 120L).map(i =>
