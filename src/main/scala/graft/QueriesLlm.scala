@@ -912,6 +912,44 @@ object QueriesLlm {
       },
       cmsTopkOracleSql),
 
+    // Blocked fuzzy matching — the entity-resolution primitive (record
+    // linkage for dedup beyond exact/hash equality): candidate pairs are
+    // generated ONLY within (brand, size) blocks — the classic blocking
+    // step that turns the O(N²) all-pairs comparison into per-block
+    // quadratics (Fellegi–Sunter record linkage; same candidates-then-
+    // verify shape as the MinHash LSH path, with a key block instead of
+    // a hash bucket) — then scored with codegen'd levenshtein (classic
+    // unit-cost edit distance, identical in DuckDB) and reduced to each
+    // brand's single most-similar pair with a deterministic tie-break.
+    // At 100 TB the block key is the ONLY shuffle; blocks bound the
+    // quadratic exactly like Dedup.MaxGramDf bounds posting lists.
+    "fuzzy_match_blocked" -> QueryDef(
+      (s, d) => {
+        val p = t(s, d, "part").select(col("p_brand").as("brand"),
+          col("p_size").as("size"), col("p_partkey").as("pk"), col("p_name").as("name"))
+        val a = p.select(col("brand"), col("size"), col("pk").as("a_pk"), col("name").as("a_name"))
+        val b = p.select(col("brand"), col("size"), col("pk").as("b_pk"), col("name").as("b_name"))
+        val pairs = a.join(b, Seq("brand", "size")).filter(col("a_pk") < col("b_pk"))
+          .withColumn("lev", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        val w = Window.partitionBy("brand")
+          .orderBy(col("lev"), col("a_pk"), col("b_pk"))
+        pairs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select("brand", "a_pk", "b_pk", "lev")
+          .orderBy("brand")
+      },
+      """WITH p AS (SELECT p_brand AS brand, p_size AS size,
+        |    p_partkey AS pk, p_name AS name FROM part),
+        |pr AS (SELECT a.brand, a.pk AS a_pk, b.pk AS b_pk,
+        |    CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+        |  FROM p a JOIN p b ON a.brand = b.brand AND a.size = b.size
+        |    AND a.pk < b.pk)
+        |SELECT brand, a_pk, b_pk, lev FROM (
+        |  SELECT brand, a_pk, b_pk, lev,
+        |    row_number() OVER (PARTITION BY brand ORDER BY lev, a_pk, b_pk) AS rk
+        |  FROM pr)
+        |WHERE rk = 1 ORDER BY brand""".stripMargin),
+
     // Deterministic corpus shuffle — the reproducible training-order
     // permutation (seeded affine bijection of doc_id, never rand()),
     // with global positions from the two-level prefix-sum rank: the only

@@ -49,7 +49,8 @@ class EntrySpec extends SparkSpec {
       "minhash_est_error", "quantile_cont", "schema_evolution",
       // round-7 additions
       "scd2_upsert", "sketch_cms_topk", "graph_closeness",
-      "shuffle_deterministic", "sketch_quantile_hist")
+      "shuffle_deterministic", "sketch_quantile_hist",
+      "bloom_semi_join", "layout_zorder", "fuzzy_match_blocked")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
