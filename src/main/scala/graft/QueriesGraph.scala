@@ -22,6 +22,13 @@ object QueriesGraph {
       |  {"id": {"$gte": 5000000000, "$lt": 5000000050}}
       |]}""".stripMargin
 
+
+  /** DF cap for the common-neighbor posting lists — a part ordered by
+    * more customers than this is a hub: no similarity signal, quadratic
+    * wedge cost (the Dedup.MaxGramDf discipline applied to graphs).
+    */
+  final val CommonNeighborMaxDf: Int = 500
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // find_neighbors (mongraph.py:228-250): undirected 1-hop, seed included.
@@ -217,6 +224,59 @@ object QueriesGraph {
          |SELECT n, round((CAST(n AS DOUBLE)*sxy - sx*sy)
          |  / (sqrt(CAST(n AS DOUBLE)*sx2 - sx*sx)
          |     * sqrt(CAST(n AS DOUBLE)*sy2 - sy*sy)), 6) AS assortativity
-         |FROM st ORDER BY n""".stripMargin)
+         |FROM st ORDER BY n""".stripMargin),
+
+    // Common-neighbor Jaccard over the customer–part bipartite graph —
+    // the link-prediction / collaborative-filtering primitive (Liben-
+    // Nowell & Kleinberg 2003: score(a,b) = |Γ(a)∩Γ(b)| normalized):
+    // customers are similar when they order the same parts. Same
+    // posting-list shape as dedup_ngram_jaccard — per-part customer
+    // lists with a document-frequency cap (a part ordered by everyone
+    // carries no similarity signal AND is the wedge-explosion hub), pair
+    // generation by double explode inside each list (never an all-pairs
+    // customer join), neighbor-set sizes counted over the SAME capped
+    // universe so the Jaccard union is consistent. Top-20 pairs with the
+    // deterministic (jac desc, a, b) tie-break; jac = one IEEE division
+    // of exact ints, 6 dp.
+    "graph_common_neighbors" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cp = graft.Qh.t(s, d, "orders").select(col("o_custkey").as("c"), col("o_orderkey"))
+          .join(graft.Qh.t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("p")), "o_orderkey")
+          .select("c", "p").distinct()
+        val postings = cp.groupBy("p")
+          .agg(sort_array(graft.functions.ArrayFunctions.bounded_collect_list(
+            col("c"), CommonNeighborMaxDf + 1)).as("cs"))
+          .filter(size(col("cs")) <= CommonNeighborMaxDf)
+        val sizes = postings.select(explode(col("cs")).as("c"))
+          .groupBy("c").agg(count(lit(1)).as("sz"))
+        val inter = postings.filter(size(col("cs")) >= 2)
+          .select(posexplode(col("cs")).as(Seq("__i", "a_id")), col("cs"))
+          .select(col("a_id"),
+            explode(slice(col("cs"), col("__i") + 2, size(col("cs")))).as("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+        inter
+          .join(sizes.select(col("c").as("a_id"), col("sz").as("sza")), "a_id")
+          .join(sizes.select(col("c").as("b_id"), col("sz").as("szb")), "b_id")
+          .select(col("a_id"), col("b_id"), col("common"),
+            round(col("common").cast("double") /
+              (col("sza") + col("szb") - col("common")), 6).as("jac"))
+          .orderBy(col("jac").desc, col("a_id"), col("b_id")).limit(20)
+      },
+      s"""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |pdf AS (SELECT p, COUNT(*) AS df FROM cp GROUP BY p),
+         |g AS (SELECT cp.c, cp.p FROM cp JOIN pdf ON cp.p = pdf.p
+         |      WHERE pdf.df <= $CommonNeighborMaxDf),
+         |sz AS (SELECT c, COUNT(*) AS sz FROM g GROUP BY c),
+         |pr AS (SELECT g1.c AS a_id, g2.c AS b_id, COUNT(*) AS common
+         |       FROM g g1 JOIN g g2 ON g1.p = g2.p AND g1.c < g2.c
+         |       GROUP BY 1, 2),
+         |j AS (SELECT a_id, b_id, common,
+         |        round(CAST(common AS DOUBLE)/(sa.sz + sb.sz - common), 6) AS jac
+         |      FROM pr JOIN sz sa ON sa.c = pr.a_id JOIN sz sb ON sb.c = pr.b_id)
+         |SELECT a_id, b_id, common, jac FROM j
+         |ORDER BY jac DESC, a_id, b_id LIMIT 20""".stripMargin)
   )
 }

@@ -50,7 +50,8 @@ class EntrySpec extends SparkSpec {
       // round-7 additions
       "scd2_upsert", "sketch_cms_topk", "graph_closeness",
       "shuffle_deterministic", "sketch_quantile_hist",
-      "bloom_semi_join", "layout_zorder", "fuzzy_match_blocked")
+      "bloom_semi_join", "layout_zorder", "fuzzy_match_blocked",
+      "graph_common_neighbors")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
