@@ -25,7 +25,10 @@ object QueriesGraph {
 
   /** DF cap for the common-neighbor posting lists — a part ordered by
     * more customers than this is a hub: no similarity signal, quadratic
-    * wedge cost (the Dedup.MaxGramDf discipline applied to graphs).
+    * wedge cost (the Dedup.MaxGramDf discipline applied to graphs). At
+    * sf0.1 the cap never bites (max df = 53; ~9.3M candidate pairs is
+    * the query's honest cost, measured r7) — it exists for the scale
+    * path, where df grows with the data and uncapped hubs would square.
     */
   final val CommonNeighborMaxDf: Int = 500
 
