@@ -61,9 +61,13 @@ object Scd2 {
   def applyDelta(history: DataFrame, delta: DataFrame, idCols: Seq[String],
       version: Long, checkOrder: Boolean = false): DataFrame = {
     if (checkOrder) {
-      val maxSeen = history.agg(max(col("valid_from"))).head.getLong(0)
-      require(version > maxSeen,
-        s"SCD2 versions must be applied in increasing order: $version <= max applied $maxSeen")
+      // max over an EMPTY history is NULL — an empty history accepts any
+      // version rather than NPE-ing on the null aggregate
+      Option(history.agg(max(col("valid_from"))).head.get(0)).foreach { m =>
+        val maxSeen = m.asInstanceOf[Long]
+        require(version > maxSeen,
+          s"SCD2 versions must be applied in increasing order: $version <= max applied $maxSeen")
+      }
     }
     val valFields = delta.schema("new_val").dataType match {
       case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSeq

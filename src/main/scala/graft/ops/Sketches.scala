@@ -200,9 +200,16 @@ object Sketches {
     * probe points `ps` (numerator, denominator). Output: group, `p`
     * (double), `est_q` (roundScale dp).
     */
-  def histQuantile(df: DataFrame, groupCol: String, valCol: String,
+  def histQuantile(df0: DataFrame, groupCol: String, valCol: String,
       ps: Seq[(Int, Int)] = Seq((1, 4), (1, 2), (9, 10)),
       bins: Int = HistBins, roundScale: Int = 6): DataFrame = {
+    // NULL values are excluded EXPLICITLY on both sides (quantiles of
+    // nothing): min/max already ignore nulls, but a bare count(*) would
+    // set rank targets the null-free histogram can never reach, and a
+    // NULL bin row would hit the engines' opposite window null-ordering
+    // (Spark NULLS FIRST vs DuckDB NULLS LAST) — divergence, not just
+    // wrong answers.
+    val df = df0.filter(col(valCol).isNotNull)
     val v = col(valCol).cast("double")
     val stats = df.groupBy(groupCol).agg(
       min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("__n"))
@@ -253,12 +260,13 @@ object Sketches {
     val values = ps.map { case (nu, de) => s"($nu, $de)" }.mkString(", ")
     s"""WITH st AS (SELECT $grpCol AS grp, MIN(CAST($valCol AS DOUBLE)) AS lo,
        |    MAX(CAST($valCol AS DOUBLE)) AS hi, COUNT(*) AS n
-       |  FROM $table GROUP BY 1),
+       |  FROM $table WHERE $valCol IS NOT NULL GROUP BY 1),
        |bnd AS (SELECT st.grp,
        |    CASE WHEN st.hi = st.lo THEN CAST(0 AS BIGINT)
        |         ELSE LEAST(${bins - 1}, CAST(floor((CAST(t.$valCol AS DOUBLE) - st.lo)
        |                / (st.hi - st.lo) * $bins.0) AS BIGINT)) END AS bin
-       |  FROM $table t JOIN st ON t.$grpCol = st.grp),
+       |  FROM $table t JOIN st ON t.$grpCol = st.grp
+       |  WHERE t.$valCol IS NOT NULL),
        |c AS (SELECT grp, bin, COUNT(*) AS c FROM bnd GROUP BY grp, bin),
        |cum AS (SELECT grp, bin, c,
        |    SUM(c) OVER (PARTITION BY grp ORDER BY bin) AS cum FROM c),

@@ -73,6 +73,11 @@ class Scd2Spec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Scd2.applyDelta(h, d, Seq("id"), 5L, checkOrder = true)
     }
+    // an EMPTY history has no max version: any version is acceptable
+    // (no NPE on the null aggregate)
+    val empty = Scd2.init(a.filter(col("id") < 0), 1L)
+    assert(Scd2.applyDelta(empty, d, Seq("id"), 2L, checkOrder = true)
+      .count() >= 0)
   }
 
   test("streaming: delta micro-batches fold into the history batch by batch") {

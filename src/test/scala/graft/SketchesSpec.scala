@@ -136,6 +136,17 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantile excludes NULL values like the SQL side") {
+    val df = spark.range(1000).select(
+      lit("g").as("g"),
+      when(col("id") % 3 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 101).cast("double")).as("v"))
+    val withNulls = Sketches.histQuantile(df, "g", "v").orderBy("p").collect().toSeq
+    val prefiltered = Sketches.histQuantile(df.filter(col("v").isNotNull), "g", "v")
+      .orderBy("p").collect().toSeq
+    assert(withNulls == prefiltered && withNulls.size == 3)
+  }
+
   test("histogram quantile is layout-invariant and handles constant groups") {
     val df = spark.range(5000).select(
       (col("id") % 3).cast("string").as("g"),
