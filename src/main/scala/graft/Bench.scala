@@ -46,6 +46,7 @@ object Bench {
     graft.model.Tables.warm(spark, sfDir)
     graft.ops.GraphAnalytics.warm(spark, sfDir)
     graft.ops.llm.Similarity.warm(spark, sfDir)
+    graft.QueriesGraph.warmPostings(spark, sfDir)
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
