@@ -912,6 +912,47 @@ object QueriesLlm {
       },
       cmsTopkOracleSql),
 
+    // Boolean keyword search over the inverted index — the retrieval
+    // primitive RAG's dense path doesn't cover: find documents containing
+    // ALL query terms via posting-list intersection, never a full-corpus
+    // LIKE scan. The query terms are chosen BY RANK from the corpus's own
+    // vocabulary (5th and 9th most frequent, deterministic (cnt desc,
+    // tok) order) so the query is a pure function of the data — no
+    // data-dependent literals baked into the repo. Scale shape: the two
+    // term rows broadcast into the posting scan (a semi-join that prunes
+    // before any shuffle); matching docs = one combinable per-doc
+    // distinct-term count == 2.
+    "text_search_bool" -> QueryDef(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        // distributed TakeOrdered cuts the vocab to 9 rows BEFORE the
+        // unpartitioned ranking window touches anything (the vocab_topk
+        // discipline: no full-vocab single-partition window)
+        val w = Window.orderBy(col("cnt").desc, col("tok"))
+        val terms = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(9)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 5 || col("rk") === 9)
+          .select("tok")
+        toks.join(broadcast(terms), "tok")
+          .groupBy("doc_id", "source")
+          .agg(countDistinct(col("tok")).as("nt"))
+          .filter(col("nt") === 2)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      """WITH tk AS (SELECT DISTINCT doc_id, source,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+        |terms AS (SELECT tok FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rk FROM tf)
+        |  WHERE rk IN (5, 9))
+        |SELECT doc_id, source FROM tk JOIN terms USING (tok)
+        |GROUP BY doc_id, source HAVING COUNT(DISTINCT tok) = 2
+        |ORDER BY doc_id""".stripMargin),
+
     // Blocked fuzzy matching — the entity-resolution primitive (record
     // linkage for dedup beyond exact/hash equality): candidate pairs are
     // generated ONLY within (brand, size) blocks — the classic blocking
