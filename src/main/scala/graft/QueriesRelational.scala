@@ -741,6 +741,28 @@ object QueriesRelational {
       graft.ops.Profiling.profileOracleSql("orders",
         profiledOrderCols, profiledOrderIntCols)),
 
+    // The two remaining distribution window functions (window_ntile's
+    // family): percent_rank = (rank−1)/(n−1) and cume_dist = ties-aware
+    // rank/n — both IEEE divisions of exact window-integer inputs with
+    // the same expression on both engines (built-in percent_rank /
+    // cume_dist are used directly: their definitions are fixed by the
+    // SQL standard, so the engines agree bit for bit on the same total
+    // order). Deterministic (value, event_id) order; 6 dp.
+    "window_percent_rank" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, event_type,
+        |  round(percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS cd
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // Quartile distribution summary: ntile(4) per event type over
     // (value, event_id) — the deterministic total order makes the tile
     // boundaries identical on both engines — then count + exact sum per

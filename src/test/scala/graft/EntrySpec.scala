@@ -51,7 +51,8 @@ class EntrySpec extends SparkSpec {
       "scd2_upsert", "sketch_cms_topk", "graph_closeness",
       "shuffle_deterministic", "sketch_quantile_hist",
       "bloom_semi_join", "layout_zorder", "fuzzy_match_blocked",
-      "graph_common_neighbors", "graph_resource_alloc", "text_search_bool")
+      "graph_common_neighbors", "graph_resource_alloc", "text_search_bool",
+      "window_percent_rank")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
