@@ -503,6 +503,63 @@ object QueriesRelational {
         .orderBy("grp"),
       graft.ops.Sketches.hllOracleSql("lineitem", "l_returnflag", "l_orderkey")),
 
+    // Declarative data-quality verification (Schelter et al., "Automating
+    // Large-Scale Data Quality Verification", VLDB 2018 — the Deequ /
+    // Great-Expectations shape): six constraints over orders — row count,
+    // key uniqueness, completeness, value range, domain membership,
+    // referential integrity — evaluated as ONE aggregation pass of
+    // conditional counts (every check an exact BIGINT violation count,
+    // map-side combinable) plus one anti-join for the FK orphan count,
+    // unpivoted to a row per constraint. The land-then-gate primitive a
+    // pipeline runs before promoting a 100 TB batch; at scale this is
+    // one scan + one key join however many row-level checks ride along.
+    "data_quality_checks" -> QueryDef(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val base = o.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("du"),
+          count(col("o_custkey")).as("cc"),
+          sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("neg"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("dom"))
+        val rowChecks = base.select(explode(array(
+          struct(lit("row_count_positive").as("chk"),
+            col("n").as("observed"), (col("n") > 0).as("passed")),
+          struct(lit("unique_orderkey").as("chk"),
+            (col("n") - col("du")).as("observed"), (col("n") === col("du")).as("passed")),
+          struct(lit("complete_custkey").as("chk"),
+            (col("n") - col("cc")).as("observed"), (col("n") === col("cc")).as("passed")),
+          struct(lit("nonnegative_totalprice").as("chk"),
+            col("neg").as("observed"), (col("neg") === 0).as("passed")),
+          struct(lit("status_in_domain").as("chk"),
+            col("dom").as("observed"), (col("dom") === 0).as("passed")))).as("c"))
+          .select(col("c.chk").as("chk"), col("c.observed").as("observed"),
+            col("c.passed").as("passed"))
+        val fk = o.select(col("o_custkey"))
+          .join(t(s, d, "customer").select(col("c_custkey").as("o_custkey")),
+            Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+          .select(lit("fk_custkey_exists").as("chk"), col("orphans").as("observed"),
+            (col("orphans") === 0).as("passed"))
+        rowChecks.unionByName(fk).orderBy("chk")
+      },
+      """WITH base AS (SELECT COUNT(*) AS n,
+        |    COUNT(DISTINCT o_orderkey) AS du, COUNT(o_custkey) AS cc,
+        |    SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg,
+        |    SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS dom
+        |  FROM orders),
+        |fk AS (SELECT COUNT(*) AS orphans FROM orders o
+        |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL)
+        |SELECT chk, CAST(observed AS BIGINT) AS observed, passed FROM (
+        |  SELECT 'row_count_positive' AS chk, n AS observed, n > 0 AS passed FROM base
+        |  UNION ALL SELECT 'unique_orderkey', n - du, n = du FROM base
+        |  UNION ALL SELECT 'complete_custkey', n - cc, n = cc FROM base
+        |  UNION ALL SELECT 'nonnegative_totalprice', neg, neg = 0 FROM base
+        |  UNION ALL SELECT 'status_in_domain', dom, dom = 0 FROM base
+        |  UNION ALL SELECT 'fk_custkey_exists', orphans, orphans = 0 FROM fk)
+        |ORDER BY chk""".stripMargin),
+
     // Bloom-filter semi-join pruning through the correctness gate: build
     // an 8 KB replayable filter over the dim keys (negative-balance
     // customers — the semi_join_ids key set), broadcast it, and keep the
