@@ -820,6 +820,57 @@ object QueriesRelational {
         |  round(cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS cd
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // Data-drift report — table_profile's temporal companion (the check a
+    // pipeline runs when a NEW snapshot lands: did the distribution move?):
+    // profile both snapshot versions (same one-pass profiler) and join on
+    // column name, emitting per-column deltas of row count, null count,
+    // distinct cardinality, and integral min/max. The A→B mutation is the
+    // incremental_agg scenario, so the drift surfaces real signals: row
+    // deletions (%5), a new o_orderpriority domain value ('9-SYNTH'),
+    // price-distinct movement from the %11 patch. All deltas exact
+    // BIGINTs; NULL−NULL stays NULL for non-integral min/max.
+    "profile_drift" -> QueryDef(
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val a = orders.filter(col("o_orderkey") % 7 =!= 0)
+        val b = orders.filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(10.0))
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") % 13 === 0, lit("9-SYNTH"))
+              .otherwise(col("o_orderpriority")))
+        val pa = graft.ops.Profiling.profile(a, profiledOrderCols, profiledOrderIntCols)
+        val pb = graft.ops.Profiling.profile(b, profiledOrderCols, profiledOrderIntCols)
+          .select(col("col_name"), col("n_rows").as("b_rows"), col("n_nulls").as("b_nulls"),
+            col("n_distinct").as("b_distinct"), col("min_long").as("b_min"),
+            col("max_long").as("b_max"))
+        pa.join(pb, "col_name")
+          .select(col("col_name"),
+            (col("b_rows") - col("n_rows")).as("d_rows"),
+            (col("b_nulls") - col("n_nulls")).as("d_nulls"),
+            (col("b_distinct") - col("n_distinct")).as("d_distinct"),
+            (col("b_min") - col("min_long")).as("d_min"),
+            (col("b_max") - col("max_long")).as("d_max"))
+          .orderBy("col_name")
+      },
+      s"""WITH a AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+         |b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+         |    o_orderdate,
+         |    CASE WHEN o_orderkey % 13 = 0 THEN '9-SYNTH' ELSE o_orderpriority END AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 5 <> 0),
+         |pa AS (${graft.ops.Profiling.profileOracleBody("a", profiledOrderCols, profiledOrderIntCols)}),
+         |pb AS (${graft.ops.Profiling.profileOracleBody("b", profiledOrderCols, profiledOrderIntCols)})
+         |SELECT pa.col_name,
+         |  pb.n_rows - pa.n_rows AS d_rows,
+         |  pb.n_nulls - pa.n_nulls AS d_nulls,
+         |  pb.n_distinct - pa.n_distinct AS d_distinct,
+         |  pb.min_long - pa.min_long AS d_min,
+         |  pb.max_long - pa.max_long AS d_max
+         |FROM pa JOIN pb ON pa.col_name = pb.col_name
+         |ORDER BY pa.col_name""".stripMargin),
+
     // Quartile distribution summary: ntile(4) per event type over
     // (value, event_id) — the deterministic total order makes the tile
     // boundaries identical on both engines — then count + exact sum per

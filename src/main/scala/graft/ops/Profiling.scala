@@ -49,8 +49,10 @@ object Profiling {
 
   /** DuckDB mirror of [[profile]] — generated from the SAME column lists
     * so the oracle cannot silently diverge (one UNION ALL arm per column).
+    * The ORDER BY-less body is exposed separately so multi-profile
+    * oracles (profile_drift joins two of them) can embed it as a CTE.
     */
-  def profileOracleSql(table: String, cols: Seq[String], intCols: Set[String]): String =
+  def profileOracleBody(table: String, cols: Seq[String], intCols: Set[String]): String =
     cols.map { c =>
       val (mn, mx) =
         if (intCols(c)) (s"CAST(MIN($c) AS BIGINT)", s"CAST(MAX($c) AS BIGINT)")
@@ -59,5 +61,8 @@ object Profiling {
          |  COUNT(*) - COUNT($c) AS n_nulls,
          |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
          |  $mn AS min_long, $mx AS max_long FROM $table""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }.mkString("\nUNION ALL\n")
+
+  def profileOracleSql(table: String, cols: Seq[String], intCols: Set[String]): String =
+    profileOracleBody(table, cols, intCols) + "\nORDER BY col_name"
 }

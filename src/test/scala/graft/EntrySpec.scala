@@ -52,7 +52,7 @@ class EntrySpec extends SparkSpec {
       "shuffle_deterministic", "sketch_quantile_hist",
       "bloom_semi_join", "layout_zorder", "fuzzy_match_blocked",
       "graph_common_neighbors", "graph_resource_alloc", "text_search_bool",
-      "window_percent_rank", "data_quality_checks")
+      "window_percent_rank", "data_quality_checks", "profile_drift")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
