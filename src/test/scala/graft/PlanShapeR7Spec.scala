@@ -51,4 +51,16 @@ class PlanShapeR7Spec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q plan:\n$p")
     }
   }
+
+  test("data_quality_checks: one aggregation scan + one anti-join, nothing else") {
+    val p = planOf("data_quality_checks")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"), s"FK check must be an anti-join:\n$p")
+  }
+
+  test("fuzzy_match_blocked: the pair join is block-keyed, never cartesian") {
+    val p = planOf("fuzzy_match_blocked")
+    assert(!p.contains("CartesianProduct"), s"blocking must bound the quadratic:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"pair join must be equi on the block key:\n$p")
+  }
 }
