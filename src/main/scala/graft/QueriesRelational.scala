@@ -458,6 +458,46 @@ object QueriesRelational {
          |       * sqrt(CAST(n AS DOUBLE)*sy2 - sy*sy)), 6) AS corr_qty_price
          |FROM s ORDER BY l_returnflag""".stripMargin),
 
+    // As-of with a MAX-STALENESS bound (kdb aj0-window / QuestDB ASOF
+    // TOLERANCE semantics): a prior purchase older than 30 minutes is no
+    // attribution — the asof_* payload nulls as a unit. Same
+    // single-shuffle window plan as asof_join; the bound is one per-row
+    // projection after the carry. Oracle = the ASOF JOIN mirror with the
+    // identical staleness CASE applied on exact microsecond integers.
+    "asof_join_tolerance" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = graft.ops.Mutations.dedupFirst(
+          ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value"),
+          Seq("user_id", "ts"), Seq("value"))
+        val out = graft.ops.AsOf.joinStrictPriorWithin(
+          ev.filter(col("event_type") =!= "purchase")
+            .select("event_id", "user_id", "ts"),
+          purchases,
+          keyCols = Seq("user_id"), timeCol = "ts", rightCols = Seq("ts", "value"),
+          toleranceMicros = 30L * 60 * 1000000)
+        out.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"),
+          col("asof_value"))
+          .orderBy("event_id")
+      },
+      """WITH m AS (
+        |  SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+        |    CAST(epoch_us(p.ts) AS BIGINT) AS asof_ts_us, p.value AS asof_value
+        |  FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+        |  ASOF LEFT JOIN (
+        |    SELECT user_id, ts, value FROM (
+        |      SELECT user_id, ts, value,
+        |        row_number() OVER (PARTITION BY user_id, ts
+        |                           ORDER BY value NULLS FIRST) AS rn
+        |      FROM events WHERE event_type = 'purchase') WHERE rn = 1) p
+        |    ON e.user_id = p.user_id AND e.ts > p.ts)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN ts_us - asof_ts_us <= 1800000000 THEN asof_ts_us END AS asof_ts_us,
+        |  CASE WHEN ts_us - asof_ts_us <= 1800000000 THEN asof_value END AS asof_value
+        |FROM m ORDER BY event_id""".stripMargin),
+
     // Salted skew-join through the correctness gate: salt only changes
     // reducer routing, never semantics, so the salted join's aggregate
     // must hash-match the oracle's PLAIN join — which is exactly what

@@ -58,4 +58,32 @@ object AsOf {
         keyCols.map(col) ++ Seq(col("__t").as(timeCol)) ++ leftRest.map(col) ++
           rightCols.map(c => col(s"__m.$c").as(s"asof_$c")): _*)
   }
+
+  /** [[joinStrictPrior]] with a MAX-STALENESS bound — the tolerance form
+    * every time-series store ships (kdb `aj0` windows, QuestDB ASOF
+    * TOLERANCE): a prior right row older than `toleranceMicros` is no
+    * match, and the carried `asof_*` payload is nulled as a unit. Same
+    * single-shuffle window plan as the unbounded form plus one per-row
+    * projection — the bound is applied AFTER the carry, so it costs
+    * nothing at any scale. `timeCol` must be a TIMESTAMP and must appear
+    * in `rightCols` (the staleness test reads the matched time).
+    */
+  def joinStrictPriorWithin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      timeCol: String, rightCols: Seq[String], toleranceMicros: Long): DataFrame = {
+    require(rightCols.contains(timeCol),
+      s"rightCols must carry $timeCol so staleness can be evaluated")
+    require(toleranceMicros > 0, s"tolerance must be positive, got $toleranceMicros")
+    val base = joinStrictPrior(left, right, keyCols, timeCol, rightCols)
+    // the staleness verdict is materialized ONCE before any payload column
+    // is nulled — a per-column fold that nulls asof_<timeCol> first would
+    // make every later column's test read the already-nulled time and
+    // keep its stale value (caught by the oracle on first verify)
+    val flagged = base.withColumn("__stale",
+      unix_micros(col(timeCol)) - unix_micros(col(s"asof_$timeCol")) > toleranceMicros)
+    rightCols.foldLeft(flagged) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        when(col("__stale"), lit(null).cast(right.schema(c).dataType))
+          .otherwise(col(s"asof_$c")))
+    }.drop("__stale")
+  }
 }

@@ -41,6 +41,36 @@ class AsOfSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("user_id", "ts", "event_id", "asof_value"))
   }
 
+  test("tolerance bound: stale matches null as a UNIT (time and payload together)") {
+    import org.apache.spark.sql.functions._
+    val q = quotes.withColumn("ts", expr("timestamp_micros(ts)"))
+    val t = trades.withColumn("ts", expr("timestamp_micros(ts)"))
+    val out = AsOf.joinStrictPriorWithin(t, q,
+      keyCols = Seq("user_id"), timeCol = "ts", rightCols = Seq("ts", "value"),
+      toleranceMicros = 5L)
+      .select(col("event_id"), unix_micros(col("asof_ts")).as("m"), col("asof_value"))
+      .orderBy("event_id")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (101L, None, None),
+      (102L, None, None),
+      (103L, Some(10L), Some(100.0)), // 15-10=5 ≤ 5: within tolerance
+      (104L, Some(20L), Some(200.0)), // 25-20=5 ≤ 5
+      (105L, None, None)))
+    val strict = AsOf.joinStrictPriorWithin(t, q,
+      keyCols = Seq("user_id"), timeCol = "ts", rightCols = Seq("ts", "value"),
+      toleranceMicros = 4L)
+      .select(col("event_id"), unix_micros(col("asof_ts")).as("m"), col("asof_value"))
+      .orderBy("event_id")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    // one microsecond tighter: both matches age out, and BOTH carried
+    // columns null together — a per-column staleness test that nulls the
+    // time first would leave the value behind (the bug class the oracle
+    // caught on first verify)
+    assert(strict.forall { case (_, m, v) => m.isEmpty == v.isEmpty })
+    assert(strict.count(_._2.isDefined) == 0)
+  }
+
   test("as-of is a single-shuffle plan: exactly one exchange, no join operator") {
     val out = AsOf.joinStrictPrior(trades, quotes,
       keyCols = Seq("user_id"), timeCol = "ts", rightCols = Seq("value"))
