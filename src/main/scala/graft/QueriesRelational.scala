@@ -625,6 +625,21 @@ object QueriesRelational {
       },
       bloomSemiJoinOracleSql),
 
+    // Pareto frontier (the Skyline operator, Börzsönyi ICDE 2001) of
+    // parts minimizing (retail price, size) — the multi-criteria "best
+    // tradeoffs" cut. One ordered running-min pass instead of the
+    // textbook O(n²) self-anti-join, realized WITHOUT a global
+    // single-partition window (two-level bucket prefix-min — the
+    // globalRowNumber discipline); the oracle is the plain global-window
+    // spelling, so equality with the distributed form is the graded
+    // claim. Frontier x values are strictly increasing → unique ORDER BY.
+    "skyline_pareto" -> QueryDef(
+      (s, d) => graft.ops.Skyline.skyline2D(
+        t(s, d, "part"), "p_retailprice", "p_size")
+        .orderBy("p_retailprice"),
+      graft.ops.Skyline.skylineOracleSql("part", "p_retailprice", "p_size")
+        + "\nORDER BY p_retailprice"),
+
     // Z-order layout clustering through the correctness gate: Morton
     // -interleave (l_partkey, l_suppkey), tile by the top z-bits
     // (bucket = z div 4096 → 6 free bits per dimension), and profile each
