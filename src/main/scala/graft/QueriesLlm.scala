@@ -1028,7 +1028,8 @@ object QueriesLlm {
        |ex AS (SELECT tok, COUNT(*) AS exact_cnt FROM tk GROUP BY tok),
        |hv AS (SELECT tok, exact_cnt, ${duckFold("tok")} AS h FROM ex),
        |pb AS ($bucketSelects),
-       |cms AS (SELECT j, bucket, SUM(exact_cnt) AS cnt FROM pb GROUP BY j, bucket),
+       |cms AS (SELECT j, bucket, CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+       |        FROM pb GROUP BY j, bucket),
        |est AS (SELECT tok, exact_cnt, MIN(cnt) AS est_cnt
        |        FROM pb JOIN cms USING (j, bucket) GROUP BY tok, exact_cnt)
        |SELECT tok, est_cnt, exact_cnt, est_cnt - exact_cnt AS overcount

@@ -32,6 +32,37 @@ def canon(rows, cols):
     return out
 
 
+def pandas_mimic(con, spark_path, sql):
+    """Mimic the driver's pandas-hash comparator path.
+
+    The driver fetches both sides as pandas DataFrames and hashes values.
+    Two failure classes the fetchall() compare above cannot see:
+      * dtype drift — e.g. DuckDB SUM(BIGINT) returns HUGEINT, which
+        pandas converts to float64 (54.0) while the Spark parquet reads
+        back int64 (54); value-equal, hash-different (r7 sketch_cms_topk)
+      * unhashable object cells — e.g. ARRAY columns become numpy arrays
+        (r6 nest_collect "unhashable type")
+    Returns an error string, or None if the mimic agrees.
+    """
+    import pandas as pd
+    sp = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df()
+    du = con.sql(sql).df()
+    sp = sp[sorted(sp.columns)]
+    du = du[sorted(du.columns)]
+    for c in sp.columns:
+        ks, kd = sp[c].dtype.kind, du[c].dtype.kind
+        if ks != kd:
+            return f"dtype kind mismatch on '{c}': spark={sp[c].dtype} duck={du[c].dtype}"
+    try:
+        hs = pd.util.hash_pandas_object(sp, index=False)
+        hd = pd.util.hash_pandas_object(du, index=False)
+    except TypeError as e:
+        return f"unhashable column: {e}"
+    if sorted(hs.tolist()) != sorted(hd.tolist()):
+        return "pandas row-hash mismatch"
+    return None
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -67,6 +98,11 @@ def main(sf_dir, out_dir):
         if a != b:
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+            n_fail += 1
+            continue
+        err = pandas_mimic(con, spark_path, sql)
+        if err:
+            print(f"FAIL {name}: driver-mimic: {err}")
             n_fail += 1
             continue
         print(f"PASS {name} ({len(sp_rows)} rows)")
