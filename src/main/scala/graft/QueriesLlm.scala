@@ -179,6 +179,70 @@ object QueriesLlm {
        |SELECT id AS doc_id, MIN(r) AS cluster_rep, MIN(r) = id AS kept
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Fitted IVF centroids captured by the similarity_ivf_recall run — the
+    * late-bound oracle thunk embeds them as exact double literals. The
+    * reference stays `null` until the query has run at least once in this
+    * JVM (then [[SparkEntry.oracleSql]] emits the generated replay; before
+    * that the key is simply absent → the driver's weaker rows-only check).
+    */
+  private val ivfRecallCenters =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Float]]]()
+
+  /** Generated oracle for similarity_ivf_recall: DuckDB replays the fitted
+    * IVF index from the literal centroid matrix — distance surrogate
+    * `c2[c] − 2·(v·center_c)` with the identical left-to-right double
+    * accumulation ([[graft.functions.NearestCenterOrder]]'s arithmetic; the
+    * c2 literals are computed by the same foldLeft), probe rank ties to the
+    * lower cell index, candidates live in their crk=1 cell, queries probe
+    * crk≤3 — then the same 4dp-rounded cosine top-5 as the Spark side, the
+    * global brute-force truth, and the recall/rank-error reduction.
+    */
+  private def ivfRecallOracleSql(centers: Array[Array[Float]]): String = {
+    val distCols = centers.zipWithIndex.map { case (ctr, c) =>
+      val c2 = ctr.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+      val lits = ctr.map(f => java.lang.Double.toString(f.toDouble)).mkString(", ")
+      s"(${java.lang.Double.toString(c2)} - 2.0*list_dot_product(emb, [$lits])) AS d$c"
+    }.mkString(",\n  ")
+    val dList = centers.indices.map(c => s"d$c").mkString(", ")
+    val cList = centers.indices.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |dc AS (SELECT vec_id,
+       |  $distCols
+       |  FROM e),
+       |du AS (SELECT vec_id, unnest([$dList]) AS dist, unnest([$cList]) AS cell FROM dc),
+       |rkc AS (SELECT vec_id, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS crk FROM du),
+       |asg AS (SELECT vec_id AS c_id, cell FROM rkc WHERE crk = 1),
+       |prb AS (SELECT vec_id AS q_id, cell FROM rkc WHERE crk <= 3 AND vec_id % 20 = 0),
+       |isc AS (SELECT p.q_id, a.c_id,
+       |          round(list_dot_product(qe.emb, ce.emb)/(qn.nrm*cn.nrm), 4) AS score
+       |        FROM prb p JOIN asg a ON p.cell = a.cell AND p.q_id <> a.c_id
+       |        JOIN e qe ON qe.vec_id = p.q_id JOIN n qn ON qn.vec_id = p.q_id
+       |        JOIN e ce ON ce.vec_id = a.c_id JOIN n cn ON cn.vec_id = a.c_id),
+       |ivf AS (SELECT q_id, c_id, i_rk FROM (
+       |         SELECT q_id, c_id, CAST(row_number() OVER (
+       |           PARTITION BY q_id ORDER BY score DESC, c_id) AS BIGINT) AS i_rk
+       |         FROM isc) WHERE i_rk <= 5),
+       |tsc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |          round(list_dot_product(q.emb, c.emb)/(qn.nrm*cn.nrm), 4) AS score
+       |        FROM e q JOIN n qn ON qn.vec_id = q.vec_id
+       |          JOIN e c ON q.vec_id <> c.vec_id
+       |          JOIN n cn ON cn.vec_id = c.vec_id
+       |        WHERE q.vec_id % 20 = 0),
+       |tru AS (SELECT q_id, c_id, t_rk FROM (
+       |         SELECT q_id, c_id, CAST(row_number() OVER (
+       |           PARTITION BY q_id ORDER BY score DESC, c_id) AS BIGINT) AS t_rk
+       |         FROM tsc) WHERE t_rk <= 5)
+       |SELECT t.q_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_true,
+       |  CAST(COUNT(i.i_rk) AS BIGINT) AS n_hit,
+       |  round(CAST(COUNT(i.i_rk) AS DOUBLE) / COUNT(*), 6) AS recall,
+       |  CAST(COALESCE(SUM(ABS(i.i_rk - t.t_rk)), 0) AS BIGINT) AS rank_err
+       |FROM tru t LEFT JOIN ivf i ON i.q_id = t.q_id AND i.c_id = t.c_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+  }
+
   /** Generated oracle for rag_retrieval: replay the chunk windows
     * (generate_series + list_slice over Rag.ChunkSize/Overlap), the
     * hash-feature embeddings (per-dim affine sums over the shared fold,
@@ -439,12 +503,57 @@ object QueriesLlm {
 
     // IVF variant: deterministic DataFrame-Lloyd coarse cells (layout-
     // invariant fit — Similarity.fitIvfCenters), nprobe=3 per-cell search
-    // (no oracle: iterative clustering).
+    // (no oracle: iterative clustering; the VALUE check lives in
+    // similarity_ivf_recall below, which replays this exact index in SQL).
     "similarity_ivf" -> QueryDef(
       (s, d) => Similarity.ivfCosineTopK(t(s, d, "embeddings"), col("vec_id") % 20 === 0,
         cacheKey = Some(d))
         .orderBy("q_id", "rk"),
       None),
+
+    // IVF calibration through the correctness gate — the minhash_est_error
+    // pattern applied to ANN: per query point, IVF top-5 (nCells=16,
+    // nprobe=3 — the same cached index similarity_ivf serves) joined
+    // against the GLOBAL brute-force top-5 ground truth, reduced to
+    // recall@5 and the rank displacement of the hits. The oracle is
+    // LATE-BOUND: the fitted centroid matrix is captured when the query
+    // runs and embedded into generated SQL as exact round-trip double
+    // literals, so DuckDB independently replays cell assignment
+    // (c2 − 2·v·c surrogate, ties to the lower cell — NearestCenterOrder's
+    // arithmetic), the nprobe probe set, the in-cell scoring AND the
+    // recall arithmetic. The global all-pairs truth side is the
+    // calibration harness, not the scale path (it IS the quantity recall
+    // is defined against); production measures recall on a query sample
+    // exactly like this, against the same fitted index.
+    //
+    // Reading the number: on THIS testdata measured recall@5 ≈ 0.5 — the
+    // embeddings are synthetic near-isotropic vectors with no cluster
+    // structure, where ANY coarse quantizer degenerates toward the
+    // searched-fraction bound (nprobe/nCells = 3/16; a spherical-k-means
+    // variant was prototyped and does no better). Raising that warning
+    // before an index is trusted on a new corpus is exactly what this
+    // calibration is for; SimilaritySpec holds the ≥0.95 bar on clustered
+    // data where IVF's density assumption actually applies.
+    "similarity_ivf_recall" -> QueryDef(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        ivfRecallCenters.set(Similarity.fitIvfCentersCached(emb, d, 16))
+        val pred = col("vec_id") % 20 === 0
+        val ivf = Similarity.ivfCosineTopK(emb, pred, k = 5, nCells = 16,
+            nprobe = 3, cacheKey = Some(d))
+          .select(col("q_id"), col("c_id"), col("rk").as("i_rk"))
+        val truth = Similarity.cosineTopK(emb.withColumn("__g", lit(1)), pred,
+            k = 5, blockCol = "__g")
+          .select(col("q_id"), col("c_id"), col("rk").as("t_rk"))
+        truth.join(ivf, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_true"),
+            count(col("i_rk")).as("n_hit"),
+            round(count(col("i_rk")).cast("double") / count(lit(1)), 6).as("recall"),
+            coalesce(sum(abs(col("i_rk") - col("t_rk"))), lit(0L)).as("rank_err"))
+          .orderBy("q_id")
+      },
+      () => Option(ivfRecallCenters.get).map(ivfRecallOracleSql)),
 
     // Top-5 tokens per language.
     "text_tokens" -> QueryDef(

@@ -7,14 +7,24 @@ import org.apache.spark.sql.types.DecimalType
 /** One declared engine query: the Spark implementation plus (when
   * SQL-expressible) the equivalent DuckDB oracle SQL the driver's t2 gate
   * hash-compares against (SURVEY.md §2.2).
+  *
+  * The oracle is a THUNK, evaluated when [[SparkEntry.oracleSql]] is
+  * dumped — after every query has run. Most oracles are plain strings
+  * (wrapped by the apply overloads below); late-bound oracles replay a
+  * FITTED model (e.g. the IVF centroids) by embedding the fitted values
+  * as exact literals into generated SQL, which only exist post-run.
   */
 final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracleGen: () => Option[String]) {
+  def oracle: Option[String] = oracleGen()
+}
 
 object QueryDef {
   def apply(fn: (SparkSession, String) => DataFrame, oracle: String): QueryDef =
-    QueryDef(fn, Some(oracle))
+    QueryDef(fn, () => Some(oracle))
+  def apply(fn: (SparkSession, String) => DataFrame, oracle: Option[String]): QueryDef =
+    QueryDef(fn, () => oracle)
 }
 
 /** Shared helpers enforcing the oracle-determinism rules (SURVEY.md §2.2):

@@ -17,5 +17,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.all.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
+    Queries.all.flatMap { case (k, qd) => qd.oracle.map(k -> _) }
 }

@@ -135,4 +135,25 @@ class SimilaritySpec extends SparkSpec {
         s"query $q: tables=4 best ${four.get(q)} < tables=1 best $s")
     }
   }
+
+  test("similarity_ivf_recall: internally consistent, and its late-bound oracle appears after the run") {
+    val rows = Queries.all("similarity_ivf_recall")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTrue, nHit) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_hit"))
+      val recall = r.getAs[Double]("recall")
+      assert(nTrue == 5L)
+      assert(nHit >= 0L && nHit <= nTrue)
+      assert(math.abs(recall - nHit.toDouble / nTrue) < 1e-9)
+      // rank displacement only accumulates over hits: bounded by hits ×
+      // the max per-hit displacement (|i_rk − t_rk| ≤ k − 1 = 4)
+      assert(r.getAs[Long]("rank_err") <= nHit * 4)
+    }
+    // the run above captured the fitted centers → the late-bound oracle
+    // must now materialize, embedding them as double literals
+    val sql = SparkEntry.oracleSql.get("similarity_ivf_recall")
+    assert(sql.isDefined, "late-bound IVF oracle absent after the query ran")
+    assert(sql.get.contains("list_dot_product"))
+  }
 }
