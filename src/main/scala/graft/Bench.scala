@@ -79,8 +79,12 @@ object Bench {
     // the driver recorded parsed:null (no bench number for the round).
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results, 4)},"aged":${js(aged, 4)},"sf":"$sfDir"}"""
+    // Sidecar path is overridable so a manual/judge rerun can never clobber
+    // the driver's round artifact (r8 incident: a judge rerun overwrote the
+    // uncommitted driver sidecar because this path was hard-coded).
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try {
-      val p = java.nio.file.Paths.get("BENCH_local.json")
+      val p = java.nio.file.Paths.get(sidecar)
       java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
     } catch { case e: Exception => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     // The driver parses this line from the LAST 2000 chars of captured

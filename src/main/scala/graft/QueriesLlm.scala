@@ -180,13 +180,19 @@ object QueriesLlm {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** Fitted IVF centroids captured by the similarity_ivf_recall run — the
-    * late-bound oracle thunk embeds them as exact double literals. The
-    * reference stays `null` until the query has run at least once in this
-    * JVM (then [[SparkEntry.oracleSql]] emits the generated replay; before
-    * that the key is simply absent → the driver's weaker rows-only check).
+    * late-bound oracle thunk embeds them as exact double literals. Keyed by
+    * DATASET DIR (r8 advice): a JVM that runs the query against several
+    * sfDirs before the oracle dump would otherwise capture only the last
+    * dataset's centers and silently mismatch any earlier dataset's verify
+    * output. The map stays empty until the query has run at least once in
+    * this JVM (then [[SparkEntry.oracleSql]] emits the generated replay;
+    * before that the key is simply absent → the driver's weaker rows-only
+    * check).
     */
   private val ivfRecallCenters =
-    new java.util.concurrent.atomic.AtomicReference[Array[Array[Float]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+  private val ivfRecallLastDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** Generated oracle for similarity_ivf_recall: DuckDB replays the fitted
     * IVF index from the literal centroid matrix — distance surrogate
@@ -205,7 +211,8 @@ object QueriesLlm {
     }.mkString(",\n  ")
     val dList = centers.indices.map(c => s"d$c").mkString(", ")
     val cList = centers.indices.mkString(", ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |           WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
        |dc AS (SELECT vec_id,
        |  $distCols
@@ -242,6 +249,15 @@ object QueriesLlm {
        |FROM tru t LEFT JOIN ivf i ON i.q_id = t.q_id AND i.c_id = t.c_id
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
   }
+  // Exact-accumulation dependency (r8 advice): the cell-assignment surrogate
+  // `c2 − 2·list_dot_product(emb, …)` relies on DuckDB's list_dot_product
+  // accumulating left-to-right in double, matching NearestCenterOrder's
+  // foldLeft — unlike the 4dp-rounded cosine scores there is no rounding
+  // washout, so a DuckDB build that reorders the accumulation (SIMD /
+  // pairwise summation) could flip a near-tie assignment. The gate's DuckDB
+  // version is therefore pinned/checked in tools/compare_oracle.py (1.0.0,
+  // same major the driver runs); this mirrors the LSH sign-agreement caveat
+  // on embNearDupOracleSql.
 
   /** Generated oracle for rag_retrieval: replay the chunk windows
     * (generate_series + list_slice over Rag.ChunkSize/Overlap), the
@@ -537,7 +553,8 @@ object QueriesLlm {
     "similarity_ivf_recall" -> QueryDef(
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        ivfRecallCenters.set(Similarity.fitIvfCentersCached(emb, d, 16))
+        ivfRecallCenters.put(d, Similarity.fitIvfCentersCached(emb, d, 16))
+        ivfRecallLastDir.set(d)
         val pred = col("vec_id") % 20 === 0
         val ivf = Similarity.ivfCosineTopK(emb, pred, k = 5, nCells = 16,
             nprobe = 3, cacheKey = Some(d))
@@ -553,7 +570,15 @@ object QueriesLlm {
             coalesce(sum(abs(col("i_rk") - col("t_rk"))), lit(0L)).as("rank_err"))
           .orderBy("q_id")
       },
-      () => Option(ivfRecallCenters.get).map(ivfRecallOracleSql)),
+      // unambiguous when one dataset ran in this JVM (the Verify contract:
+      // one sfDir per process); with several, emit the most recent run's —
+      // matching the dump-after-every-query-ran convention.
+      () => {
+        val cs =
+          if (ivfRecallCenters.size == 1) Some(ivfRecallCenters.values.iterator.next())
+          else Option(ivfRecallLastDir.get).flatMap(d => Option(ivfRecallCenters.get(d)))
+        cs.map(ivfRecallOracleSql)
+      }),
 
     // Top-5 tokens per language.
     "text_tokens" -> QueryDef(

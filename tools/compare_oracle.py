@@ -11,6 +11,17 @@ and exact values after sorting columns by name and rows lexicographically.
 import sys, os, json, math
 import duckdb
 
+# DuckDB version pin (r8 advice): the similarity_ivf_recall oracle's cell
+# assignment depends on list_dot_product accumulating left-to-right in
+# double (no rounding washout, unlike the 4dp cosine scores) — a DuckDB
+# build that reorders the accumulation (SIMD/pairwise summation) could flip
+# near-tie assignments. 1.0.0 is what this container and the driver run.
+PINNED_DUCKDB = "1.0.0"
+if duckdb.__version__ != PINNED_DUCKDB:
+    print(f"WARNING: duckdb {duckdb.__version__} != pinned {PINNED_DUCKDB}; "
+          "exact-accumulation oracles (similarity_ivf_recall) may drift",
+          file=sys.stderr)
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
