@@ -657,19 +657,45 @@ object QueriesLlm {
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY lang, label ORDER BY lang, label""".stripMargin),
 
-    // Binary-column plumbing + partition-wise (stubbed) decode. The stub's
-    // fabricated dimensions are arithmetic over the payload length, so the
-    // full binary→mapPartitions→typed-Dataset pipeline is oracle-checked.
+    // Binary-column plumbing + partition-wise REAL decode: payloads are
+    // well-formed BMP (24bpp bottom-up BGR, padded rows) / WAV (RIFF chunk
+    // walk, 16-bit PCM) / P6-PPM frame streams, synthesized from
+    // deterministic arithmetic over doc_id, and the decoder parses the
+    // actual bytes — magic, LE header fields, strides, chunk sizes. The
+    // position-weighted val_wsum makes the oracle sensitive to row order /
+    // BGR / padding mistakes, so the encode→parse round trip is
+    // value-checked end to end.
     "multimodal_decode" -> QueryDef(
-      (s, d) => Multimodal.decodeStub(Multimodal.attachBinary(t(s, d, "documents")))
+      (s, d) => Multimodal.decode(Multimodal.synthMedia(t(s, d, "documents")))
         .toDF().orderBy("doc_id"),
-      """SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(16 + strlen(text) % 1024 AS INTEGER) AS width,
-        |  CAST(16 + (strlen(text) * 7) % 1024 AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 120 ELSE 1 END AS INTEGER) AS n_frames,
-        |  strlen(text) > 0 AS ok
-        |FROM documents ORDER BY doc_id""".stripMargin),
+      """WITH p AS (SELECT doc_id AS id, doc_id % 3 AS m FROM documents),
+        |g AS (SELECT id, m,
+        |    CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CASE m WHEN 0 THEN 4 + id % 13 WHEN 2 THEN 4 + id % 9 ELSE 0 END AS w,
+        |    CASE m WHEN 0 THEN 3 + id % 7 WHEN 2 THEN 3 + id % 5 ELSE 0 END AS h,
+        |    CASE m WHEN 2 THEN 2 + id % 9 ELSE 1 END AS f,
+        |    CASE m WHEN 1 THEN 1 ELSE 3 END AS ch,
+        |    CASE m WHEN 1 THEN 8000 + 4000 * (id % 3) ELSE 0 END AS rate
+        |  FROM p),
+        |q AS (SELECT *,
+        |    CASE WHEN m = 1 THEN 64 + id % 193 ELSE f * w * h * 3 END AS nv,
+        |    greatest(w * h * 3, 1) AS pf
+        |  FROM g)
+        |SELECT id AS doc_id, kind,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(ch AS INTEGER) AS channels, CAST(f AS INTEGER) AS n_frames,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(nv AS BIGINT) AS n_vals,
+        |  CAST(list_sum(list_transform(range(0, nv), k ->
+        |    CASE WHEN m = 1 THEN (131 * id + 17 * k) % 4096 - 2048
+        |         ELSE (31 * id + 13 * (k // pf) + 7 * (k % pf)) % 256 END))
+        |    AS BIGINT) AS val_sum,
+        |  CAST(list_sum(list_transform(range(0, nv), k ->
+        |    (k + 1) * (CASE WHEN m = 1 THEN (131 * id + 17 * k) % 4096 - 2048
+        |         ELSE (31 * id + 13 * (k // pf) + 7 * (k % pf)) % 256 END)))
+        |    AS BIGINT) AS val_wsum,
+        |  TRUE AS ok
+        |FROM q ORDER BY doc_id""".stripMargin),
 
     // Deterministic stratified sampling — the data-mixing primitive of a
     // training pipeline: every 10th document per language stratum in
@@ -691,16 +717,23 @@ object QueriesLlm {
         |  FROM documents)
         |WHERE rn % 10 = 1 ORDER BY doc_id""".stripMargin),
 
-    // Frame sampling over the decoded videos: every 10th frame index,
-    // one row per sampled frame — distributed fan-out, no per-video
-    // collect. The stub's n_frames arithmetic makes it oracle-checkable.
+    // Frame extraction over the decoded videos: every PPM frame of each
+    // stream is genuinely parsed (header + w·h·3 pixel bytes), one row per
+    // sampled frame (every 3rd; streams carry 2..10 frames) with its real
+    // pixel sum — distributed fan-out, no per-video collect.
     "multimodal_frames" -> QueryDef(
-      (s, d) => Multimodal.frameSample(
-        Multimodal.decodeStub(Multimodal.attachBinary(t(s, d, "documents"))))
-        .orderBy("doc_id", "frame_idx"),
-      """SELECT doc_id, n_frames, CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
-        |FROM (SELECT doc_id, CAST(1 + strlen(text) % 120 AS INTEGER) AS n_frames
-        |      FROM documents WHERE doc_id % 3 = 2)
+      (s, d) => Multimodal.decodeFrames(Multimodal.synthMedia(t(s, d, "documents")))
+        .filter(col("frame_idx") % 3 === 0)
+        .toDF().orderBy("doc_id", "frame_idx"),
+      """WITH v AS (SELECT doc_id AS id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
+        |                  2 + doc_id % 9 AS f
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT id, w, h, CAST(unnest(range(0, f)) AS BIGINT) AS fi FROM v)
+        |SELECT id AS doc_id, fi AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(list_sum(list_transform(range(0, w * h * 3), j ->
+        |    (31 * id + 13 * fi + 7 * j) % 256)) AS BIGINT) AS frame_sum
+        |FROM fr WHERE fi % 3 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin),
 
     // Embedding-cosine near-duplicate pairs (the 5th dedup strategy of the
