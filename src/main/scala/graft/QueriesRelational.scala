@@ -26,6 +26,56 @@ object QueriesRelational {
     "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
   private val profiledOrderIntCols = Set("o_orderkey", "o_custkey")
 
+  /** Engine sketch estimates captured by the agg_sketch_calibration run,
+    * keyed by dataset dir (one (grp, est_nd, est_med) triple per group).
+    * The late-bound oracle embeds them as literals and DuckDB independently
+    * computes the exact counts/ranks and replays the error arithmetic —
+    * the `similarity_ivf_recall` pattern applied to HLL++/GK.
+    */
+  private val sketchCalibEst = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long, Double)]]()
+  private val sketchCalibLastDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** HLL++ default relative standard deviation (Spark's
+    * `approx_count_distinct` default rsd = 0.05); the calibration bound is
+    * 3·rsd. GK rank-error bound for `percentile_approx(..., accuracy)` is
+    * n/accuracy (+1 for the discrete rank grid).
+    */
+  private val HllRsd = 0.05
+  private val GkAccuracy = 1000
+
+  private def sketchCalibOracleSql(est: Seq[(String, Long, Double)]): String = {
+    val values = est.map { case (g, nd, med) =>
+      s"('${g.replace("'", "''")}', CAST($nd AS BIGINT), ${java.lang.Double.toString(med)})"
+    }.mkString(", ")
+    s"""WITH est(grp, est_nd, est_med) AS (VALUES $values),
+       |ex AS (SELECT l_returnflag AS grp, COUNT(*) AS n,
+       |         COUNT(DISTINCT l_partkey) AS exact_nd
+       |       FROM lineitem GROUP BY 1),
+       |rk AS (SELECT e.grp,
+       |         COUNT(*) FILTER (WHERE l.l_quantity < e.est_med) AS lo,
+       |         COUNT(*) FILTER (WHERE l.l_quantity <= e.est_med) AS hi
+       |       FROM lineitem l JOIN est e ON l.l_returnflag = e.grp
+       |       GROUP BY e.grp)
+       |SELECT ex.grp, CAST(ex.n AS BIGINT) AS n,
+       |  CAST(ex.exact_nd AS BIGINT) AS exact_nd, e.est_nd,
+       |  round(abs(e.est_nd - ex.exact_nd) / CAST(ex.exact_nd AS DOUBLE), 4)
+       |    AS nd_rel_err,
+       |  abs(e.est_nd - ex.exact_nd) / CAST(ex.exact_nd AS DOUBLE)
+       |    <= ${3 * HllRsd} AS nd_within_3rsd,
+       |  e.est_med, CAST(rk.lo AS BIGINT) AS med_rank_lo,
+       |  CAST(rk.hi AS BIGINT) AS med_rank_hi,
+       |  CAST(CASE WHEN (ex.n + 1) // 2 < rk.lo + 1 THEN rk.lo + 1 - (ex.n + 1) // 2
+       |            WHEN (ex.n + 1) // 2 > rk.hi THEN (ex.n + 1) // 2 - rk.hi
+       |            ELSE 0 END AS BIGINT) AS med_rank_err,
+       |  (CASE WHEN (ex.n + 1) // 2 < rk.lo + 1 THEN rk.lo + 1 - (ex.n + 1) // 2
+       |        WHEN (ex.n + 1) // 2 > rk.hi THEN (ex.n + 1) // 2 - rk.hi
+       |        ELSE 0 END) <= ex.n // $GkAccuracy + 1 AS med_within_gk
+       |FROM ex JOIN est e ON e.grp = ex.grp JOIN rk ON rk.grp = ex.grp
+       |ORDER BY ex.grp""".stripMargin
+  }
+
   /** Generated oracle for bloom_semi_join — every constant (probe family,
     * word geometry, modulus) comes from [[graft.ops.Bloom]], so the
     * implementation and its replay cannot drift.
@@ -529,6 +579,61 @@ object QueriesRelational {
           percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("median_qty_gk"))
         .orderBy("l_returnflag"),
       None),
+
+    // Calibration twin for agg_sketch (the similarity_ivf_recall pattern):
+    // the engine-native HLL++/GK estimates are captured and embedded as
+    // literals in a late-bound oracle, and DuckDB independently computes
+    // the exact distinct counts and the estimated median's true rank
+    // window, then replays the identical error arithmetic — so the
+    // approximate aggregates are VALUE-checked against their published
+    // error bounds (3·rsd for HLL++, n/accuracy+1 rank error for GK).
+    // The tiny driver-side collect is 3 rows (one per group) — this is a
+    // calibration harness, not a scale path; the production sketches stay
+    // fully distributed in agg_sketch.
+    "agg_sketch_calibration" -> QueryDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val estRows = li.groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), HllRsd).as("est_nd"),
+            percentile_approx(col("l_quantity"), lit(0.5), lit(GkAccuracy))
+              .as("est_med"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+        sketchCalibEst.put(d, estRows)
+        sketchCalibLastDir.set(d)
+        import s.implicits._
+        val est = broadcast(estRows.toDF("grp", "est_nd", "est_med"))
+        val ex = li.groupBy(col("l_returnflag").as("grp"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("l_partkey")).as("exact_nd"))
+        val rk = li.join(est, li("l_returnflag") === est("grp"))
+          .groupBy("grp")
+          .agg(sum(when(col("l_quantity") < col("est_med"), 1L).otherwise(0L)).as("lo"),
+            sum(when(col("l_quantity") <= col("est_med"), 1L).otherwise(0L)).as("hi"))
+        val tp = ((col("n") + lit(1)) / lit(2)).cast("long")
+        val rankErr = when(tp < col("lo") + 1, col("lo") + 1 - tp)
+          .when(tp > col("hi"), tp - col("hi"))
+          .otherwise(lit(0L)).cast("long")
+        val relErr = abs(col("est_nd") - col("exact_nd")).cast("double") /
+          col("exact_nd").cast("double")
+        ex.join(est, Seq("grp")).join(rk, Seq("grp"))
+          .select(col("grp"), col("n"), col("exact_nd"), col("est_nd"),
+            round(relErr, 4).as("nd_rel_err"),
+            (relErr <= lit(3 * HllRsd)).as("nd_within_3rsd"),
+            col("est_med"),
+            col("lo").as("med_rank_lo"), col("hi").as("med_rank_hi"),
+            rankErr.as("med_rank_err"),
+            (rankErr <= (col("n") / lit(GkAccuracy)).cast("long") + 1)
+              .as("med_within_gk"))
+          .orderBy("grp")
+      },
+      () => {
+        val est =
+          if (sketchCalibEst.size == 1) Some(sketchCalibEst.values.iterator.next())
+          else Option(sketchCalibLastDir.get)
+            .flatMap(d => Option(sketchCalibEst.get(d)))
+        est.map(sketchCalibOracleSql)
+      }),
 
     // The approximate count that IS value-checked: a HyperLogLog built
     // from replayable integer arithmetic only (universal 31-bit hashes,
