@@ -325,7 +325,21 @@ object Dedup {
     val pairs = minhashCandidatePairs(
       minhashBandBuckets(signaturesFromHashes(hashed, idCol = idCol), idCol = idCol))
     val sets = setsFromHashes(hashed, idCol)
-    val verified = pairs
+    clusters(exactVerify(pairs, sets, threshold, idCol))
+      .withColumn("kept", col("cluster_rep") === col("doc_id"))
+  }
+
+  /** Exact shingle-set Jaccard verification of candidate pairs against the
+    * per-doc hash sets — the kill-LSH-false-positives stage, shared by the
+    * batch [[verifiedClusters]] and the streaming [[NearDedupView]]. The
+    * codegen'd two-pointer `sorted_intersect_count` does the set
+    * intersection without exploding set elements into rows; Jaccard =
+    * inter/union of exact ints, rounded to 6dp before the threshold
+    * compare (same rounding as the oracle).
+    */
+  def exactVerify(pairs: DataFrame, sets: DataFrame, threshold: Double,
+      idCol: String = "doc_id"): DataFrame =
+    pairs
       .join(sets.select(col(idCol).as("a_id"), col("shs").as("__sa")), "a_id")
       .join(sets.select(col(idCol).as("b_id"), col("shs").as("__sb")), "b_id")
       .withColumn("__inter",
@@ -334,9 +348,6 @@ object Dedup {
         (size(col("__sa")) + size(col("__sb")) - col("__inter")), 6))
       .filter(col("__jac") >= threshold)
       .select("a_id", "b_id")
-    clusters(verified)
-      .withColumn("kept", col("cluster_rep") === col("doc_id"))
-  }
 
   /** 60-bit SimHash: sign of the per-bit weighted sum of token hashes —
     * explode tokens → hash → 60 conditional-count aggregates in ONE
@@ -427,4 +438,95 @@ object Dedup {
       // rounded cosine — collapse to one row.
       .distinct()
   }
+}
+
+/** Streaming twin of [[Dedup.verifiedClusters]] — MinHash near-dedup as a
+  * `foreachBatch` fold (the online variant of Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better", ACL 2022): each arriving
+  * micro-batch is shingled/signed/banded with the SAME batch operators,
+  * and its candidates are generated ONLY against bucket-mates — the
+  * maintained (band, bucket) index plus the batch itself — never against
+  * the full corpus. Maintained state:
+  *
+  *  - `bands`: the LSH bucket index of every doc seen (docs × bands rows)
+  *  - `sets`:  per-doc sorted shingle-hash sets (for exact verification)
+  *  - `verified`: the accumulated exact-Jaccard-verified pair graph
+  *
+  * Because a pair (i, j) is discovered exactly once — in the batch where
+  * the later of the two arrives, against the earlier one's state entry
+  * (or within the batch) — the union of per-batch candidates equals the
+  * batch pipeline's candidate set over the same prefix, verification is
+  * the same arithmetic, and [[verdicts]] (components over the accumulated
+  * verified graph) is IDENTICAL to running [[Dedup.verifiedClusters]] on
+  * everything ingested so far, for ANY split of the corpus into batches
+  * (NearDedupStreamSpec proves this per batch prefix). A doc's verdict can
+  * flip when a later arrival bridges two clusters (rep = component min) —
+  * that is batch parity, not a bug; act-on-ingest consumers should treat
+  * `kept` as the current best answer, exactly as a re-run batch would.
+  *
+  * Scale shape: per batch, the text pass touches only the batch; the
+  * candidate join probes the bucket index on (band, bucket) — at 100 TB
+  * the state tables live partitioned/bucketed on those keys (the in-memory
+  * `localCheckpoint` frames here stand in for state-store-backed tables),
+  * so the probe co-locates without reshuffling history. The verified-pair
+  * graph is pairs-sized (sparse), and CC runs on it only when [[verdicts]]
+  * is asked for.
+  */
+final class NearDedupView(spark: org.apache.spark.sql.SparkSession,
+    threshold: Double = Dedup.NearDedupThreshold,
+    textCol: String = "text", idCol: String = "doc_id") {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private def empty(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  private var bands: DataFrame = empty(StructType(Seq(
+    StructField(idCol, LongType), StructField("band", LongType),
+    StructField("bucket", LongType))))
+  private var sets: DataFrame = empty(StructType(Seq(
+    StructField(idCol, LongType),
+    StructField("shs", ArrayType(LongType, containsNull = false)))))
+  private var verified: DataFrame = empty(StructType(Seq(
+    StructField("a_id", LongType), StructField("b_id", LongType))))
+
+  /** foreachBatch sink: fold one micro-batch of documents into the state. */
+  def sink(batch: DataFrame, batchId: Long): Unit = processBatch(batch)
+
+  /** Fold a batch of new documents (schema: idCol, textCol). */
+  def processBatch(newDocs: DataFrame): Unit = {
+    // one shingle pass over the BATCH only, feeding both LSH and verify —
+    // the same sharing discipline as the batch pipeline
+    val hashed = Dedup.shingleHashes(newDocs, textCol, idCol).localCheckpoint()
+    val newBands = Dedup.minhashBandBuckets(
+      Dedup.signaturesFromHashes(hashed, idCol = idCol), idCol = idCol)
+      .localCheckpoint()
+    val newSets = Dedup.setsFromHashes(hashed, idCol).localCheckpoint()
+    // candidates: new-vs-new within the batch, plus new-vs-state strictly
+    // through the bucket index (bucket-mates only — never all-pairs)
+    val newNew = Dedup.minhashCandidatePairs(newBands, idCol)
+    val newOld = newBands.select(col("band"), col("bucket"), col(idCol).as("__n"))
+      .join(bands.select(col("band"), col("bucket"), col(idCol).as("__o")),
+        Seq("band", "bucket"))
+      .select(least(col("__n"), col("__o")).as("a_id"),
+        greatest(col("__n"), col("__o")).as("b_id"))
+      .filter(col("a_id") < col("b_id")).distinct()
+    val allSets = sets.unionByName(newSets)
+    val newVerified = Dedup.exactVerify(newNew.unionByName(newOld).distinct(),
+      allSets, threshold, idCol)
+    bands = bands.unionByName(newBands).localCheckpoint()
+    sets = allSets.localCheckpoint()
+    verified = verified.unionByName(newVerified).localCheckpoint()
+  }
+
+  /** Current keep/drop verdicts over everything ingested: identical output
+    * contract to [[Dedup.verifiedClusters]] on the same documents (docs in
+    * no verified pair are unique by construction and omitted).
+    */
+  def verdicts: DataFrame =
+    Dedup.clusters(verified)
+      .withColumn("kept", col("cluster_rep") === col("doc_id"))
+
+  /** Current state sizes (bands, sets, verified pairs) — monitoring hook. */
+  def stateSizes: (Long, Long, Long) = (bands.count(), sets.count(), verified.count())
 }
