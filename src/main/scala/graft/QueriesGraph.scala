@@ -277,14 +277,25 @@ object QueriesGraph {
         val postings = partPostings(s, d)
         val sizes = postings.select(explode(col("cs")).as("c"))
           .groupBy("c").agg(count(lit(1)).as("sz"))
-        val inter = postings.filter(size(col("cs")) >= 2)
-          .select(posexplode(col("cs")).as(Seq("__i", "a_id")), col("cs"))
-          .select(col("a_id"),
-            explode(slice(col("cs"), col("__i") + 2, size(col("cs")))).as("b_id"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+        // sizes ride INSIDE the posting lists (one postings-sized join +
+        // re-agg) so the pair table — ~14x the postings at this degree
+        // distribution, the dominant frame — is never joined at all; the
+        // r9 sf1 decade run measured the two pair-table size joins as the
+        // scaling bottleneck (85M-row SMJs at sf1). Pair rows now carry
+        // both sizes out of the explode, and the only pair-sized ops left
+        // are the one groupBy and the TakeOrdered(20).
+        val withSz = postings
+          .select(col("p"), explode(col("cs")).as("c")).join(sizes, "c")
+          .groupBy("p")
+          .agg(sort_array(collect_list(struct(col("c"), col("sz")))).as("cs2"))
+        val inter = withSz.filter(size(col("cs2")) >= 2)
+          .select(posexplode(col("cs2")).as(Seq("__i", "a")), col("cs2"))
+          .select(col("a.c").as("a_id"), col("a.sz").as("sza"),
+            explode(slice(col("cs2"), col("__i") + 2, size(col("cs2")))).as("b"))
+          .groupBy(col("a_id"), col("b.c").as("b_id"))
+          .agg(count(lit(1)).as("common"),
+            max(col("sza")).as("sza"), max(col("b.sz")).as("szb"))
         inter
-          .join(sizes.select(col("c").as("a_id"), col("sz").as("sza")), "a_id")
-          .join(sizes.select(col("c").as("b_id"), col("sz").as("szb")), "b_id")
           .select(col("a_id"), col("b_id"), col("common"),
             round(col("common").cast("double") /
               (col("sza") + col("szb") - col("common")), 6).as("jac"))

@@ -179,6 +179,19 @@ object QueriesLlm {
        |SELECT id AS doc_id, MIN(r) AS cluster_rep, MIN(r) = id AS kept
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Fixed upper bound on sampled-query ids for the brute-force /
+    * calibration operators (`similarity_topk`, `similarity_ivf`,
+    * `similarity_ivf_recall`, `rag_retrieval`): their per-query cost is
+    * O(corpus), so a query pool that also grows with the corpus makes the
+    * operator quadratic in SF — the r9 sf1 decade run measured exactly
+    * that (22-64x at 10x data). Capping the pool at a fixed id range
+    * makes the batch a constant-size sample (production calibrates on a
+    * fixed sample too) and the total linear. A no-op at the gate SFs
+    * (all ids < 100000 at sf0.001/0.01/0.1); only the shifted key spaces
+    * of scale runs (tools.MakeSfN) exceed it.
+    */
+  private val SimQueryCap = 100000L
+
   /** Fitted IVF centroids captured by the similarity_ivf_recall run — the
     * late-bound oracle thunk embeds them as exact double literals. Keyed by
     * DATASET DIR (r8 advice): a JVM that runs the query against several
@@ -221,7 +234,8 @@ object QueriesLlm {
        |rkc AS (SELECT vec_id, cell,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS crk FROM du),
        |asg AS (SELECT vec_id AS c_id, cell FROM rkc WHERE crk = 1),
-       |prb AS (SELECT vec_id AS q_id, cell FROM rkc WHERE crk <= 3 AND vec_id % 20 = 0),
+       |prb AS (SELECT vec_id AS q_id, cell FROM rkc
+       |        WHERE crk <= 3 AND vec_id % 20 = 0 AND vec_id < $SimQueryCap),
        |isc AS (SELECT p.q_id, a.c_id,
        |          round(list_dot_product(qe.emb, ce.emb)/(qn.nrm*cn.nrm), 4) AS score
        |        FROM prb p JOIN asg a ON p.cell = a.cell AND p.q_id <> a.c_id
@@ -236,7 +250,7 @@ object QueriesLlm {
        |        FROM e q JOIN n qn ON qn.vec_id = q.vec_id
        |          JOIN e c ON q.vec_id <> c.vec_id
        |          JOIN n cn ON cn.vec_id = c.vec_id
-       |        WHERE q.vec_id % 20 = 0),
+       |        WHERE q.vec_id % 20 = 0 AND q.vec_id < $SimQueryCap),
        |tru AS (SELECT q_id, c_id, t_rk FROM (
        |         SELECT q_id, c_id, CAST(row_number() OVER (
        |           PARTITION BY q_id ORDER BY score DESC, c_id) AS BIGINT) AS t_rk
@@ -292,7 +306,7 @@ object QueriesLlm {
        |         sqrt(list_dot_product(emb, emb)) AS nrm FROM ce
        |       WHERE sqrt(list_dot_product(emb, emb)) > 0),
        |qt AS (SELECT doc_id, string_split(text, ' ') AS qtoks FROM documents
-       |       WHERE doc_id % $em = 0),
+       |       WHERE doc_id % $em = 0 AND doc_id < $SimQueryCap),
        |qe AS (SELECT doc_id, ${featExprs("qtoks")} AS emb FROM qt),
        |qn AS (SELECT doc_id AS q_doc, emb, sqrt(list_dot_product(emb, emb)) AS nrm
        |       FROM qe WHERE sqrt(list_dot_product(emb, emb)) > 0),
@@ -492,12 +506,14 @@ object QueriesLlm {
     // Scores rounded to 4dp before ranking on both sides so float
     // accumulation order can't flip ranks.
     "similarity_topk" -> QueryDef(
-      (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), col("vec_id") % 20 === 0)
+      (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"),
+          col("vec_id") % 20 === 0 && col("vec_id") < SimQueryCap)
         .orderBy("q_id", "rk"),
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
         |q AS (SELECT e.vec_id AS q_id, e.label, e.emb AS q_emb, n.nrm AS q_n
-        |      FROM e JOIN n ON e.vec_id = n.vec_id WHERE e.vec_id % 20 = 0),
+        |      FROM e JOIN n ON e.vec_id = n.vec_id
+        |      WHERE e.vec_id % 20 = 0 AND e.vec_id < $SimQueryCap),
         |c AS (SELECT e.vec_id AS c_id, e.label, e.emb AS c_emb, n.nrm AS c_n
         |      FROM e JOIN n ON e.vec_id = n.vec_id),
         |sc AS (SELECT q_id, c_id,
@@ -522,7 +538,8 @@ object QueriesLlm {
     // (no oracle: iterative clustering; the VALUE check lives in
     // similarity_ivf_recall below, which replays this exact index in SQL).
     "similarity_ivf" -> QueryDef(
-      (s, d) => Similarity.ivfCosineTopK(t(s, d, "embeddings"), col("vec_id") % 20 === 0,
+      (s, d) => Similarity.ivfCosineTopK(t(s, d, "embeddings"),
+        col("vec_id") % 20 === 0 && col("vec_id") < SimQueryCap,
         cacheKey = Some(d))
         .orderBy("q_id", "rk"),
       None),
@@ -555,7 +572,7 @@ object QueriesLlm {
         val emb = t(s, d, "embeddings")
         ivfRecallCenters.put(d, Similarity.fitIvfCentersCached(emb, d, 16))
         ivfRecallLastDir.set(d)
-        val pred = col("vec_id") % 20 === 0
+        val pred = col("vec_id") % 20 === 0 && col("vec_id") < SimQueryCap
         val ivf = Similarity.ivfCosineTopK(emb, pred, k = 5, nCells = 16,
             nprobe = 3, cacheKey = Some(d))
           .select(col("q_id"), col("c_id"), col("rk").as("i_rk"))
@@ -1024,7 +1041,8 @@ object QueriesLlm {
     // ranking — replays under the value oracle.
     "rag_retrieval" -> QueryDef(
       (s, d) => graft.ops.llm.Rag.retrieve(t(s, d, "documents"),
-        col("doc_id") % graft.ops.llm.Rag.EvalMod === 0).orderBy("q_doc", "rk"),
+        col("doc_id") % graft.ops.llm.Rag.EvalMod === 0
+          && col("doc_id") < SimQueryCap).orderBy("q_doc", "rk"),
       ragOracleSql),
 
     // Deterministic data-mixing schedule (stride scheduling on integer
@@ -1139,11 +1157,16 @@ object QueriesLlm {
         val b = p.select(col("brand"), col("size"), col("pk").as("b_pk"), col("name").as("b_name"))
         val pairs = a.join(b, Seq("brand", "size")).filter(col("a_pk") < col("b_pk"))
           .withColumn("lev", levenshtein(col("a_name"), col("b_name")).cast("long"))
-        val w = Window.partitionBy("brand")
-          .orderBy(col("lev"), col("a_pk"), col("b_pk"))
-        pairs.withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select("brand", "a_pk", "b_pk", "lev")
+        // per-brand winner via a map-side-combinable min over the
+        // (lev, a_pk, b_pk) struct — lexicographic struct ordering IS the
+        // old window's (lev, a_pk, b_pk) tie-break, without sorting the
+        // full pair table into 25 giant window partitions (r9 sf1 run:
+        // the window sort dominated at 16M pairs; the agg shuffles only
+        // per-partition minima)
+        pairs.groupBy("brand")
+          .agg(min(struct(col("lev"), col("a_pk"), col("b_pk"))).as("m"))
+          .select(col("brand"), col("m.a_pk").as("a_pk"),
+            col("m.b_pk").as("b_pk"), col("m.lev").as("lev"))
           .orderBy("brand")
       },
       """WITH p AS (SELECT p_brand AS brand, p_size AS size,

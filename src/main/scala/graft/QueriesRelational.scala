@@ -755,21 +755,42 @@ object QueriesRelational {
     // arithmetic; the oracle interleaves with the identical expression.
     "layout_zorder" -> QueryDef(
       (s, d) => {
+        // keys are min-max normalized into the 16-bit cell domain with
+        // exact integer arithmetic BEFORE interleaving — raw keys only fit
+        // 16 bits by accident of the small SFs (the sf1 scale run caught
+        // exactly that: shifted key spaces blew the interleave16 guard).
+        // The stats pass is a 1-row broadcast; cell = (v−lo)·2¹⁶ div
+        // (hi−lo+1) < 2¹⁶ always. Bucket min/max spans stay in raw key space.
         val li = t(s, d, "lineitem")
           .select(col("l_partkey").cast("long").as("x"),
             col("l_suppkey").cast("long").as("y"))
-        li.withColumn("z", graft.ops.ZOrder.interleave16(col("x"), col("y")))
-          .withColumn("bucket", expr("z div 4096"))
+        val stats = li.agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        li.crossJoin(broadcast(stats))
+          .withColumn("cx", expr("((x - x0) * 65536) div (x1 - x0 + 1)"))
+          .withColumn("cy", expr("((y - y0) * 65536) div (y1 - y0 + 1)"))
+          .withColumn("z", graft.ops.ZOrder.interleave16(col("cx"), col("cy")))
+          // z now spans the full 2^32 cell plane; div 4^13 keeps the same
+          // 64-tile profile as before normalization (t=13 free bits/dim)
+          .withColumn("bucket", expr("z div 67108864"))
           .groupBy("bucket").agg(count(lit(1)).as("n"),
             min("x").as("min_x"), max("x").as("max_x"),
             min("y").as("min_y"), max("y").as("max_y"))
           .orderBy("bucket")
       },
-      s"""WITH z AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+      s"""WITH s AS (SELECT MIN(CAST(l_partkey AS BIGINT)) AS x0,
+         |    MAX(CAST(l_partkey AS BIGINT)) AS x1,
+         |    MIN(CAST(l_suppkey AS BIGINT)) AS y0,
+         |    MAX(CAST(l_suppkey AS BIGINT)) AS y1 FROM lineitem),
+         |c AS (SELECT CAST(l_partkey AS BIGINT) AS x,
          |    CAST(l_suppkey AS BIGINT) AS y,
-         |    ${graft.ops.ZOrder.interleave16Sql("CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)")} AS zv
-         |  FROM lineitem)
-         |SELECT zv // 4096 AS bucket, COUNT(*) AS n,
+         |    ((CAST(l_partkey AS BIGINT) - s.x0) * 65536) // (s.x1 - s.x0 + 1) AS cx,
+         |    ((CAST(l_suppkey AS BIGINT) - s.y0) * 65536) // (s.y1 - s.y0 + 1) AS cy
+         |  FROM lineitem, s),
+         |z AS (SELECT x, y,
+         |    ${graft.ops.ZOrder.interleave16Sql("cx", "cy")} AS zv
+         |  FROM c)
+         |SELECT zv // 67108864 AS bucket, COUNT(*) AS n,
          |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
          |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin),
 

@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend dataset builder: writes an N× copy of a testdata SF dir
+  * with disjoint key spaces per copy, so the engine can be benchmarked one
+  * decade above the driver's sf0.1 without touching the read-only
+  * testdata (VERDICT r8 ask #2).
+  *
+  * Every copy shifts its keys by `copy · 10^7` (far above any real key),
+  * preserving all FK relationships within the copy. Two columns are
+  * perturbed per copy instead of duplicated, so the scale-up does not
+  * fabricate cross-copy duplicates that would distort the dedup/similarity
+  * workloads' scaling trend:
+  *
+  *  - `documents.text`: every token gets a `_c` suffix in copy c>0 —
+  *    shingle/token distributions (and each copy's internal dup structure)
+  *    are preserved, but no shingle matches across copies;
+  *  - `embeddings.embedding`: one dimension per copy gets +0.35 — vectors
+  *    stay near their label cluster but are not exact/cosine-1 duplicates
+  *    of their origin.
+  *
+  * Usage: runMain graft.tools.MakeSfN <inDir> <outDir> [copies=10]
+  */
+object MakeSfN {
+
+  /** Key-space stride between copies. */
+  val Stride: Long = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val inDir = args(0)
+    val outDir = args(1)
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    def expand(df: DataFrame, shiftCols: Seq[String]): DataFrame = {
+      val copied = df.crossJoin(broadcast(
+        spark.range(copies).toDF("__c")))
+      shiftCols.foldLeft(copied)((d, k) =>
+        d.withColumn(k, col(k) + col("__c") * Stride))
+    }
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.drop("__c").write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[makesf] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+    }
+
+    // fixed dimensions: copy through unchanged
+    for (t <- Seq("region", "nation"))
+      write(spark.read.parquet(s"$inDir/$t.parquet"), t)
+
+    write(expand(spark.read.parquet(s"$inDir/customer.parquet"), Seq("c_custkey")), "customer")
+    write(expand(spark.read.parquet(s"$inDir/supplier.parquet"), Seq("s_suppkey")), "supplier")
+    write(expand(spark.read.parquet(s"$inDir/part.parquet"), Seq("p_partkey")), "part")
+    write(expand(spark.read.parquet(s"$inDir/orders.parquet"),
+      Seq("o_orderkey", "o_custkey")), "orders")
+    write(expand(spark.read.parquet(s"$inDir/lineitem.parquet"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    // events: read via Tables (nanos → µs), shift ids; ts unchanged — N×
+    // the event rate over the same window, which is what a scale-up means
+    write(expand(graft.model.Tables(spark, inDir, "events"),
+      Seq("event_id", "user_id")), "events")
+
+    val docs = expand(spark.read.parquet(s"$inDir/documents.parquet"), Seq("doc_id"))
+      .withColumn("text", when(col("__c") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("_"), col("__c"))), " ")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    write(docs, "documents")
+
+    val emb = expand(spark.read.parquet(s"$inDir/embeddings.parquet"), Seq("vec_id"))
+      .withColumn("embedding", when(col("__c") === 0, col("embedding")).otherwise(
+        expr(s"transform(embedding, (x, j) -> CAST(x + IF(j = CAST(__c * 7 % 64 AS INT), " +
+          "CAST(0.35 AS FLOAT), CAST(0.0 AS FLOAT)) AS FLOAT))")))
+    write(emb, "embeddings")
+
+    spark.stop()
+  }
+}

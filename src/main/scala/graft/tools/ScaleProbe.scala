@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only scale experiment: time named inventory queries against a
+  * dataset at a chosen `spark.sql.shuffle.partitions`, two passes each
+  * (cold + aged). Used to separate genuine plan superlinearity from
+  * fixed-partition spill when the data decade-steps but the local harness
+  * keeps 32 shuffle partitions (a real cluster scales partitions with
+  * data).
+  *
+  * Usage: runMain graft.tools.ScaleProbe <sfDir> [partitions=32] [q1,q2,...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val parts = args.lift(1).getOrElse("32")
+    val qs = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
+      "theta_range_join", "graph_common_neighbors", "dedup_clusters",
+      "pack_sequences", "detected_prop", "skew_salted_join"))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.model.Tables.warm(spark, sfDir)
+    graft.QueriesGraph.warmPostings(spark, sfDir)
+    for (q <- qs; pass <- Seq("cold", "aged")) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+      val el = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] parts=$parts $q%-28s $pass%-5s $el%8.2f s (rows=$n)")
+    }
+    spark.stop()
+  }
+}

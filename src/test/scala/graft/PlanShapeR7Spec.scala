@@ -20,9 +20,14 @@ class PlanShapeR7Spec extends SparkSpec {
       s"the words-bounded filter must broadcast:\n$p")
   }
 
-  test("layout_zorder: pure projection + one aggregation, no join at all") {
+  test("layout_zorder: only the 1-row min/max stats broadcast, no cartesian") {
+    // the r9 scale fix normalizes keys into the 16-bit cell domain via a
+    // broadcast of the 1-row min/max stats (the outlier_zscore pattern) —
+    // that broadcast is the ONLY join allowed; the data side never shuffles
+    // for it and nothing cartesians
     val p = planOf("layout_zorder")
-    assert(!p.contains("Join"), s"zorder profile must not join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"zorder cartesians:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"zorder stats join must broadcast:\n$p")
   }
 
   test("shuffle_deterministic: at most one single-partition exchange (the bucket table)") {
