@@ -753,6 +753,69 @@ object QueriesLlm {
         |FROM fr WHERE fi % 3 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin),
 
+    // Windowed audio feature extraction over the decoded WAV payloads:
+    // every 16-bit PCM sample stream is genuinely parsed (RIFF chunk
+    // walk), then reduced to fixed 64-sample analysis windows with
+    // count/sum/min/max — the VAD/loudness/silence-trim reduction shape.
+    // The oracle replays the sample arithmetic and the ragged last
+    // window per doc.
+    "multimodal_audio_windows" -> QueryDef(
+      (s, d) => Multimodal.decodeAudioWindows(
+        Multimodal.synthMedia(t(s, d, "documents")), win = 64)
+        .toDF().orderBy("doc_id", "window_idx"),
+      """WITH a AS (SELECT doc_id AS id, 64 + doc_id % 193 AS n FROM documents
+        |           WHERE doc_id % 3 = 1),
+        |w AS (SELECT id, n, CAST(unnest(range(0, (n + 63) // 64)) AS BIGINT) AS widx
+        |      FROM a),
+        |b AS (SELECT id, widx, widx * 64 AS lo, LEAST(n, widx * 64 + 64) AS hi
+        |      FROM w)
+        |SELECT id AS doc_id, widx AS window_idx,
+        |  CAST(hi - lo AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(lo, hi), k ->
+        |    (131 * id + 17 * k) % 4096 - 2048)) AS BIGINT) AS s_sum,
+        |  CAST(list_min(list_transform(range(lo, hi), k ->
+        |    (131 * id + 17 * k) % 4096 - 2048)) AS BIGINT) AS s_min,
+        |  CAST(list_max(list_transform(range(lo, hi), k ->
+        |    (131 * id + 17 * k) % 4096 - 2048)) AS BIGINT) AS s_max
+        |FROM b ORDER BY doc_id, window_idx""".stripMargin),
+
+    // Half-scale 2×2 box-filter image resize: each BMP payload is decoded,
+    // pooled (floor-average per channel, odd edges dropped), re-encoded as
+    // a REAL BMP, and re-parsed — the output stats describe the resized
+    // payload, so the oracle's pooled-pixel replay checks the whole
+    // decode→resize→encode→decode loop (stride, bottom-up, BGR included).
+    "multimodal_resize" -> QueryDef(
+      (s, d) => Multimodal.decodeResized(
+        Multimodal.synthMedia(t(s, d, "documents")))
+        .toDF().orderBy("doc_id"),
+      """WITH i AS (SELECT doc_id AS id,
+        |             CAST(4 + doc_id % 13 AS BIGINT) AS w,
+        |             CAST(3 + doc_id % 7 AS BIGINT) AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |d AS (SELECT id, w, h, w // 2 AS ow, h // 2 AS oh FROM i),
+        |t AS (SELECT id, w, ow, CAST(unnest(range(0, ow * oh * 3)) AS BIGINT) AS q
+        |      FROM d),
+        |e AS (SELECT id, q, q % 3 AS ch,
+        |        (q // 3) // ow AS orow, (q // 3) % ow AS ocol, w
+        |      FROM t),
+        |v AS (SELECT id, q,
+        |        (((31 * id + 7 * ((2 * orow * w + 2 * ocol) * 3 + ch)) % 256)
+        |       + ((31 * id + 7 * ((2 * orow * w + 2 * ocol + 1) * 3 + ch)) % 256)
+        |       + ((31 * id + 7 * (((2 * orow + 1) * w + 2 * ocol) * 3 + ch)) % 256)
+        |       + ((31 * id + 7 * (((2 * orow + 1) * w + 2 * ocol + 1) * 3 + ch)) % 256))
+        |        // 4 AS av
+        |      FROM e),
+        |s AS (SELECT id, CAST(SUM(av) AS BIGINT) AS out_sum,
+        |        CAST(SUM((q + 1) * av) AS BIGINT) AS out_wsum
+        |      FROM v GROUP BY id)
+        |SELECT d.id AS doc_id, d.w AS in_w, d.h AS in_h,
+        |  d.ow AS out_w, d.oh AS out_h,
+        |  CAST(54 + ((d.ow * 3 + 3) // 4 * 4) * d.oh AS BIGINT) AS out_bytes,
+        |  CAST(d.ow * d.oh * 3 AS BIGINT) AS out_n_vals,
+        |  s.out_sum, s.out_wsum
+        |FROM d JOIN s ON d.id = s.id
+        |ORDER BY doc_id""".stripMargin),
+
     // Embedding-cosine near-duplicate pairs (the 5th dedup strategy of the
     // mandate) — label ∧ LSH-bucket blocking (4 tables × 8 bits,
     // OR-amplified), scores rounded to 4dp before the threshold cut. The

@@ -20,6 +20,18 @@ final case class DecodedMedia(
 final case class DecodedFrame(
     doc_id: Long, frame_idx: Long, width: Int, height: Int, frame_sum: Long)
 
+/** One fixed-size audio analysis window with its sample statistics. */
+final case class AudioWindow(
+    doc_id: Long, window_idx: Long, n_samples: Long, s_sum: Long,
+    s_min: Long, s_max: Long)
+
+/** One resized image: input/output dims plus the stats of the re-encoded
+  * half-scale BMP (all Long — driver-comparator BIGINT discipline).
+  */
+final case class ResizedImage(
+    doc_id: Long, in_w: Long, in_h: Long, out_w: Long, out_h: Long,
+    out_bytes: Long, out_n_vals: Long, out_sum: Long, out_wsum: Long)
+
 /** Multimodal columns: image/audio/video payloads travel as opaque `binary`
   * columns with typed metadata beside them (north-star mandate).
   *
@@ -287,6 +299,89 @@ object Multimodal {
     frames.result()
   }
 
+  /** Windowed audio analysis over a parsed WAV: fixed `win`-sample
+    * windows (last one ragged), per-window count/sum/min/max — the
+    * feature-extraction shape of an audio pipeline (VAD, loudness,
+    * silence trimming all reduce windows like this). Returns null on a
+    * malformed container, mirroring [[parseWav]]'s ok=false.
+    */
+  def parseWavWindows(id: Long, b: Array[Byte], win: Int): Array[AudioWindow] = {
+    val d = parseWav(id, b)
+    if (!d.ok) return null
+    // re-locate the data chunk (parseWav validated the walk)
+    var off = 12
+    var dataOff = -1; var dataLen = -1
+    while (dataOff < 0) {
+      val cid = new String(b, off, 4, "US-ASCII")
+      val clen = u32(b, off + 4)
+      if (cid == "data") { dataOff = off + 8; dataLen = clen }
+      else off += 8 + clen + (clen & 1)
+    }
+    val n = dataLen / 2
+    val out = Array.newBuilder[AudioWindow]
+    var w = 0
+    while (w * win < n) {
+      val lo = w * win
+      val hi = math.min(n, lo + win)
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      var k = lo
+      while (k < hi) {
+        val s = s16(b, dataOff + k * 2).toLong
+        sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+        k += 1
+      }
+      out += AudioWindow(id, w.toLong, (hi - lo).toLong, sum, mn, mx)
+      w += 1
+    }
+    out.result()
+  }
+
+  /** Half-scale 2×2 box-filter resize of a 24-bit BMP, producing a REAL
+    * re-encoded BMP (header + bottom-up BGR rows + stride padding). Each
+    * output channel is the floor-average of its 2×2 input block; odd
+    * trailing rows/columns are dropped (pooling without padding). Returns
+    * null on a malformed container or a degenerate (<2×2) image.
+    */
+  def resizeBmpHalf(id: Long, b: Array[Byte]): Array[Byte] = {
+    val d = parseBmp(id, b)
+    if (!d.ok) return null
+    val w = d.width; val h = d.height
+    val ow = w / 2; val oh = h / 2
+    if (ow == 0 || oh == 0) return null
+    val dataOff = u32(b, 10)
+    val stride = (w * 3 + 3) / 4 * 4
+    val outStride = (ow * 3 + 3) / 4 * 4
+    val out = new Array[Byte](54 + outStride * oh)
+    out(0) = 'B'; out(1) = 'M'
+    u32le(out, 2, out.length); u32le(out, 10, 54)
+    u32le(out, 14, 40); u32le(out, 18, ow); u32le(out, 22, oh)
+    u16le(out, 26, 1); u16le(out, 28, 24); u32le(out, 30, 0)
+    u32le(out, 34, outStride * oh)
+    var orow = 0
+    while (orow < oh) {
+      val outRowOff = 54 + (oh - 1 - orow) * outStride // bottom-up, like input
+      var oc = 0
+      while (oc < ow) {
+        var bgr = 0
+        while (bgr < 3) {
+          var acc = 0
+          var dr = 0
+          while (dr < 2) {
+            val rowOff = dataOff + (h - 1 - (orow * 2 + dr)) * stride
+            acc += (b(rowOff + (oc * 2) * 3 + bgr) & 0xff) +
+              (b(rowOff + (oc * 2 + 1) * 3 + bgr) & 0xff)
+            dr += 1
+          }
+          out(outRowOff + oc * 3 + bgr) = (acc / 4).toByte
+          bgr += 1
+        }
+        oc += 1
+      }
+      orow += 1
+    }
+    out
+  }
+
   /** Whole-stream video stats from the parsed frames. */
   def parsePpmStream(id: Long, b: Array[Byte]): DecodedMedia = {
     val frames = parsePpmFrames(id, b)
@@ -353,6 +448,49 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.flatMap { case (id, bytes) =>
           Option(parsePpmFrames(id, bytes)).getOrElse(Array.empty[DecodedFrame]).toSeq
+        }
+      }
+  }
+
+  /** Per-window decode of the audio payloads: one output row per
+    * `win`-sample analysis window with count/sum/min/max. Distributed
+    * flatMap fan-out bounded by n_samples/win; corrupt containers
+    * contribute zero rows.
+    */
+  def decodeAudioWindows(media: DataFrame, win: Int = 64): Dataset[AudioWindow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          Option(parseWavWindows(id, bytes, win)).getOrElse(Array.empty[AudioWindow]).toSeq
+        }
+      }
+  }
+
+  /** Distributed half-scale resize of the image payloads: each BMP is
+    * decoded, 2×2 box-filtered, re-encoded as a real BMP, and the output
+    * row carries the re-parsed stats of the RESIZED payload (so the whole
+    * decode→resize→encode→decode loop is exercised per row). Map-only —
+    * no shuffle; corrupt containers contribute zero rows.
+    */
+  def decodeResized(media: DataFrame): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val rb = resizeBmpHalf(id, bytes)
+          if (rb == null) None
+          else {
+            val in = parseBmp(id, bytes)
+            val out = parseBmp(id, rb)
+            Some(ResizedImage(id, in.width.toLong, in.height.toLong,
+              out.width.toLong, out.height.toLong, rb.length.toLong,
+              out.n_vals, out.val_sum, out.val_wsum))
+          }
         }
       }
   }

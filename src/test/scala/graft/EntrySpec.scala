@@ -53,7 +53,10 @@ class EntrySpec extends SparkSpec {
       "bloom_semi_join", "layout_zorder", "fuzzy_match_blocked",
       "graph_common_neighbors", "graph_resource_alloc", "text_search_bool",
       "window_percent_rank", "data_quality_checks", "profile_drift",
-      "asof_join_tolerance", "skyline_pareto")
+      "asof_join_tolerance", "skyline_pareto",
+      // round-8/9 additions
+      "similarity_ivf_recall", "agg_sketch_calibration",
+      "multimodal_audio_windows", "multimodal_resize")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

@@ -103,6 +103,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio windows: ragged last window, stats match direct sample walk") {
+    val id = 4L // audio kind (4 % 3 == 1); n = 64 + 4 % 193 = 68 samples
+    val (n, rate) = M.audioDims(id)
+    val ws = M.parseWavWindows(id, M.encodeWav(id, n, rate), 64)
+    assert(ws.length == (n + 63) / 64 && ws.length == 2)
+    assert(ws(0).n_samples == 64L && ws(1).n_samples == (n - 64).toLong)
+    for (w <- ws) {
+      val vals = (w.window_idx * 64 until w.window_idx * 64 + w.n_samples)
+        .map(k => M.sampleVal(id, k).toLong)
+      assert(w.s_sum == vals.sum && w.s_min == vals.min && w.s_max == vals.max)
+    }
+    assert(M.parseWavWindows(id, Array[Byte](1, 2, 3), 64) == null)
+  }
+
+  test("resize: 2x2 floor-average pooling, odd edges dropped, real BMP out") {
+    val id = 6L // image kind; w = 4 + 6 % 13 = 10, h = 3 + 6 % 7 = 9 (odd h)
+    val (w, h) = M.imageDims(id)
+    val rb = M.resizeBmpHalf(id, M.encodeBmp(id, w, h))
+    val d = M.parseBmp(id, rb)
+    assert(d.ok && d.width == w / 2 && d.height == h / 2)
+    // brute-force expected stats straight from pxVal pooling
+    val (ow, oh) = (w / 2, h / 2)
+    var sum = 0L; var wsum = 0L
+    for (or0 <- 0 until oh; oc <- 0 until ow; ch <- 0 until 3) {
+      val av = (for (dr <- 0 to 1; dc <- 0 to 1)
+        yield M.pxVal(id, 0, ((or0 * 2 + dr).toLong * w + oc * 2 + dc) * 3 + ch)).sum / 4
+      val q = (or0.toLong * ow + oc) * 3 + ch
+      sum += av; wsum += (q + 1) * av
+    }
+    assert(d.val_sum == sum && d.val_wsum == wsum)
+    // resizing the resized image again also yields a valid BMP
+    val rb2 = M.resizeBmpHalf(id, rb)
+    assert(rb2 != null && M.parseBmp(id, rb2).ok)
+    // corrupt and degenerate inputs return null
+    assert(M.resizeBmpHalf(id, Array[Byte](1, 2)) == null)
+    assert(M.resizeBmpHalf(0L, M.encodeBmp(0L, 3, 1)) == null) // oh = 0
+  }
+
   test("distributed synth→decode pipeline: parseAny dispatch + frame fan-out") {
     import spark.implicits._
     val docs = (0L until 30L).toDF("doc_id")
