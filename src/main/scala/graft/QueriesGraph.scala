@@ -284,35 +284,32 @@ object QueriesGraph {
         // scaling bottleneck (85M-row SMJs at sf1). Pair rows now carry
         // both sizes out of the explode, and the only pair-sized ops left
         // are the one groupBy and the TakeOrdered(20).
+        // (c, sz) packed into ONE long per candidate: sz ≤ CommonNeighborMaxDf
+        // (500) < 1024 so the low 10 bits hold the size and the packed sort
+        // order equals the c order. The pair path below is then pure long
+        // lanes (a struct-per-pair explode measured 3-8x slower at sf0.1 —
+        // allocation-bound) AND the per-i slice keeps total explode traffic
+        // at O(pairs · 8B) — carrying the full arrays into the pair rows
+        // measured 2x slower at sf1 (27 s vs 14 s aged; O(K) bytes/pair).
         val withSz = postings
           .select(col("p"), explode(col("cs")).as("c")).join(sizes, "c")
           .groupBy("p")
-          .agg(sort_array(collect_list(struct(col("c"), col("sz")))).as("cz"))
-          // aligned long arrays: the struct exists only inside the bounded
-          // per-part aggregation; the pair-sized explode below runs on
-          // pure long lanes (a struct-per-pair explode measured 3-8x
-          // slower at sf0.1 — allocation-bound)
-          .select(col("cz.c").as("cs"), col("cz.sz").as("szs"))
-        val inter = withSz.filter(size(col("cs")) >= 2)
-          .select(posexplode(col("cs")).as(Seq("__i", "a_id")),
-            col("cs"), col("szs"))
-          // sequence(a, b) runs DESCENDING when a > b — drop the last
-          // position instead of generating a bogus [size, size-1] range
-          .filter(col("__i") < size(col("cs")) - 1)
-          .select(col("a_id"),
-            element_at(col("szs"), col("__i") + 1).as("sza"),
-            explode(expr("sequence(__i + 1, size(cs) - 1)")).as("__j"),
-            col("cs"), col("szs"))
-          .select(col("a_id"), col("sza"),
-            element_at(col("cs"), col("__j") + 1).as("b_id"),
-            element_at(col("szs"), col("__j") + 1).as("szb"))
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("common"),
-            max(col("sza")).as("sza"), max(col("szb")).as("szb"))
+          .agg(sort_array(collect_list(
+            shiftleft(col("c"), 10) + col("sz"))).as("cz"))
+          .select(col("cz"))
+        val inter = withSz.filter(size(col("cz")) >= 2)
+          .select(posexplode(col("cz")).as(Seq("__i", "a")), col("cz"))
+          // slice is computed in the projection feeding the explode, so
+          // pair rows carry just (a, b) — the arrays never leave the i-row
+          .select(col("a"), explode(expr("slice(cz, __i + 2, size(cz))")).as("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("common"))
         inter
-          .select(col("a_id"), col("b_id"), col("common"),
+          .select(shiftright(col("a"), 10).as("a_id"),
+            shiftright(col("b"), 10).as("b_id"), col("common"),
             round(col("common").cast("double") /
-              (col("sza") + col("szb") - col("common")), 6).as("jac"))
+              (col("a").bitwiseAND(lit(1023L)) + col("b").bitwiseAND(lit(1023L))
+                - col("common")), 6).as("jac"))
           .orderBy(col("jac").desc, col("a_id"), col("b_id")).limit(20)
       },
       s"""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p

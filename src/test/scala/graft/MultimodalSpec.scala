@@ -141,6 +141,36 @@ class MultimodalSpec extends SparkSpec {
     assert(M.resizeBmpHalf(0L, M.encodeBmp(0L, 3, 1)) == null) // oh = 0
   }
 
+  test("codec properties: random dims, encode→decode→resize/window invariants") {
+    // pure-JVM codec paths — no Spark jobs, so many samples are cheap
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val id = rnd.nextLong(1L << 40)
+      val w = 2 + rnd.nextInt(39); val h = 2 + rnd.nextInt(39)
+      val bmp = M.encodeBmp(id, w, h)
+      val d = M.parseBmp(id, bmp)
+      assert(d.ok && d.width == w && d.height == h && d.n_vals == w.toLong * h * 3)
+      // resize halves dims and never raises the per-value mean (floor-avg)
+      val rd = M.parseBmp(id, M.resizeBmpHalf(id, bmp))
+      assert(rd.ok && rd.width == w / 2 && rd.height == h / 2)
+      assert(rd.n_vals == (w / 2).toLong * (h / 2) * 3)
+      // every pooled value is a floor-average of 4 inputs ≤ 255, ≥ 0
+      assert(rd.val_sum >= 0 && rd.val_sum <= rd.n_vals * 255)
+
+      val n = 1 + rnd.nextInt(500); val win = 1 + rnd.nextInt(97)
+      val wav = M.encodeWav(id, n, 8000)
+      val wd = M.parseWav(id, wav)
+      val ws = M.parseWavWindows(id, wav, win)
+      // windows exactly partition the stream: counts sum to n, sums to total
+      assert(ws.length == (n + win - 1) / win)
+      assert(ws.map(_.n_samples).sum == n.toLong)
+      assert(ws.map(_.s_sum).sum == wd.val_sum)
+      assert(ws.zipWithIndex.forall { case (x, i) => x.window_idx == i.toLong })
+      assert(ws.forall(x => x.s_min <= x.s_max &&
+        x.s_sum >= x.n_samples * x.s_min && x.s_sum <= x.n_samples * x.s_max))
+    }
+  }
+
   test("distributed synth→decode pipeline: parseAny dispatch + frame fan-out") {
     import spark.implicits._
     val docs = (0L until 30L).toDF("doc_id")
