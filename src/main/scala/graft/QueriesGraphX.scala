@@ -30,6 +30,28 @@ object QueriesGraphX {
       },
       prOracleSql),
 
+    // Eigenvector centrality (Bonacich 1972) by 8 rounds of synchronous
+    // power iteration with per-round L1 renormalization to Σx = |V| —
+    // the renormalization is what keeps the iterate (and the fixed-point
+    // message units) bounded at any scale, and makes the op
+    // value-checkable where raw Katz/eigenvector iterates diverge. Over
+    // the UNDIRECTED view (Bonacich's symmetric-adjacency form — and the
+    // derived graph is a layered DAG in directed form, where all mass
+    // drains to sinks and the iterate vanishes). Same determinism ladder
+    // as graph_pagerank (exact-long message sums, one IEEE divide, 6dp
+    // round per round), replayed in DuckDB as chained CTEs with a
+    // per-round exact-DECIMAL total.
+    "graph_eigenvector" -> QueryDef(
+      (s, d) => {
+        val g = graft.model.DerivedGraph(s, d)
+        val sym = graft.model.DerivedGraph.undirected(g.edges)
+          .select(col("a").as("src"), col("b").as("dst"))
+        GraphAnalytics.eigenvectorDF(g.vertices, sym, 8)
+          .select(col("id"), col("x").as("centrality"))
+          .orderBy(col("centrality").desc, col("id")).limit(100)
+      },
+      evOracleSql),
+
     // Connected components → component sizes. GraphX CC labels each
     // component with its minimum vertex id, so the DuckDB oracle replays
     // it as BOUNDED min-label propagation: after k rounds a vertex holds
@@ -191,6 +213,32 @@ object QueriesGraphX {
        |                COUNT(*) AS n FROM r10)
        |SELECT r.id, round(r.rank * tot.n / tot.t, 6) AS rank
        |FROM r10 r, tot ORDER BY rank DESC, id LIMIT 100""".stripMargin
+  }
+
+  /** Generated oracle for graph_eigenvector: the 8 power-iteration rounds
+    * replayed as chained CTEs. Per round: exact-long 1e6-unit message sums
+    * into each receiver (LEFT JOIN + COALESCE 0 ≡ the Spark side's
+    * receivers ∪ no-in union), one IEEE divide back to double, per-round
+    * total as the same exact-DECIMAL sum as [[graft.Qh.dsumSql]], then
+    * round(y·n/t, 6) in the identical op order. MATERIALIZED keeps the
+    * replay linear (the graph_cc inlining lesson).
+    */
+  private lazy val evOracleSql: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""y$i AS MATERIALIZED (SELECT v.id,
+         |   COALESCE(CAST(m.s AS DOUBLE) / 1e6, CAST(0 AS DOUBLE)) AS y
+         | FROM v LEFT JOIN (
+         |   SELECT und.b AS id, SUM(CAST(floor(r.x * 1e6) AS BIGINT)) AS s
+         |   FROM x${i - 1} r JOIN und ON r.id = und.a GROUP BY und.b) m ON m.id = v.id),
+         | t$i AS (SELECT ${graft.Qh.dsumSql("y")} AS t, COUNT(*) AS n FROM y$i),
+         | x$i AS MATERIALIZED (SELECT a.id, round(a.y * b.n / b.t, 6) AS x
+         |   FROM y$i a, t$i b)""".stripMargin
+    }.mkString(",\n ")
+    s"""${DerivedGraphSql.cte},
+       | x0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM v),
+       | $rounds
+       |SELECT id, x AS centrality FROM x8
+       |ORDER BY centrality DESC, id LIMIT 100""".stripMargin
   }
 
   /** Rounds of bounded min-label propagation in the graph_cc oracle (and

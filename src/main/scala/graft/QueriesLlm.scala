@@ -1034,6 +1034,32 @@ object QueriesLlm {
         |  (CAST(ba.top_c AS DOUBLE) / ba.n_bigrams) > 0.18 AS repetitive
         |FROM ta JOIN ba ON ta.doc_id = ba.doc_id ORDER BY ta.doc_id""".stripMargin),
 
+    // Corpus-trained bigram LM quality score — the statistical quality
+    // screen between the heuristic filters and a real model: per-doc mean
+    // conditional-probability estimate avg c(w1,w2)/c(w1,·) under the
+    // corpus's own bigram statistics. Kept value-checkable by exact
+    // fixed-point units (c·10⁶ div c_left, floor) summed as BIGINTs —
+    // no log, which differs across libm builds; one IEEE display divide.
+    "lm_score_bigram" -> QueryDef(
+      (s, d) => TextAnalysis.lmScoreBigram(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2),
+        |db AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM tk),
+        |bc AS (SELECT bg, COUNT(*) AS c_bg FROM db GROUP BY bg),
+        |bw AS (SELECT bg, c_bg, string_split(bg, ' ')[1] AS w1 FROM bc),
+        |lc AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM bw GROUP BY w1),
+        |m AS (SELECT bg, CAST((c_bg * 1000000) // c_w1 AS BIGINT) AS u
+        |      FROM bw JOIN lc USING (w1)),
+        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(u) AS BIGINT) AS lm_units
+        |       FROM db JOIN m USING (bg) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, lm_units,
+        |  round(CAST(lm_units AS DOUBLE) / n_bigrams / CAST(1000000 AS DOUBLE), 6)
+        |    AS lm_score
+        |FROM sc ORDER BY doc_id""".stripMargin),
+
     // Corpus vocabulary top-1000 with cumulative coverage — the
     // tokenizer-training primitive. The top-k cut is distributed
     // TakeOrdered; the rank window touches only k rows.

@@ -189,6 +189,59 @@ object GraphAnalytics {
         round(col("rank") * col("__n") / col("__t"), roundScale).as("rank"))
   }
 
+  /** Eigenvector centrality by synchronous power iteration (Bonacich
+    * 1972): x' = A'x, L1-renormalized to Σx = |V| every round so the
+    * iterate neither diverges nor vanishes (the renormalization is what
+    * makes this value-checkable where Katz/eigenvector in raw form is
+    * not: unnormalized iterates grow like (λ₁)^k and overflow any fixed
+    * precision, while the normalized ladder stays O(|V|) forever).
+    *
+    * Determinism ladder, same as [[pageRankDF]] but with 1e6 fixed-point
+    * units (messages are NOT divided by degree here, so per-vertex unit
+    * inflow is bounded by 1e6·Σx = 1e6·|V| — the coarser scale buys 1000×
+    * headroom): per round, floor(x·1e6) exact-long sums into each dst,
+    * one IEEE divide back to double, then the per-round total as an exact
+    * DECIMAL sum and x' = round(y·n/t, 6) — identical op order in the
+    * DuckDB replay.
+    *
+    * Scale shape: identical to pageRankDF — static edge relation
+    * checkpointed once, |V|-row iterate joined per round (broadcast-
+    * hinted under the limit), per-round shuffle carries (dst, long) rows,
+    * plus one scalar-total broadcast per round (the pageRankDF
+    * final-normalize shape, just per-round).
+    */
+  def eigenvectorDF(vertices: DataFrame, edges: DataFrame, numIter: Int = 8,
+      roundScale: Int = 6, checkpointEvery: Int = 2,
+      broadcastRankLimit: Long = 5000000L): DataFrame = {
+    val ed = edges.select("src", "dst").localCheckpoint()
+    val nV = vertices.count()
+    // unit inflow into one vertex ≤ 1e6·Σx = 1e6·|V| (Σx renormalizes to
+    // |V| each round) — same loud-failure policy as pageRankDF
+    require(nV < Long.MaxValue / 1000000L,
+      s"eigenvectorDF: |V|=$nV exceeds the 1e6 fixed-point headroom")
+    val hintSmall: DataFrame => DataFrame =
+      if (nV <= broadcastRankLimit) broadcast(_) else identity
+    val noIn = vertices.select("id")
+      .join(ed.select(col("dst")), col("id") === col("dst"), "left_anti")
+      .localCheckpoint()
+    var x = vertices.select(col("id"), lit(1.0).as("x"))
+    for (i <- 1 to numIter) {
+      val y = hintSmall(x).join(ed, col("id") === col("src"))
+        .select(col("dst"), floor(col("x") * lit(1e6)).as("__c"))
+        .groupBy("dst")
+        .agg((sum(col("__c")).cast("double") / lit(1e6)).as("__y"))
+        .select(col("dst").as("id"), col("__y"))
+        .unionAll(noIn.select(col("id"), lit(0.0).as("__y")))
+      val tot = y.agg(graft.Qh.dsum(col("__y"), roundScale).as("__t"),
+        count(lit(1)).as("__n"))
+      x = y.crossJoin(broadcast(tot))
+        .select(col("id"),
+          round(col("__y") * col("__n") / col("__t"), roundScale).as("x"))
+      if (i % checkpointEvery == 0 || i == numIter) x = x.localCheckpoint()
+    }
+    x
+  }
+
   /** Connected components (undirected semantics — GraphX CC ignores
     * direction).
     */

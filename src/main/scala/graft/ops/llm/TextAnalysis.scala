@@ -102,6 +102,45 @@ object TextAnalysis {
         (col("top_c").cast("double") / col("n_bigrams") > topBigramFlag).as("repetitive"))
   }
 
+  /** Corpus-trained bigram language-model quality score — the statistical
+    * quality screen between the heuristic filters and a real model: train
+    * bigram/left-unigram counts over the WHOLE corpus, then score each
+    * document by its mean conditional-probability estimate
+    * avg over doc bigrams of c(w1,w2)/c(w1,·).
+    *
+    * Value-checkable by construction: the per-bigram probability is kept
+    * as an exact fixed-point BIGINT unit `c(bg)·10⁶ div c(w1)` (floor),
+    * per-doc units are summed exactly, and only the final display score
+    * is one IEEE division rounded to 6 dp (the oracle-parity ladder —
+    * no log, which differs across libm builds).
+    *
+    * Scale shape: the model is a (bigram → unit) table derived from two
+    * map-side-combinable counts (c(w1,·) = Σ_w2 c(w1,w2) comes from the
+    * bigram table itself, so both counts are consistent by construction);
+    * scoring is ONE shuffle join of (doc, bigram) against the model on
+    * the bigram key — exactly the hash-partitioned model-lookup a
+    * 100 TB corpus needs — then a doc-keyed re-agg. Shuffles carry
+    * (doc, gram) and counts, never text.
+    */
+  def lmScoreBigram(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", unit: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val docBg = toks.select(col(idCol), explode(expr(
+      "transform(sequence(0, size(__toks) - 2), i -> concat(__toks[i], ' ', __toks[i+1]))")).as("bg"))
+    val bgCnt = docBg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val leftCnt = bgCnt.groupBy("w1").agg(sum("c_bg").as("c_w1"))
+    val model = bgCnt.join(leftCnt, "w1")
+      .select(col("bg"), expr(s"(c_bg * ${unit}L) div c_w1").as("u"))
+    docBg.join(model, "bg")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("u").as("lm_units"))
+      .select(col(idCol), col("n_bigrams"), col("lm_units"),
+        round(col("lm_units").cast("double") / col("n_bigrams") / unit.toDouble, 6)
+          .as("lm_score"))
+  }
+
   /** Corpus vocabulary, top-k by frequency with deterministic ties
     * (count desc, token asc) and cumulative corpus coverage — the
     * tokenizer-training / stopword-discovery primitive.

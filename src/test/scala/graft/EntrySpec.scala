@@ -56,7 +56,8 @@ class EntrySpec extends SparkSpec {
       "asof_join_tolerance", "skyline_pareto",
       // round-8/9 additions
       "similarity_ivf_recall", "agg_sketch_calibration",
-      "multimodal_audio_windows", "multimodal_resize")
+      "multimodal_audio_windows", "multimodal_resize",
+      "lm_score_bigram", "graph_eigenvector")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

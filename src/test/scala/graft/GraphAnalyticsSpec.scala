@@ -31,6 +31,43 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(shuffled == df, "pageRankDF values changed under repartitioning")
   }
 
+  test("eigenvectorDF: hand-traced renormalized power iteration, layout-invariant") {
+    // 3-cycle with a chord (1→2→3→1 plus 1→3): strongly connected, so
+    // mass persists and the renormalized iterate has a nontrivial fixpoint
+    val cv = Seq(1L, 2L, 3L).map(i => (i, "x", s"v$i")).toDF("id", "label", "name")
+    val ce = Seq((1L, 2L, "e"), (2L, 3L, "e"), (3L, 1L, "e"), (1L, 3L, "e"))
+      .toDF("src", "dst", "label")
+    // in-degrees: 1←3; 2←1; 3←{2,1}. Mimic the engine's ladder exactly:
+    // floor(x·1e6) PER MESSAGE, exact long sum, /1e6, exact DECIMAL(18,6)
+    // total, round(y·n/t, 6) — same op order, same string-repr BigDecimal
+    // rounding as Spark's round()/decimal cast.
+    def step(x: Map[Long, Double]): Map[Long, Double] = {
+      def fl(v: Double): Long = math.floor(v * 1e6).toLong
+      val units = Map(1L -> fl(x(3L)), 2L -> fl(x(1L)),
+        3L -> (fl(x(2L)) + fl(x(1L))))
+      val y = units.map { case (k, u) => k -> u.toDouble / 1e6 }
+      val t = y.values
+        .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      y.map { case (k, v) =>
+        k -> BigDecimal(v * 3 / t)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    var exp = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0)
+    for (_ <- 1 to 8) exp = step(exp)
+    val got = GraphAnalytics.eigenvectorDF(cv, ce, 8)
+      .as[(Long, Double)].collect().toMap
+    got.foreach { case (id, x) =>
+      assert(math.abs(x - exp(id)) < 2e-6, s"vertex $id: got=$x exp=${exp(id)}")
+    }
+    val shuffled = GraphAnalytics.eigenvectorDF(cv.repartition(5), ce.repartition(3), 8)
+      .as[(Long, Double)].collect().toMap
+    assert(shuffled == got, "eigenvectorDF values changed under repartitioning")
+    // Σx = |V| after every renormalized round (allowing 6dp round drift)
+    assert(math.abs(got.values.sum - 3.0) < 1e-4)
+  }
+
   test("connected components: two components with the expected membership") {
     val cc = GraphAnalytics.connectedComponents(v, e)
       .groupBy("component").agg(count(lit(1)).as("n"))

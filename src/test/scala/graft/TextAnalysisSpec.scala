@@ -25,6 +25,25 @@ class TextAnalysisSpec extends SparkSpec {
     // because the doc is tiny; that is the documented small-doc caveat
   }
 
+  test("lmScoreBigram: hand-computed fixed-point units over a tiny corpus") {
+    // corpus bigrams: "a b"×2 ("a b c", "a b"), "b c"×1 → c(a·)=2, c(b·)=1
+    // units: "a b" → 2e6 div 2 = 1000000; "b c" → 1e6 div 1 = 1000000
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreBigram(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2000000L, 1.0), // both bigrams deterministic under this corpus
+      (2L, 1L, 1000000L, 1.0)))
+    // a corpus where the left context splits: "a b" vs "a c" each once
+    val docs2 = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.lmScoreBigram(docs2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // c(a·)=2 → each bigram unit = 1e6 div 2 = 500000 → score 0.5
+    assert(got2 == Seq((1L, 1L, 500000L, 0.5), (2L, 1L, 500000L, 0.5)))
+  }
+
   test("repetition: non-repetitive long doc stays under the flag") {
     val text = (0 until 100).map(i => s"w$i").mkString(" ")
     val got = TextAnalysis.repetition(Seq((1L, text)).toDF("doc_id", "text"))
