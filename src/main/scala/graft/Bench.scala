@@ -47,12 +47,19 @@ object Bench {
     graft.ops.GraphAnalytics.warm(spark, sfDir)
     graft.ops.llm.Similarity.warm(spark, sfDir)
     graft.QueriesGraph.warmPostings(spark, sfDir)
+    // A failed query's wall time is its FAIL-FAST time — without surfacing
+    // the failure in the artifact, a broken query makes the total look
+    // BETTER (r9 shipped three broken queries this way: stderr-only
+    // warnings, 0.09-0.14 s in the JSON, nobody looked). Failures are
+    // collected and emitted in the JSON line + sidecar.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           // keep timing every query, but never hide a failure in the total
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
           -1L
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -72,13 +79,14 @@ object Bench {
         s"\"" + k + "\":" + s
       }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision cold+aged per-query numbers go to a sidecar file the
     // judge can read from the repo; the stdout line stays COMPACT because
     // the driver parses it from a bounded tail of captured output — the r5
     // line with the inline full-precision aged map exceeded that window and
     // the driver recorded parsed:null (no bench number for the round).
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results, 4)},"aged":${js(aged, 4)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"queries":${js(results, 4)},"aged":${js(aged, 4)},"sf":"$sfDir"}"""
     // Sidecar path is overridable so a manual/judge rerun can never clobber
     // the driver's round artifact (r8 incident: a judge rerun overwrote the
     // uncommitted driver sidecar because this path was hard-coded).
@@ -96,7 +104,7 @@ object Bench {
     // detail is always in the BENCH_local.json sidecar) — the line must
     // stay valid JSON with a correct total at ANY inventory size.
     def line(qs: Map[String, Double], dp: Int, truncated: Boolean = false) =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(qs, dp)}""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"queries":${js(qs, dp)}""" +
         (if (truncated) s""","queries_truncated":true""" else "") +
         s""","sf":"$sfDir"}"""
     val l2 = line(results, 2)

@@ -69,6 +69,14 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // The driver fixture stores ts as TIMESTAMP(MICROS, isAdjustedToUTC=0)
+      // which Spark reads as TIMESTAMP_NTZ; `unix_micros` (asof_join,
+      // window_time_range) requires TIMESTAMP. Cast is value-preserving
+      // under the UTC session timezone (Verify/Bench both pin UTC).
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
