@@ -209,11 +209,38 @@ object GraphAnalytics {
     * hinted under the limit), per-round shuffle carries (dst, long) rows,
     * plus one scalar-total broadcast per round (the pageRankDF
     * final-normalize shape, just per-round).
+    *
+    * Unlike pageRankDF the lineage cut lands on the MESSAGE table `y`
+    * (pre-renormalization), not the iterate `x`, and every round. The
+    * per-round total makes y a double-consumer frame (`tot`'s aggregate
+    * AND `x`'s projection both read it), and an un-cut round re-executes
+    * its edge join once more inside the next round's broadcast build — the
+    * r9 shape paid both costs (measured 3-4× pageRankDF on the same
+    * ladder; 17.4 → 6.3 s aged on the sf0.1 graph from this change
+    * alone). With y materialized, `tot` is a tiny agg over a LogicalRDD
+    * and `x` a lazy zero-shuffle projection — numerically IDENTICAL
+    * ladder, so the DuckDB replay (QueriesGraphX.evOracleSql) is
+    * untouched. `checkpointEvery` is kept for signature stability but the
+    * cut cadence is structurally 1 (every round cuts at y).
     */
   def eigenvectorDF(vertices: DataFrame, edges: DataFrame, numIter: Int = 8,
       roundScale: Int = 6, checkpointEvery: Int = 2,
       broadcastRankLimit: Long = 5000000L): DataFrame = {
-    val ed = edges.select("src", "dst").localCheckpoint()
+    // Right-size the static edge relation ONCE: the undirected view
+    // arrives as a union of narrow scan/shuffle outputs (134 partitions of
+    // ~18k rows at sf0.1 — vs pageRankDF's 8, whose ed passes through an
+    // AQE-coalesced shuffle join), and every one of the 8 rounds re-pays
+    // that width as join-stage tasks. Coalescing the checkpointed RDD is a
+    // narrow wrapper (no recompute, no shuffle); target ~4M edge
+    // rows/partition, floored at the session's parallelism so the
+    // per-round join stays fully parallel at any scale.
+    val edRaw = edges.select("src", "dst").localCheckpoint()
+    val edTarget = math.max(
+      edRaw.sparkSession.sparkContext.defaultParallelism.toLong,
+      edRaw.count() / 4000000L + 1L).toInt
+    val ed =
+      if (edRaw.rdd.getNumPartitions > edTarget) edRaw.coalesce(edTarget)
+      else edRaw
     val nV = vertices.count()
     // unit inflow into one vertex ≤ 1e6·Σx = 1e6·|V| (Σx renormalizes to
     // |V| each round) — same loud-failure policy as pageRankDF
@@ -221,6 +248,18 @@ object GraphAnalytics {
       s"eigenvectorDF: |V|=$nV exceeds the 1e6 fixed-point headroom")
     val hintSmall: DataFrame => DataFrame =
       if (nV <= broadcastRankLimit) broadcast(_) else identity
+    // Partition width of the per-round |V|-row iterate, sized to the DATA:
+    // ~2M rows per partition, capped by the session's parallelism at
+    // scale. The expensive per-round work (the 2|E| edge join) keeps the
+    // edge relation's width — this only narrows the materialized message
+    // table. AQE right-sizes shuffle partitions inside a stage, but a
+    // checkpointed RDD keeps its static width, and 8 rounds × 32
+    // near-empty partitions × (materialize + total + broadcast-build)
+    // jobs measured 10.2 s aged vs 3.8 s at a data-sized width on the
+    // sf0.1 graph — pure per-task overhead, not plan cost.
+    val yParts = math.max(8L, math.min(
+      vertices.sparkSession.sparkContext.defaultParallelism.toLong,
+      nV / 2000000L + 1L)).toInt
     val noIn = vertices.select("id")
       .join(ed.select(col("dst")), col("id") === col("dst"), "left_anti")
       .localCheckpoint()
@@ -232,12 +271,20 @@ object GraphAnalytics {
         .agg((sum(col("__c")).cast("double") / lit(1e6)).as("__y"))
         .select(col("dst").as("id"), col("__y"))
         .unionAll(noIn.select(col("id"), lit(0.0).as("__y")))
-      val tot = y.agg(graft.Qh.dsum(col("__y"), roundScale).as("__t"),
-        count(lit(1)).as("__n"))
-      x = y.crossJoin(broadcast(tot))
-        .select(col("id"),
-          round(col("__y") * col("__n") / col("__t"), roundScale).as("x"))
-      if (i % checkpointEvery == 0 || i == numIter) x = x.localCheckpoint()
+        .coalesce(yParts)
+        .localCheckpoint()
+      // The renorm scalar is fetched to the driver as ONE row and embedded
+      // as literals into x's projection — `broadcast(tot)` would collect
+      // the same row to the driver anyway (that's how broadcast exchanges
+      // build), but the crossJoin form pays a broadcast-build job + an
+      // extra plan layer PER ROUND. Types match the crossJoin form
+      // exactly: t is dsum's DOUBLE, n a LONG, so `__y * n / t` promotes
+      // identically and the DuckDB replay is unchanged.
+      val row = y.agg(graft.Qh.dsum(col("__y"), roundScale).as("__t"),
+        count(lit(1)).as("__n")).head()
+      val (t, n) = (row.getDouble(0), row.getLong(1))
+      x = y.select(col("id"),
+        round(col("__y") * lit(n) / lit(t), roundScale).as("x"))
     }
     x
   }
