@@ -85,8 +85,16 @@ object Bench {
     // the driver parses it from a bounded tail of captured output — the r5
     // line with the inline full-precision aged map exceeded that window and
     // the driver recorded parsed:null (no bench number for the round).
+    // Host-load provenance: every noisy-bench incident since r6 came down
+    // to co-tenant load that had to be reconstructed after the fact; the
+    // sidecar now carries the 1/5/15-min load averages measured at the
+    // end of the run so a hot artifact is self-documenting.
+    val load: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Exception => "[]" }
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"queries":${js(results, 4)},"aged":${js(aged, 4)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"load":$load,"queries":${js(results, 4)},"aged":${js(aged, 4)},"sf":"$sfDir"}"""
     // Sidecar path is overridable so a manual/judge rerun can never clobber
     // the driver's round artifact (r8 incident: a judge rerun overwrote the
     // uncommitted driver sidecar because this path was hard-coded).

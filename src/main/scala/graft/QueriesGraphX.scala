@@ -52,6 +52,24 @@ object QueriesGraphX {
       },
       evOracleSql),
 
+    // HITS hubs & authorities (Kleinberg 1999) over the DIRECTED derived
+    // graph — 4 rounds of the mutually-recursive power iteration
+    // (auth' = renorm(Aᵀ·hub), hub' = renorm(A·auth')), each half-step
+    // the same exact-long/IEEE/6dp L1 ladder as graph_eigenvector (L1,
+    // not Kleinberg's L2: an L2 norm would put a sqrt-of-sum between the
+    // engines; the ranking is norm-invariant). Directedness is the point:
+    // the derived graph is a layered DAG where eigenvector centrality
+    // needed the undirected view, but HITS is built for exactly this
+    // link structure — orders/customers become hubs, parts/nations
+    // authorities. Replayed in DuckDB as 8 chained renorm CTEs.
+    "graph_hits" -> QueryDef(
+      (s, d) => {
+        val g = graft.model.DerivedGraph(s, d)
+        GraphAnalytics.hitsDF(g.vertices, g.edges.select("src", "dst"), 4)
+          .orderBy(col("auth").desc, col("id")).limit(100)
+      },
+      hitsOracleSql),
+
     // Connected components → component sizes. GraphX CC labels each
     // component with its minimum vertex id, so the DuckDB oracle replays
     // it as BOUNDED min-label propagation: after k rounds a vertex holds
@@ -239,6 +257,38 @@ object QueriesGraphX {
        | $rounds
        |SELECT id, x AS centrality FROM x8
        |ORDER BY centrality DESC, id LIMIT 100""".stripMargin
+  }
+
+  /** Generated oracle for graph_hits: 4 HITS rounds = 8 renorm half-steps
+    * as chained CTEs, each the [[evOracleSql]] ladder with the send/gather
+    * keys swapped per half-step (auth gathers at `e.dst` from hub at
+    * `e.src`; hub gathers at `e.src` from the just-renormalized auth at
+    * `e.dst`). MATERIALIZED keeps the replay linear.
+    */
+  private lazy val hitsOracleSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""ya$i AS MATERIALIZED (SELECT v.id,
+         |   COALESCE(CAST(m.s AS DOUBLE) / 1e6, CAST(0 AS DOUBLE)) AS y
+         | FROM v LEFT JOIN (
+         |   SELECT e.dst AS id, SUM(CAST(floor(h.hub * 1e6) AS BIGINT)) AS s
+         |   FROM h${i - 1} h JOIN e ON h.id = e.src GROUP BY e.dst) m ON m.id = v.id),
+         | ta$i AS (SELECT ${graft.Qh.dsumSql("y")} AS t, COUNT(*) AS n FROM ya$i),
+         | a$i AS MATERIALIZED (SELECT q.id, round(q.y * b.n / b.t, 6) AS auth
+         |   FROM ya$i q, ta$i b),
+         | yh$i AS MATERIALIZED (SELECT v.id,
+         |   COALESCE(CAST(m.s AS DOUBLE) / 1e6, CAST(0 AS DOUBLE)) AS y
+         | FROM v LEFT JOIN (
+         |   SELECT e.src AS id, SUM(CAST(floor(a.auth * 1e6) AS BIGINT)) AS s
+         |   FROM a$i a JOIN e ON a.id = e.dst GROUP BY e.src) m ON m.id = v.id),
+         | th$i AS (SELECT ${graft.Qh.dsumSql("y")} AS t, COUNT(*) AS n FROM yh$i),
+         | h$i AS MATERIALIZED (SELECT q.id, round(q.y * b.n / b.t, 6) AS hub
+         |   FROM yh$i q, th$i b)""".stripMargin
+    }.mkString(",\n ")
+    s"""${DerivedGraphSql.cte},
+       | h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM v),
+       | $rounds
+       |SELECT h.id, h.hub, a.auth FROM h4 h JOIN a4 a USING (id)
+       |ORDER BY auth DESC, id LIMIT 100""".stripMargin
   }
 
   /** Rounds of bounded min-label propagation in the graph_cc oracle (and

@@ -1290,7 +1290,39 @@ object QueriesLlm {
            |SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
            |  doc_id, source, shuffle_key
            |FROM k ORDER BY pos""".stripMargin
-      })
+      }),
+
+    // Temperature-scaled mixture weights (the multilingual/multi-source
+    // rebalancing rule from Devlin et al. 2019 App. A / Conneau & Lample
+    // 2019 §3.1: sample source s with p_s ∝ n_s^α, α=0.5): per source,
+    // share = sqrt(n)/Σ sqrt(n) and the expected doc count in a
+    // fixed-size epoch. sqrt is IEEE-754 correctly-rounded on BOTH
+    // engines (unlike ln/exp — the reason lm_score/tfidf are log-free),
+    // and the Σ runs through the dsum DECIMAL ladder, so the shares are
+    // value-checkable. Shape: one combinable groupBy collapses the corpus
+    // to |sources| rows; the scalar total is a broadcast of that tiny
+    // frame — documents never shuffle twice.
+    "mixture_temperature" -> QueryDef(
+      (s, d) => {
+        val counts = t(s, d, "documents").groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", sqrt(col("n_docs").cast("double")))
+        val tot = counts.agg(dsum(col("w")).as("__t"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            round(col("w"), 6).as("weight"),
+            round(col("w") / col("__t"), 6).as("share"),
+            floor(col("w") / col("__t") * lit(10000.0)).cast("long")
+              .as("epoch_docs"))
+          .orderBy("source")
+      },
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs,
+         |  sqrt(CAST(COUNT(*) AS DOUBLE)) AS w FROM documents GROUP BY source),
+         |t AS (SELECT ${dsumSql("w")} AS t FROM c)
+         |SELECT source, n_docs, round(w, 6) AS weight,
+         |  round(w / t.t, 6) AS share,
+         |  CAST(floor(w / t.t * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS epoch_docs
+         |FROM c, t ORDER BY source""".stripMargin)
   )
 
   /** Generated oracle for sketch_cms_topk: the sketch rebuilt from the

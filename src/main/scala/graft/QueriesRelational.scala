@@ -508,6 +508,44 @@ object QueriesRelational {
          |       * sqrt(CAST(n AS DOUBLE)*sy2 - sy*sy)), 6) AS corr_qty_price
          |FROM s ORDER BY l_returnflag""".stripMargin),
 
+    // Per-group simple linear regression (OLS y on x) from the SAME
+    // order-independent DECIMAL power sums as agg_stats — the
+    // feature-engineering primitive (trend per segment) that built-in
+    // regr_slope/regr_intercept can't give deterministically (their
+    // streaming accumulation is order-dependent). slope computed ONCE as
+    // an unrounded double, reused by the intercept — op order mirrored in
+    // the oracle so both engines chain the identical IEEE ops. At 100 TB
+    // this is one map-side-combinable groupBy; group count = output rows.
+    "regr_slope" -> QueryDef(
+      (s, d) => {
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        val nD = col("n").cast("double")
+        t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            dsum(x).as("sx"), dsum(x * x).as("sx2"),
+            dsum(y).as("sy"), dsum(x * y).as("sxy"))
+          .withColumn("__slope",
+            (nD * col("sxy") - col("sx") * col("sy")) /
+              (nD * col("sx2") - col("sx") * col("sx")))
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            round(col("__slope"), 6).as("slope"),
+            round((col("sy") - col("__slope") * col("sx")) / nD, 6)
+              .as("intercept"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      s"""WITH s AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${dsumSql("l_quantity")} AS sx, ${dsumSql("l_quantity*l_quantity")} AS sx2,
+         |  ${dsumSql("l_extendedprice")} AS sy,
+         |  ${dsumSql("l_quantity*l_extendedprice")} AS sxy
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus),
+         |sl AS (SELECT *, (CAST(n AS DOUBLE)*sxy - sx*sy)
+         |    / (CAST(n AS DOUBLE)*sx2 - sx*sx) AS slope_raw FROM s)
+         |SELECT l_returnflag, l_linestatus, n,
+         |  round(slope_raw, 6) AS slope,
+         |  round((sy - slope_raw*sx) / CAST(n AS DOUBLE), 6) AS intercept
+         |FROM sl ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
     // As-of with a MAX-STALENESS bound (kdb aj0-window / QuestDB ASOF
     // TOLERANCE semantics): a prior purchase older than 30 minutes is no
     // attribution — the asof_* payload nulls as a unit. Same

@@ -211,6 +211,21 @@ object QueriesWindows {
         |  LEFT JOIN t3 USING (user_id)
         |ORDER BY u.user_id""".stripMargin),
 
+    // Forward fill (LOCF) of a deterministically-missing reading: the
+    // time-series gap-repair primitive (sensor dropouts, sparse metrics)
+    // — `last(... ignoreNulls)` over an unbounded-preceding ROWS frame
+    // with a unique (ts, event_id) tiebreaker. The filled value is an
+    // input double carried, never recomputed, so the hash compare is
+    // exact without a rounding ladder.
+    "window_gap_fill" -> QueryDef(
+      (s, d) => Windows.gapFill(t(s, d, "events")).orderBy("event_id"),
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN event_type = 'view' THEN NULL ELSE value END AS reading,
+        |  last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // Weekly cohort retention matrix: users bucketed by first-seen week,
     // distinct-counted per whole-week offset. Both engines truncate weeks
     // to Monday and the offsets are exact day arithmetic.

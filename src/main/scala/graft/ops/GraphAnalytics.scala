@@ -234,13 +234,7 @@ object GraphAnalytics {
     // narrow wrapper (no recompute, no shuffle); target ~4M edge
     // rows/partition, floored at the session's parallelism so the
     // per-round join stays fully parallel at any scale.
-    val edRaw = edges.select("src", "dst").localCheckpoint()
-    val edTarget = math.max(
-      edRaw.sparkSession.sparkContext.defaultParallelism.toLong,
-      edRaw.count() / 4000000L + 1L).toInt
-    val ed =
-      if (edRaw.rdd.getNumPartitions > edTarget) edRaw.coalesce(edTarget)
-      else edRaw
+    val ed = rightSizeEdges(edges)
     val nV = vertices.count()
     // unit inflow into one vertex ≤ 1e6·Σx = 1e6·|V| (Σx renormalizes to
     // |V| each round) — same loud-failure policy as pageRankDF
@@ -248,45 +242,124 @@ object GraphAnalytics {
       s"eigenvectorDF: |V|=$nV exceeds the 1e6 fixed-point headroom")
     val hintSmall: DataFrame => DataFrame =
       if (nV <= broadcastRankLimit) broadcast(_) else identity
-    // Partition width of the per-round |V|-row iterate, sized to the DATA:
-    // ~2M rows per partition, capped by the session's parallelism at
-    // scale. The expensive per-round work (the 2|E| edge join) keeps the
-    // edge relation's width — this only narrows the materialized message
-    // table. AQE right-sizes shuffle partitions inside a stage, but a
-    // checkpointed RDD keeps its static width, and 8 rounds × 32
-    // near-empty partitions × (materialize + total + broadcast-build)
-    // jobs measured 10.2 s aged vs 3.8 s at a data-sized width on the
-    // sf0.1 graph — pure per-task overhead, not plan cost.
-    val yParts = math.max(8L, math.min(
-      vertices.sparkSession.sparkContext.defaultParallelism.toLong,
-      nV / 2000000L + 1L)).toInt
+    val yParts = iterateWidth(vertices, nV)
     val noIn = vertices.select("id")
       .join(ed.select(col("dst")), col("id") === col("dst"), "left_anti")
       .localCheckpoint()
     var x = vertices.select(col("id"), lit(1.0).as("x"))
-    for (i <- 1 to numIter) {
-      val y = hintSmall(x).join(ed, col("id") === col("src"))
-        .select(col("dst"), floor(col("x") * lit(1e6)).as("__c"))
-        .groupBy("dst")
-        .agg((sum(col("__c")).cast("double") / lit(1e6)).as("__y"))
-        .select(col("dst").as("id"), col("__y"))
-        .unionAll(noIn.select(col("id"), lit(0.0).as("__y")))
-        .coalesce(yParts)
-        .localCheckpoint()
-      // The renorm scalar is fetched to the driver as ONE row and embedded
-      // as literals into x's projection — `broadcast(tot)` would collect
-      // the same row to the driver anyway (that's how broadcast exchanges
-      // build), but the crossJoin form pays a broadcast-build job + an
-      // extra plan layer PER ROUND. Types match the crossJoin form
-      // exactly: t is dsum's DOUBLE, n a LONG, so `__y * n / t` promotes
-      // identically and the DuckDB replay is unchanged.
-      val row = y.agg(graft.Qh.dsum(col("__y"), roundScale).as("__t"),
-        count(lit(1)).as("__n")).head()
-      val (t, n) = (row.getDouble(0), row.getLong(1))
-      x = y.select(col("id"),
-        round(col("__y") * lit(n) / lit(t), roundScale).as("x"))
-    }
+    for (i <- 1 to numIter)
+      x = renormStep(x, "x", ed, "src", "dst", noIn,
+        hintSmall, yParts, roundScale, "x")
     x
+  }
+
+  /** Right-size a static edge relation at checkpoint: an undirected view
+    * arrives as a union of narrow scan/shuffle outputs (134 partitions of
+    * ~18k rows at sf0.1 — vs pageRankDF's 8, whose ed passes through an
+    * AQE-coalesced shuffle join), and every iteration round re-pays that
+    * width as join-stage tasks. Coalescing the checkpointed RDD is a
+    * narrow wrapper (no recompute, no shuffle); target ~4M edge
+    * rows/partition, floored at the session's parallelism so the
+    * per-round join stays fully parallel at any scale.
+    */
+  private def rightSizeEdges(edges: DataFrame): DataFrame = {
+    val edRaw = edges.select("src", "dst").localCheckpoint()
+    val edTarget = math.max(
+      edRaw.sparkSession.sparkContext.defaultParallelism.toLong,
+      edRaw.count() / 4000000L + 1L).toInt
+    if (edRaw.rdd.getNumPartitions > edTarget) edRaw.coalesce(edTarget)
+    else edRaw
+  }
+
+  /** Partition width of a per-round |V|-row iterate, sized to the DATA:
+    * ~2M rows per partition, capped by the session's parallelism at
+    * scale, floored at 8 (a width of 1 serializes the agg reduce — the
+    * BENCHNOTES r10 variant ladder). The expensive per-round work (the
+    * edge join) keeps the edge relation's width — this only narrows the
+    * materialized message table. AQE right-sizes shuffle partitions
+    * inside a stage, but a checkpointed RDD keeps its static width, and
+    * 8 rounds × 32 near-empty partitions × (materialize + total +
+    * broadcast-build) jobs measured 10.2 s aged vs 3.8 s at a data-sized
+    * width on the sf0.1 graph — pure per-task overhead, not plan cost.
+    */
+  private def iterateWidth(vertices: DataFrame, nV: Long): Int =
+    math.max(8L, math.min(
+      vertices.sparkSession.sparkContext.defaultParallelism.toLong,
+      nV / 2000000L + 1L)).toInt
+
+  /** One L1-renormalized fixed-point message round — the shared ladder
+    * step of [[eigenvectorDF]] and [[hitsDF]]. Gather: each edge sends
+    * floor(state·1e6) units from its `sendKey` endpoint to its
+    * `gatherKey` endpoint; exact LONG sums per receiver, one IEEE divide
+    * back to double, receivers ∪ `noRecv` (constant-0 frame) = all |V|
+    * rows. Renormalize: Σ to |V| via the exact-DECIMAL total fetched as
+    * ONE driver row and embedded as literals — `broadcast(tot)` would
+    * collect the same row to the driver anyway (that's how broadcast
+    * exchanges build), but the crossJoin form pays a broadcast-build job
+    * + an extra plan layer per round. Types match the crossJoin form
+    * exactly: t is dsum's DOUBLE, n a LONG, so `__y * n / t` promotes
+    * identically and the DuckDB replays are unchanged. The lineage cut
+    * lands on the message table `y` because BOTH the total and the
+    * renormalized projection read it (an un-cut y re-executes its edge
+    * join inside the next round's broadcast build — the r9 3-4× cost).
+    */
+  private def renormStep(state: DataFrame, stateCol: String, ed: DataFrame,
+      sendKey: String, gatherKey: String, noRecv: DataFrame,
+      hintSmall: DataFrame => DataFrame, yParts: Int, roundScale: Int,
+      outCol: String): DataFrame = {
+    val y = hintSmall(state).join(ed, col("id") === col(sendKey))
+      .select(col(gatherKey), floor(col(stateCol) * lit(1e6)).as("__c"))
+      .groupBy(gatherKey)
+      .agg((sum(col("__c")).cast("double") / lit(1e6)).as("__y"))
+      .select(col(gatherKey).as("id"), col("__y"))
+      .unionAll(noRecv.select(col("id"), lit(0.0).as("__y")))
+      .coalesce(yParts)
+      .localCheckpoint()
+    val row = y.agg(graft.Qh.dsum(col("__y"), roundScale).as("__t"),
+      count(lit(1)).as("__n")).head()
+    val (t, n) = (row.getDouble(0), row.getLong(1))
+    y.select(col("id"),
+      round(col("__y") * lit(n) / lit(t), roundScale).as(outCol))
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED graph —
+    * the mutually-recursive twin of [[eigenvectorDF]]: per round,
+    * auth' = renorm(Aᵀ·hub) then hub' = renorm(A·auth'), each half-step
+    * the same L1 ladder (Σ = |V|; Kleinberg's L2 norm would need a
+    * cross-engine sqrt-of-sum — L1 keeps the fixed-point units bounded
+    * AND the replay exact; the top-k ORDER is what HITS consumers use,
+    * and it is norm-invariant). Directed is the point here: unlike
+    * eigenvector centrality — degenerate on this layered-DAG derived
+    * graph — HITS is DESIGNED for such bipartite-ish link structure
+    * (hubs = vertices pointing at strong authorities). Same scale shape
+    * as eigenvectorDF: 2·numIter renorm rounds over the once-checkpointed
+    * right-sized edge relation.
+    */
+  def hitsDF(vertices: DataFrame, edges: DataFrame, numIter: Int = 4,
+      roundScale: Int = 6, broadcastRankLimit: Long = 5000000L): DataFrame = {
+    val ed = rightSizeEdges(edges)
+    val nV = vertices.count()
+    require(nV < Long.MaxValue / 1000000L,
+      s"hitsDF: |V|=$nV exceeds the 1e6 fixed-point headroom")
+    val hintSmall: DataFrame => DataFrame =
+      if (nV <= broadcastRankLimit) broadcast(_) else identity
+    val yParts = iterateWidth(vertices, nV)
+    val noIn = vertices.select("id")
+      .join(ed.select(col("dst")), col("id") === col("dst"), "left_anti")
+      .localCheckpoint()
+    val noOut = vertices.select("id")
+      .join(ed.select(col("src")), col("id") === col("src"), "left_anti")
+      .localCheckpoint()
+    var hub = vertices.select(col("id"), lit(1.0).as("hub"))
+    var auth = vertices.select(col("id"), lit(0.0).as("auth"))
+    for (i <- 1 to numIter) {
+      auth = renormStep(hub, "hub", ed, "src", "dst", noIn,
+        hintSmall, yParts, roundScale, "auth")
+      hub = renormStep(auth, "auth", ed, "dst", "src", noOut,
+        hintSmall, yParts, roundScale, "hub")
+    }
+    // both sides carry all |V| ids; the join is |V|⋈|V| on the id key
+    hub.join(auth, "id")
   }
 
   /** Connected components (undirected semantics — GraphX CC ignores

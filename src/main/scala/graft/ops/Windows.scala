@@ -76,6 +76,29 @@ object Windows {
           .cast("double").as("trailing_sum"))
   }
 
+  /** Forward fill (LOCF — last observation carried forward): per user,
+    * replace a missing reading with the most recent prior non-null one,
+    * the time-series gap-repair primitive every sensor/metrics pipeline
+    * runs before feature extraction. "Missing" here is modeled
+    * deterministically ('view' events carry no reading); the fill is
+    * `last(value, ignoreNulls)` over an UNBOUNDED PRECEDING row frame
+    * ordered by (ts, event_id) — the unique tiebreaker makes the carried
+    * value well-defined when timestamps collide. One shuffle on user_id,
+    * per-partition frame scan; the carried value is an INPUT double
+    * (never recomputed), so cross-engine hashing is exact.
+    */
+  def gapFill(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events
+      .withColumn("reading",
+        when(col("event_type") === "view", lit(null).cast("double"))
+          .otherwise(col("value")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("reading"),
+        last(col("reading"), ignoreNulls = true).over(w).as("filled"))
+  }
+
   /** Sequential conversion funnel (view → click → purchase by default):
     * per user, the earliest qualifying timestamp of each step, where a
     * step qualifies only if it lands strictly after the previous step and

@@ -57,7 +57,9 @@ class EntrySpec extends SparkSpec {
       // round-8/9 additions
       "similarity_ivf_recall", "agg_sketch_calibration",
       "multimodal_audio_windows", "multimodal_resize",
-      "lm_score_bigram", "graph_eigenvector")
+      "lm_score_bigram", "graph_eigenvector",
+      // round-10 additions
+      "regr_slope", "window_gap_fill", "mixture_temperature", "graph_hits")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
