@@ -1034,6 +1034,27 @@ object QueriesLlm {
         |  (CAST(ba.top_c AS DOUBLE) / ba.n_bigrams) > 0.18 AS repetitive
         |FROM ta JOIN ba ON ta.doc_id = ba.doc_id ORDER BY ta.doc_id""".stripMargin),
 
+    // Simpson/Gini token-diversity screen — the smooth complement to the
+    // Gopher repetition screen (Σp² weights dominance by the square where
+    // duplicate-fraction is blind to it). Log-free: exact BIGINT Σc²/n,
+    // one IEEE division chain per score, 6dp.
+    "quality_gini" -> QueryDef(
+      (s, d) => TextAnalysis.simpsonDiversity(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c0 AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(c * c) AS BIGINT) AS sum_sq FROM c0 GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(1.0 AS DOUBLE) - CAST(sum_sq AS DOUBLE)
+        |    / CAST(n_tokens * n_tokens AS DOUBLE), 6) AS simpson_div,
+        |  round(CAST(n_tokens * n_tokens AS DOUBLE) / CAST(sum_sq AS DOUBLE), 6)
+        |    AS eff_vocab,
+        |  (CAST(1.0 AS DOUBLE) - CAST(sum_sq AS DOUBLE)
+        |    / CAST(n_tokens * n_tokens AS DOUBLE)) < CAST(0.5 AS DOUBLE)
+        |    AS low_diversity
+        |FROM a ORDER BY doc_id""".stripMargin),
+
     // Corpus-trained bigram LM quality score — the statistical quality
     // screen between the heuristic filters and a real model: per-doc mean
     // conditional-probability estimate avg c(w1,w2)/c(w1,·) under the

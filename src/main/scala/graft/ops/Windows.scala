@@ -99,6 +99,68 @@ object Windows {
         last(col("reading"), ignoreNulls = true).over(w).as("filled"))
   }
 
+  /** Streaming twin of [[gapFill]] — the batch-incremental LOCF view
+    * (foreachBatch fold, the [[graft.ops.llm.Dedup]] `NearDedupView`
+    * pattern): state is ONE row per user (the latest non-null reading and
+    * its (ts, event_id) order key — bounded by |users|, not history, the
+    * property that lets the stream run forever), each micro-batch fills
+    * within-batch gaps with the same window [[gapFill]] uses and falls
+    * back to the state reading for rows with no prior non-null in the
+    * batch.
+    *
+    * Parity contract: for batches that arrive in (ts, event_id) order
+    * (batch k's rows all order-after batch k−1's — the watermark
+    * discipline of a time-ordered source), the concatenated outputs are
+    * IDENTICAL to running [[gapFill]] over the whole prefix
+    * (LocfStreamSpec proves this per prefix). Unlike NearDedupView this
+    * twin genuinely requires ordered arrival — LOCF is order-defined.
+    *
+    * Scale shape: per batch, one within-batch window + one user-keyed
+    * join against the |users|-row state + one combinable struct-max to
+    * advance the state. At 100 TB the state table lives partitioned on
+    * user_id; nothing here scans history.
+    */
+  final class LocfView(spark: org.apache.spark.sql.SparkSession) {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    private var state: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("__k", StructType(Seq(
+          StructField("ts", TimestampType),
+          StructField("event_id", LongType),
+          StructField("reading", DoubleType)))))))
+
+    /** foreachBatch sink: fold one micro-batch, discarding the output
+      * frame (monitoring sinks use the return of [[processBatch]]). */
+    def sink(batch: DataFrame, batchId: Long): Unit = { processBatch(batch); () }
+
+    /** Fold one time-ordered micro-batch; returns the filled batch rows
+      * (same columns as [[gapFill]]). */
+    def processBatch(batch: DataFrame): DataFrame = {
+      val local = gapFill(batch).localCheckpoint()
+      val out = local
+        .join(state.select(col("user_id"), col("__k.reading").as("__prev")),
+          Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts"), col("reading"),
+          coalesce(col("filled"), col("__prev")).as("filled"))
+        .localCheckpoint()
+      // advance state: latest non-null reading per user over state ∪ batch
+      // — lexicographic struct-max on the unique (ts, event_id) key, the
+      // same argmax idiom as lpaDF (reading rides along, never compared)
+      state = state
+        .unionByName(local.filter(col("reading").isNotNull)
+          .select(col("user_id"),
+            struct(col("ts"), col("event_id"), col("reading")).as("__k")))
+        .groupBy("user_id").agg(max("__k").as("__k"))
+        .localCheckpoint()
+      out
+    }
+
+    /** Current state size (one row per user seen with a reading). */
+    def stateSize: Long = state.count()
+  }
+
   /** Sequential conversion funnel (view → click → purchase by default):
     * per user, the earliest qualifying timestamp of each step, where a
     * step qualifies only if it lands strictly after the previous step and

@@ -102,6 +102,39 @@ object TextAnalysis {
         (col("top_c").cast("double") / col("n_bigrams") > topBigramFlag).as("repetitive"))
   }
 
+  /** Simpson/Gini token-diversity screen — the SMOOTH complement to the
+    * [[repetition]] screen (Gopher's duplicate-token fraction treats a
+    * token repeated twice and one repeated 500× the same once both are
+    * "duplicated"; Simpson's Σp² weights by the square, so a single
+    * dominating token tanks the score). Per doc: diversity
+    * D = 1 − Σc²/n², inverse-Simpson effective vocabulary n²/Σc² (the
+    * "how many equally-frequent tokens would look like this" measure),
+    * and a low-diversity flag. Log-free on purpose (a Shannon-entropy
+    * variant would hit cross-libm `ln` drift): Σc² and n are exact
+    * BIGINTs, the scores ONE IEEE division chain each, 6 dp — the
+    * oracle-parity ladder.
+    *
+    * Scale shape: one map-side-combinable (doc, token) count, one
+    * doc-keyed re-agg — shuffles carry counts, never text; identical to
+    * [[repetition]]'s accepted shape.
+    */
+  def simpsonDiversity(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", lowFlag: Double = 0.5): DataFrame =
+    docs.select(col(idCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(sum("c").as("n_tokens"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col(idCol), col("n_tokens"),
+        round(lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double"), 6)
+          .as("simpson_div"),
+        round((col("n_tokens") * col("n_tokens")).cast("double") /
+          col("sum_sq").cast("double"), 6).as("eff_vocab"),
+        (lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double") < lowFlag)
+          .as("low_diversity"))
+
   /** Corpus-trained bigram language-model quality score — the statistical
     * quality screen between the heuristic filters and a real model: train
     * bigram/left-unigram counts over the WHOLE corpus, then score each

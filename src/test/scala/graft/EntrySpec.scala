@@ -59,7 +59,8 @@ class EntrySpec extends SparkSpec {
       "multimodal_audio_windows", "multimodal_resize",
       "lm_score_bigram", "graph_eigenvector",
       // round-10 additions
-      "regr_slope", "window_gap_fill", "mixture_temperature", "graph_hits")
+      "regr_slope", "window_gap_fill", "mixture_temperature", "graph_hits",
+      "quality_gini")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
