@@ -361,6 +361,49 @@ object QueriesGraph {
          |       GROUP BY 1, 2)
          |SELECT a_id, b_id, ra_units,
          |  round(CAST(ra_units AS DOUBLE) / 1e9, 6) AS ra
-         |FROM pr ORDER BY ra_units DESC, a_id, b_id LIMIT 20""".stripMargin)
+         |FROM pr ORDER BY ra_units DESC, a_id, b_id LIMIT 20""".stripMargin),
+
+    // Deterministic 4-step random walks from 32 customer seeds over the
+    // undirected derived graph — the DeepWalk/node2vec corpus primitive
+    // (ops/RandomWalks.scala scaladoc). Hop choice is the
+    // minimum-affine-priority neighbor (Shuffle's Knuth–Lewis constants,
+    // integer-exact in both engines, candidate-id tie-break), so the
+    // oracle replays each hop as a rank-1 window over the same priority.
+    "graph_walks" -> QueryDef(
+      (s, d) => {
+        val g = DerivedGraph(s, d)
+        val seeds = Qh.t(s, d, "customer")
+          .filter(col("c_custkey").between(1, 32))
+          .select((lit(DerivedGraph.CustomerBase) + col("c_custkey").cast("long"))
+            .as("walk_id"))
+        graft.ops.RandomWalks
+          .walks(seeds, DerivedGraph.undirected(g.edges), steps = 4)
+          .orderBy("walk_id", "step")
+      },
+      {
+        import graft.ops.llm.Shuffle.{A, B, P}
+        def stepCte(i: Int, prev: String): String =
+          s"""s$i AS (SELECT walk_id, b AS node FROM (
+             |   SELECT p.walk_id, und.b,
+             |     row_number() OVER (PARTITION BY p.walk_id ORDER BY
+             |       ($A * (((p.walk_id % $P) * 131 + ${i * 17} + (und.b % $P)) % $P) + $B) % $P,
+             |       und.b) AS rk
+             |   FROM $prev p JOIN und ON und.a = p.node) WHERE rk = 1)""".stripMargin
+        s"""${DerivedGraphSql.cte},
+           | w0 AS (SELECT CAST(3000000000 + c_custkey AS BIGINT) AS walk_id,
+           |               CAST(3000000000 + c_custkey AS BIGINT) AS node
+           |        FROM customer WHERE c_custkey BETWEEN 1 AND 32),
+           | ${stepCte(1, "w0")},
+           | ${stepCte(2, "s1")},
+           | ${stepCte(3, "s2")},
+           | ${stepCte(4, "s3")}
+           |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+           |  SELECT walk_id, 0 AS step, node FROM w0
+           |  UNION ALL SELECT walk_id, 1, node FROM s1
+           |  UNION ALL SELECT walk_id, 2, node FROM s2
+           |  UNION ALL SELECT walk_id, 3, node FROM s3
+           |  UNION ALL SELECT walk_id, 4, node FROM s4)
+           |ORDER BY walk_id, step""".stripMargin
+      })
   )
 }

@@ -1343,7 +1343,91 @@ object QueriesLlm {
          |SELECT source, n_docs, round(w, 6) AS weight,
          |  round(w / t.t, 6) AS share,
          |  CAST(floor(w / t.t * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS epoch_docs
-         |FROM c, t ORDER BY source""".stripMargin)
+         |FROM c, t ORDER BY source""".stripMargin),
+
+    // Exact-substring duplication profile — the fixed-length-window form
+    // of Lee et al. 2022's ExactSubstr dedup ("Deduplicating Training
+    // Data Makes Language Models Better", §4.1): a character L-gram
+    // occurring more than once in the corpus marks every span it covers
+    // as duplicated text. Their suffix-array machinery finds VARIABLE
+    // length matches on one node; the distributed re-expression samples
+    // L=40 windows at stride 10 (any duplicated run ≥ L+stride-1 chars is
+    // guaranteed to contain a sampled duplicate window), which turns the
+    // whole op into two combinable aggregations — no suffix array, no
+    // per-node state. Shape: explode ≈ n_chars/10 shingles per doc,
+    // count-by-shingle (map-side partial agg collapses repeats before the
+    // shuffle), join counts back, re-agg per doc. At 100 TB the join key
+    // becomes xxhash64(shingle) so the shuffle carries 16-byte rows — the
+    // string key here is the oracle-replayable semantics (collision-free
+    // by construction).
+    "dedup_substring" -> QueryDef(
+      (s, d) => {
+        val L = 40; val S = 10
+        val sh = t(s, d, "documents")
+          .filter(length(col("text")) >= L)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, length(text) - ${L - 1}, $S)," +
+              s" p -> substring(text, p, $L))")).as("sh"))
+        val cnt = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+        sh.join(cnt, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_shingles").cast("double"))
+              .as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      """WITH sh AS (SELECT doc_id, substr(text, CAST(p AS INT), 40) AS sh
+        |            FROM (SELECT doc_id, text,
+        |                    unnest(generate_series(1, length(text) - 39, 10)) AS p
+        |                  FROM documents WHERE length(text) >= 40)),
+        |c AS (SELECT sh, COUNT(*) AS c FROM sh GROUP BY sh)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        |FROM sh s JOIN c USING (sh) GROUP BY s.doc_id ORDER BY doc_id""".stripMargin),
+
+    // Encoding-artifact screen — the curation signal RefinedWeb/C4-class
+    // pipelines gate on before any model-based scoring: U+FFFD
+    // replacement characters (decode failures), C0/DEL control bytes
+    // outside tab/LF/CR (binary contamination), and the 'Ã'/'Â' lead
+    // bytes of UTF-8-read-as-Latin-1 mojibake. Counts via length-diff
+    // (replace / global regexp_replace — both engines delete, never
+    // collate); pure per-row map work, no shuffle at any scale.
+    "quality_encoding" -> QueryDef(
+      (s, d) => {
+        val ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+        t(s, d, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "\\uFFFD", ""))).cast("long")
+              .as("n_replacement"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), ctrl, ""))).cast("long")
+              .as("n_control"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[\\u00C3\\u00C2]", ""))).cast("long")
+              .as("n_mojibake"))
+          .withColumn("clean",
+            (col("n_replacement") + col("n_control") + col("n_mojibake")) === 0L)
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT)
+         |    AS n_replacement,
+         |  CAST(length(text) - length(regexp_replace(text,
+         |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS BIGINT)
+         |    AS n_control,
+         |  CAST(length(text) - length(regexp_replace(text,
+         |    '[\\xC3\\xC2]', '', 'g')) AS BIGINT) AS n_mojibake,
+         |  (length(replace(text, chr(65533), '')) = length(text)
+         |   AND length(regexp_replace(text,
+         |     '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) = length(text)
+         |   AND length(regexp_replace(text, '[\\xC3\\xC2]', '', 'g')) = length(text))
+         |    AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
   /** Generated oracle for sketch_cms_topk: the sketch rebuilt from the

@@ -1128,6 +1128,58 @@ object QueriesRelational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (l_returnflag = 'A') AS DOUBLE) AS qty_a,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (l_returnflag = 'N') AS DOUBLE) AS qty_n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_r
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    // Robust outlier screen via median absolute deviation — the
+    // heavy-tail-safe twin of outlier_zscore (mean/stddev break down when
+    // the outliers themselves inflate the spread; MAD's 50% breakdown
+    // point doesn't — Hampel 1974). Both medians are LOWER medians
+    // (rank (n+1) div 2), i.e. input VALUES selected by rank-1 joins, so
+    // the only floating-point arithmetic is one exact-rounded subtraction,
+    // one multiply-by-3 threshold and one divide — no interpolation ladder
+    // needed. Scale shape: two windows partitioned by event_type plus two
+    // broadcast joins of the |types|-row stats frames; at 100 TB the
+    // exact per-type rank pass is the calibration path and the GK-sketch
+    // quantile (sketch_quantile_hist) is the one-pass production path.
+    "outlier_mad" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val w1 = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val med = ev.withColumn("rk", row_number().over(w1).cast("long"))
+          .join(broadcast(n), "event_type")
+          .filter(col("rk") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col("value").as("med"))
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev", abs(col("value") - col("med")))
+        val w2 = Window.partitionBy("event_type").orderBy(col("dev"), col("event_id"))
+        val mad = dev.withColumn("rk", row_number().over(w2).cast("long"))
+          .join(broadcast(n), "event_type")
+          .filter(col("rk") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col("dev").as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .filter(col("dev") > lit(3.0) * col("mad"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            round(col("dev") / col("mad"), 4).as("rz"))
+          .orderBy("event_id")
+      },
+      """WITH n AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+        |r1 AS (SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk
+        |       FROM events),
+        |med AS (SELECT r1.event_type, r1.value AS med FROM r1 JOIN n USING (event_type)
+        |        WHERE rk = (n + 1) // 2),
+        |d AS (SELECT e.event_id, e.event_type, e.value,
+        |        abs(e.value - med.med) AS dev
+        |      FROM events e JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, event_id, dev,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rk
+        |       FROM d),
+        |mad AS (SELECT r2.event_type, r2.dev AS mad FROM r2 JOIN n USING (event_type)
+        |        WHERE rk = (n + 1) // 2)
+        |SELECT d.event_id, d.event_type, d.value, round(d.dev / mad.mad, 4) AS rz
+        |FROM d JOIN mad USING (event_type)
+        |WHERE d.dev > 3 * mad.mad
+        |ORDER BY d.event_id""".stripMargin)
   )
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic random-walk corpus generation — the DeepWalk / node2vec
+  * input primitive (Perozzi et al. 2014; Grover & Leskovec 2016): short
+  * walks sampled from each seed vertex become the "sentences" a
+  * skip-gram embedding trains on. The reference's traversal surface stops
+  * at bounded k-hop expansion (mongraph.py:252-274 `_explode_node`); walk
+  * sampling is the graph-ML extension of the same undirected adjacency
+  * (mongraph.py:236-241 traverses both endpoint directions).
+  *
+  * Determinism: no `rand()`. The next hop from a frontier is the
+  * neighbor minimizing a replayable affine priority
+  * `(A·((walk·131 + step·17 + cand) mod P) + B) mod P` — the
+  * [[graft.ops.llm.Shuffle]] Knuth–Lewis constants, integer-exact in both
+  * engines, tie-broken by candidate id. A re-run (or a resumed job)
+  * regenerates the identical corpus, the property a training pipeline
+  * needs from its data order (same discipline as `shuffle_deterministic`).
+  *
+  * Scale shape: each step is ONE join of the frontier against the
+  * undirected edge relation keyed on the current node, then a
+  * map-side-combinable `min(struct(priority, cand))` per walk — no
+  * posting lists, no windows over edges. The frontier has one row per
+  * walk; production walk corpora run W walks per vertex, so the frontier
+  * is |V|·W rows shuffled on the node key each step (or broadcast, when
+  * the seed set is small as here). State between steps is the frontier
+  * alone — O(walks), never O(edges).
+  */
+object RandomWalks {
+
+  import graft.ops.llm.Shuffle.{A, B, P}
+
+  /** Priority of candidate `cand` for (walk, step): affine fold of the
+    * triple, exact BIGINT arithmetic (inner value < 131·P + misc, the
+    * multiply by A stays far inside 2⁶³).
+    */
+  private def priority(walk: org.apache.spark.sql.Column, step: Int,
+      cand: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (lit(A) * (((walk % P) * 131L + lit(step * 17L) + (cand % P)) % P) + B) % P
+
+  /** `steps`-step deterministic walks from `seeds` (one column `walk_id`,
+    * doubling as the start node) over undirected edges `und(a, b)`.
+    * Returns `(walk_id, step, node)` — step 0 is the seed itself.
+    */
+  def walks(seeds: DataFrame, und: DataFrame, steps: Int): DataFrame = {
+    var frontier = seeds.select(col("walk_id"), col("walk_id").as("node"))
+    var out = frontier.withColumn("step", lit(0L))
+    for (step <- 1 to steps) {
+      val cand = frontier.join(und, frontier("node") === und("a"))
+        .select(col("walk_id"), col("b").as("cand"))
+        .withColumn("pri", priority(col("walk_id"), step, col("cand")))
+      frontier = cand.groupBy("walk_id")
+        .agg(min(struct(col("pri"), col("cand"))).as("m"))
+        .select(col("walk_id"), col("m.cand").as("node"))
+      out = out.unionByName(frontier.withColumn("step", lit(step.toLong)))
+    }
+    out.select("walk_id", "step", "node")
+  }
+}

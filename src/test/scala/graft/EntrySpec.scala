@@ -60,7 +60,8 @@ class EntrySpec extends SparkSpec {
       "lm_score_bigram", "graph_eigenvector",
       // round-10 additions
       "regr_slope", "window_gap_fill", "mixture_temperature", "graph_hits",
-      "quality_gini", "graph_ktruss")
+      "quality_gini", "graph_ktruss",
+      "dedup_substring", "outlier_mad", "quality_encoding", "graph_walks")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
