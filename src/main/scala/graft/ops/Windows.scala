@@ -161,6 +161,93 @@ object Windows {
     def stateSize: Long = state.count()
   }
 
+  /** Streaming twin of [[sessions]] — incremental gap-sessionization
+    * (the LocfView/NearDedupView foreachBatch-fold pattern). State is ONE
+    * open session per user (start, last_ts, n) — bounded by |users|, not
+    * history. The structural fact that makes the fold this small: with
+    * time-ordered batch arrival (every batch-k row orders after every
+    * batch-(k−1) row — the watermark discipline), the ONLY merge a new
+    * batch can cause is open-state session ↔ the user's FIRST batch
+    * session; distinct within-batch sessions are already gap-separated by
+    * construction. So the fold is: sessionize the batch with the same
+    * [[sessions]] the batch query uses, union the |users|-row open-state
+    * frame, and run ONE lag/cumsum merge pass over SESSION rows (never
+    * events — per user this frame holds ≤ 1 + batch sessions rows). The
+    * last session per user stays open; everything before it is emitted
+    * closed.
+    *
+    * Parity contract (SessionStreamSpec): after every batch,
+    * closed ∪ open == batch [[sessions]] over the whole prefix, including
+    * the boundary-inclusive merge (an event at exactly `gap` after the
+    * open session's last_ts still extends it — the Spark
+    * `session_window` semantics the batch oracle pins).
+    *
+    * Scale shape: per batch one event shuffle (the batch sessionize) plus
+    * session-row work keyed on user_id; the closed stream is emitted, not
+    * retained, in production — this view accumulates it only for the
+    * parity check.
+    */
+  final class SessionView(spark: org.apache.spark.sql.SparkSession,
+      gap: String = "30 minutes") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    private val sessionSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("session_start", TimestampType),
+      StructField("last_ts", TimestampType),
+      StructField("n", LongType)))
+    private def empty: DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sessionSchema)
+    private var open: DataFrame = empty
+    private var closedAcc: DataFrame = empty
+
+    /** foreachBatch sink: fold one micro-batch, ignoring the emitted
+      * closed sessions (monitoring sinks use [[processBatch]]'s return). */
+    def sink(batch: DataFrame, batchId: Long): Unit = { processBatch(batch); () }
+
+    /** Fold one time-ordered micro-batch; returns the sessions CLOSED by
+      * this batch (same columns as [[sessions]]). */
+    def processBatch(batch: DataFrame): DataFrame = {
+      val b = sessions(batch, gap)
+        .select("user_id", "session_start", "last_ts", "n")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("session_start"), col("last_ts"))
+      // one merge pass over session rows: new session unless it starts
+      // within `gap` of the previous session's end (boundary-inclusive)
+      val merged = open.unionByName(b)
+        .withColumn("__ns",
+          when(lag(col("last_ts"), 1).over(w).isNull
+            .or(col("session_start") >
+              lag(col("last_ts"), 1).over(w) + expr(s"INTERVAL $gap")), 1L)
+            .otherwise(0L))
+        .withColumn("__sid", sum(col("__ns")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "__sid")
+        .agg(min(col("session_start")).as("session_start"),
+          max(col("last_ts")).as("last_ts"), sum(col("n")).as("n"))
+      val wLast = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("session_start").desc)
+      val ranked = merged
+        .withColumn("__rk", row_number().over(wLast))
+        .localCheckpoint()
+      val closed = ranked.filter(col("__rk") > 1)
+        .select("user_id", "session_start", "last_ts", "n")
+        .localCheckpoint()
+      open = ranked.filter(col("__rk") === 1)
+        .select("user_id", "session_start", "last_ts", "n")
+        .localCheckpoint()
+      closedAcc = closedAcc.unionByName(closed).localCheckpoint()
+      closed
+    }
+
+    /** closed ∪ open — what the batch [[sessions]] over the full prefix
+      * must equal (the parity check's left-hand side). */
+    def currentSessions: DataFrame = closedAcc.unionByName(open)
+
+    /** Open-session state size (one row per user with an open session). */
+    def stateSize: Long = open.count()
+  }
+
   /** Sequential conversion funnel (view → click → purchase by default):
     * per user, the earliest qualifying timestamp of each step, where a
     * step qualifies only if it lands strictly after the previous step and
