@@ -1130,6 +1130,32 @@ object QueriesRelational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_r
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
 
+    // Unpivot/melt — the inverse of pivot_wide and the other half of the
+    // reshape surface: four lineitem measures to (key, measure, value)
+    // long form, the shape feature stores and plotting/ML pipelines
+    // ingest. Pure per-row Generate (explode of a 4-struct array) — no
+    // shuffle at any scale; values are INPUT doubles carried, never
+    // recomputed. The oracle is the equivalent 4-way UNION ALL.
+    "unpivot_long" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(array(
+            struct(lit("quantity").as("measure"), col("l_quantity").as("value")),
+            struct(lit("extendedprice").as("measure"), col("l_extendedprice").as("value")),
+            struct(lit("discount").as("measure"), col("l_discount").as("value")),
+            struct(lit("tax").as("measure"), col("l_tax").as("value")))).as("m"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("m.measure").as("measure"), col("m.value").as("value"))
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+        |WHERE l_orderkey <= 2000
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin),
+
     // Robust outlier screen via median absolute deviation — the
     // heavy-tail-safe twin of outlier_zscore (mean/stddev break down when
     // the outliers themselves inflate the spread; MAD's 50% breakdown

@@ -226,6 +226,53 @@ object QueriesWindows {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // Exponentially weighted moving average over the trailing 16 readings
+    // per user — the smoothing primitive behind rate estimators, anomaly
+    // baselines and feature decay. EWMA is usually UNCHECKABLE cross-
+    // engine (α^k powers accumulate rounding in engine-specific order);
+    // this one is exact by construction: α = 1/2 means weights are powers
+    // of two, each reading is fixed-point micros (exact DECIMAL→BIGINT),
+    // so the weighted window sum is Σ v6·2^(15−k) — pure BIGINT
+    // arithmetic, order-free — and the warmup-unbiased denominator
+    // 2^16 − 2^(16−min(rn,16)) is integer too. ONE IEEE division at the
+    // end. One user-keyed shuffle; the 16 lag taps ride a single window
+    // pass (codegen'd, no per-row state).
+    "window_ewma" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val taps = (0 until 16).map(k =>
+          coalesce(lag(col("__v6"), k).over(w), lit(0L)) * lit(1L << (15 - k)))
+          .reduce(_ + _)
+        t(s, d, "events")
+          .withColumn("__v6",
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+              * 1000000).cast("long"))
+          .withColumn("__rn", row_number().over(w).cast("long"))
+          .withColumn("__num", taps)
+          .withColumn("__den",
+            (lit(65536L) - expr("shiftleft(1L, cast(16 - least(__rn, 16) as int))"))
+              * lit(1000000L))
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            round(col("__num").cast("double") / col("__den").cast("double"), 6)
+              .as("ewma"))
+          .orderBy("event_id")
+      },
+      {
+        val taps = (0 until 16).map(k =>
+          s"COALESCE(lag(v6, $k) OVER w, 0) * ${1L << (15 - k)}").mkString(" + ")
+        s"""WITH v AS (SELECT event_id, user_id, ts, value,
+           |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+           |  FROM events),
+           |e AS (SELECT event_id, user_id, ts, value,
+           |    $taps AS num,
+           |    (65536 - (CAST(1 AS BIGINT) << CAST(16 - least(
+           |      row_number() OVER w, 16) AS INT))) * 1000000 AS den
+           |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           |SELECT event_id, user_id, ts, value,
+           |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+           |FROM e ORDER BY event_id""".stripMargin
+      }),
+
     // Weekly cohort retention matrix: users bucketed by first-seen week,
     // distinct-counted per whole-week offset. Both engines truncate weeks
     // to Monday and the offsets are exact day arithmetic.

@@ -61,7 +61,8 @@ class EntrySpec extends SparkSpec {
       // round-10 additions
       "regr_slope", "window_gap_fill", "mixture_temperature", "graph_hits",
       "quality_gini", "graph_ktruss",
-      "dedup_substring", "outlier_mad", "quality_encoding", "graph_walks")
+      "dedup_substring", "outlier_mad", "quality_encoding", "graph_walks",
+      "unpivot_long", "window_ewma")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
