@@ -1130,6 +1130,38 @@ object QueriesRelational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_r
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
 
+    // CDC apply — collapse a Debezium-style change stream to final table
+    // state: per key, the LAST change by the total (ts, event_id) version
+    // order wins; a tombstone ('view' modeled as DELETE) removes the key,
+    // any other change upserts its value. This is the merge every
+    // lakehouse sink runs on a CDC feed, and it generalizes upsert_dedup
+    // (first-write-wins identity, the reference's insert_vertex) and
+    // scd2_upsert (history kept) to op-typed changes with deletes. One
+    // key shuffle serves both the rank and the per-key change count
+    // (same partitioning, one sort); at 100 TB this is the standard
+    // rank-1 merge, skew-safe because keys are users.
+    "cdc_apply" -> QueryDef(
+      (s, d) => {
+        val wv = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val wc = Window.partitionBy("user_id")
+        t(s, d, "events")
+          .withColumn("__rk", row_number().over(wv))
+          .withColumn("n_changes", count(lit(1)).over(wc))
+          .filter(col("__rk") === 1 && col("event_type") =!= "view")
+          .select(col("user_id"), col("value").as("final_value"),
+            col("ts").as("last_ts"), col("n_changes"))
+          .orderBy("user_id")
+      },
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events)
+        |SELECT user_id, value AS final_value, ts AS last_ts,
+        |  CAST(n_changes AS BIGINT) AS n_changes
+        |FROM r WHERE rk = 1 AND event_type <> 'view'
+        |ORDER BY user_id""".stripMargin),
+
     // Unpivot/melt — the inverse of pivot_wide and the other half of the
     // reshape surface: four lineitem measures to (key, measure, value)
     // long form, the shape feature stores and plotting/ML pipelines

@@ -273,6 +273,55 @@ object QueriesWindows {
            |FROM e ORDER BY event_id""".stripMargin
       }),
 
+    // Interval-union coverage (gaps-and-islands, the MEASURE form of
+    // session_window): each event opens a 10-minute activity interval;
+    // per user, merge overlaps and report distinct active islands and
+    // total covered time — billing/SLA/utilization arithmetic that double
+    // counts if you sum durations naively. Islands via the running-max
+    // idiom: a new island starts where the interval begins after every
+    // prior interval's end (cummax over an UNBOUNDED..-1 frame). All
+    // arithmetic in exact integer MICROSECONDS; the one IEEE divide
+    // converts to display seconds. One user-keyed shuffle, two frames on
+    // the same window ordering (single sort), combinable final agg.
+    "interval_coverage" -> QueryDef(
+      (s, d) => {
+        val iv = 600000000L // 10 min in micros
+        val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
+        val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .withColumn("__us", unix_micros(col("ts")))
+          .withColumn("__e", col("__us") + iv)
+          .withColumn("__new",
+            when(col("__us") > coalesce(max(col("__e")).over(prior), lit(Long.MinValue)), 1L)
+              .otherwise(0L))
+          .withColumn("__sid", sum(col("__new")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "__sid")
+          .agg(min(col("__us")).as("__a"), max(col("__e")).as("__b"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("__b") - col("__a")).as("covered_us"))
+          .select(col("user_id"), col("n_islands"), col("covered_us"),
+            round(col("covered_us").cast("double") / lit(1e6), 6).as("covered_s"))
+          .orderBy("user_id")
+      },
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) + 600000000 AS e FROM events),
+        |y AS (SELECT user_id, event_id, us, e,
+        |    CASE WHEN us > COALESCE(max(e) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) THEN 1 ELSE 0 END AS ns
+        |  FROM v),
+        |z AS (SELECT user_id, us, e, SUM(ns) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM y),
+        |i AS (SELECT user_id, sid, MIN(us) AS a, MAX(e) AS b
+        |      FROM z GROUP BY user_id, sid)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(b - a) AS BIGINT) AS covered_us,
+        |  round(CAST(SUM(b - a) AS DOUBLE) / 1e6, 6) AS covered_s
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // Weekly cohort retention matrix: users bucketed by first-seen week,
     // distinct-counted per whole-week offset. Both engines truncate weeks
     // to Monday and the offsets are exact day arithmetic.
