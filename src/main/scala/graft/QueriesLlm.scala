@@ -1427,7 +1427,47 @@ object QueriesLlm {
          |     '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) = length(text)
          |   AND length(regexp_replace(text, '[\\xC3\\xC2]', '', 'g')) = length(text))
          |    AS clean
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Perceptual near-dup detection for the image modality — dHash
+    // (difference hash, the blockhash/pHash family): 63 brightness
+    // comparisons sampled along the decoded pixel sequence, packed into
+    // one BIGINT; identical hashes = near-dup bucket (the dedup_exact
+    // keep-rule applied to images). The Spark side walks the REAL
+    // BMP byte layout (bottom-up BGR rows, 4-byte stride) via
+    // Multimodal.bmpPHash; the oracle replays the same comparisons from
+    // the pixel formula — so a byte-walk bug (stride, channel order,
+    // row flip) breaks the hash-match. Integer-only by design: a classic
+    // resize-interpolate pHash would put float filtering between the
+    // engines. Map-only per image + one hash-keyed count; at 100 TB the
+    // bucket join is the dedup_exact shape.
+    "multimodal_phash" -> QueryDef(
+      (s, d) => {
+        val ph = Multimodal.phashes(Multimodal.synthMedia(t(s, d, "documents"))).toDF()
+        ph.withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy("phash")).cast("long"))
+          .select(col("doc_id"), col("width"), col("height"), col("phash"),
+            col("n_same"), (col("n_same") > 1).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      {
+        def g(p: String) = s"(((31*id + 7*(3*($p))) % 256) + " +
+          s"((31*id + 7*(3*($p)+1)) % 256) + ((31*id + 7*(3*($p)+2)) % 256))"
+        s"""WITH im AS (SELECT doc_id AS id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+           |    CAST(3 + doc_id % 7 AS BIGINT) AS h
+           |  FROM documents WHERE doc_id % 3 = 0),
+           |ph AS (SELECT id, w, h,
+           |  CAST(list_sum(list_transform(range(0, 63), t ->
+           |    CASE WHEN ${g("(t*(w*h-1))//64")} > ${g("((t+1)*(w*h-1))//64")}
+           |    THEN (CAST(1 AS BIGINT) << t) ELSE CAST(0 AS BIGINT) END))
+           |    AS BIGINT) AS phash
+           |  FROM im)
+           |SELECT id AS doc_id, CAST(w AS INTEGER) AS width,
+           |  CAST(h AS INTEGER) AS height, phash,
+           |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same,
+           |  (COUNT(*) OVER (PARTITION BY phash)) > 1 AS is_dup
+           |FROM ph ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** Generated oracle for sketch_cms_topk: the sketch rebuilt from the

@@ -32,6 +32,12 @@ final case class ResizedImage(
     doc_id: Long, in_w: Long, in_h: Long, out_w: Long, out_h: Long,
     out_bytes: Long, out_n_vals: Long, out_sum: Long, out_wsum: Long)
 
+/** One image perceptual hash (difference hash over the decoded pixels):
+  * 63 brightness-comparison bits packed into a BIGINT.
+  */
+final case class ImagePHash(
+    doc_id: Long, width: Int, height: Int, phash: Long, ok: Boolean)
+
 /** Multimodal columns: image/audio/video payloads travel as opaque `binary`
   * columns with typed metadata beside them (north-star mandate).
   *
@@ -433,6 +439,54 @@ object Multimodal {
     media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) => parseAny(id, bytes) }
+      }
+  }
+
+  /** Difference hash (dHash — the classic perceptual near-dup signature,
+    * cf. pHash/blockhash literature) of a BMP payload, computed from the
+    * DECODED bytes: brightness `gray(p) = r+g+b` at 64 positions sampled
+    * evenly along the row-major pixel sequence, each bit = "brighter than
+    * the next sample". Integer-only (no resize interpolation, no divide),
+    * so the DuckDB oracle replays it from the pixel formula while this
+    * side walks the real BGR/bottom-up/padded byte layout. 63 bits keep
+    * the pack inside a signed BIGINT.
+    */
+  def bmpPHash(id: Long, b: Array[Byte]): ImagePHash = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M')
+      return ImagePHash(id, 0, 0, 0L, ok = false)
+    val dataOff = u32(b, 10)
+    val w = u32(b, 18); val h = u32(b, 22)
+    val bpp = u16(b, 28); val compression = u32(b, 30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0)
+      return ImagePHash(id, 0, 0, 0L, ok = false)
+    val stride = (w * 3 + 3) / 4 * 4
+    if (dataOff.toLong + stride.toLong * h > b.length)
+      return ImagePHash(id, 0, 0, 0L, ok = false)
+    def gray(p: Int): Int = {
+      val r = p / w; val c = p % w
+      val off = dataOff + (h - 1 - r) * stride + c * 3
+      (b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)
+    }
+    val npx = w * h
+    var hash = 0L
+    var t = 0
+    while (t < 63) {
+      val p = t * (npx - 1) / 64
+      val q = (t + 1) * (npx - 1) / 64
+      if (gray(p) > gray(q)) hash |= 1L << t
+      t += 1
+    }
+    ImagePHash(id, w, h, hash, ok = true)
+  }
+
+  /** Per-image perceptual hashes of the image payloads (map-only). */
+  def phashes(media: DataFrame): Dataset[ImagePHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) => bmpPHash(id, bytes) }
       }
   }
 

@@ -62,7 +62,8 @@ class EntrySpec extends SparkSpec {
       "regr_slope", "window_gap_fill", "mixture_temperature", "graph_hits",
       "quality_gini", "graph_ktruss",
       "dedup_substring", "outlier_mad", "quality_encoding", "graph_walks",
-      "unpivot_long", "window_ewma", "interval_coverage", "cdc_apply")
+      "unpivot_long", "window_ewma", "interval_coverage", "cdc_apply",
+      "multimodal_phash")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
