@@ -164,6 +164,26 @@ object QueriesGraphX {
         .orderBy("landmark"),
       closenessOracleSql),
 
+    // Landmark harmonic centrality (Boldi–Vigna 2014's axiomatically
+    // preferred form): H(L) = Σ 1/d(L,v) over reached v ≠ L — unlike
+    // closeness it degrades gracefully on disconnected graphs
+    // (unreachable vertices contribute 0 instead of poisoning the mean).
+    // The reciprocal sum is EXACT: dist ≤ 10 and 2520 = lcm(1..10), so
+    // Σ 2520 div d is pure BIGINT; one IEEE divide scales to display
+    // units. Same shared BFS frame as graph_shortest_paths/closeness —
+    // three centralities ride one traversal, the production pattern.
+    "graph_harmonic" -> QueryDef(
+      (s, d) => GraphAnalytics.multiSourceBfs(
+        GraphAnalytics.derivedGraphX(s, d), spLandmarks, 10)
+        .filter(col("dist") > 0)
+        .groupBy("landmark")
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("2520 div dist")).cast("long").as("h_units"))
+        .select(col("landmark"), col("n_reached"), col("h_units"),
+          round(col("h_units").cast("double") / lit(2520.0), 6).as("harmonic"))
+        .orderBy("landmark"),
+      harmonicOracleSql),
+
     // 8-core of the derived graph (Seidman's density screen): iterative
     // peel with a 10-round bound — converges in ≤3 rounds on this graph
     // family at every SF (the degree tiers make the cascade shallow);
@@ -472,4 +492,15 @@ object QueriesGraphX {
        |  round(CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(dist) AS DOUBLE), 6)
        |    AS closeness
        |FROM d GROUP BY landmark ORDER BY landmark""".stripMargin
+
+  /** Generated oracle for graph_harmonic: the same BFS distances with the
+    * exact lcm(1..10)-unit reciprocal sum.
+    */
+  private lazy val harmonicOracleSql: String =
+    s"""$spCtePrefix
+       |SELECT landmark, COUNT(*) AS n_reached,
+       |  CAST(SUM(2520 // dist) AS BIGINT) AS h_units,
+       |  round(CAST(SUM(2520 // dist) AS DOUBLE) / CAST(2520 AS DOUBLE), 6)
+       |    AS harmonic
+       |FROM d WHERE dist > 0 GROUP BY landmark ORDER BY landmark""".stripMargin
 }
