@@ -1429,6 +1429,73 @@ object QueriesLlm {
          |    AS clean
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Exact set-similarity join with PREFIX FILTERING (Chaudhuri-Ganti-
+    // Kaushik 2006 / PPJoin, Xiao et al. 2008): ALL document pairs with
+    // token-set Jaccard ≥ 0.8, found without an all-pairs join. The
+    // theorem: order every doc's tokens by a global (df, token) total
+    // order; if J(x,y) ≥ t, the first |x|−⌈t|x|⌉+1 tokens of x and of y
+    // must share one — so candidate pairs come from posting lists over
+    // PREFIX tokens only (the rarest ones, naturally low-df), then exact
+    // verification. Complements dedup_minhash (probabilistic, misses
+    // possible) and dedup_ngram_jaccard (top-1 per block): this is the
+    // complete threshold join, and the brute-force oracle proves
+    // completeness — a prefix-math bug shows up as missing rows. All
+    // arithmetic integer (threshold as 5·inter ≥ 4·union, ceil as
+    // (4n+4) div 5); one display divide. On THIS corpus the tiny vocab
+    // makes prefixes weakly selective (25% of in-source pairs qualify);
+    // selectivity is a data property — at web scale with Zipfian vocabs
+    // the prefix posting lists are the whole game.
+    "similarity_join_exact" -> QueryDef(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val dfreq = toks.groupBy("source", "tok").agg(count(lit(1)).as("df"))
+        val ranked = toks.join(dfreq, Seq("source", "tok"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy("source", "doc_id").orderBy(col("df"), col("tok"))))
+          .withColumn("n", count(lit(1)).over(Window
+            .partitionBy("source", "doc_id")))
+        val prefix = ranked
+          .filter(col("rn") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        // NO df cap here, unlike dedup_ngram_jaccard: this operator's
+        // contract is completeness, and a capped hub posting list would
+        // silently drop qualifying pairs. The prefix restriction is the
+        // pruning; a genuinely quadratic hub prefix token at scale is the
+        // documented worst case of every exact SSJoin.
+        val cand = prefix.groupBy("source", "tok")
+          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")) >= 2)
+          .select(col("source"), posexplode(col("docs")).as(Seq("__i", "a_id")), col("docs"))
+          .select(col("source"), col("a_id"),
+            explode(slice(col("docs"), col("__i") + 2, size(col("docs")))).as("b_id"))
+          .distinct()
+        val sets = toks.groupBy("source", "doc_id")
+          .agg(sort_array(collect_list(col("tok"))).as("ts"))
+        cand
+          .join(sets.select(col("source"), col("doc_id").as("a_id"),
+            col("ts").as("ta")), Seq("source", "a_id"))
+          .join(sets.select(col("source"), col("doc_id").as("b_id"),
+            col("ts").as("tb")), Seq("source", "b_id"))
+          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .withColumn("uni",
+            (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+          .filter(lit(5L) * col("inter") >= lit(4L) * col("uni"))
+          .select(col("source"), col("a_id"), col("b_id"), col("inter"), col("uni"),
+            round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jac"))
+          .orderBy("source", "a_id", "b_id")
+      },
+      """WITH tk AS (SELECT doc_id, source,
+        |    list_sort(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        |p AS (SELECT a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+        |    CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS BIGINT) AS uni
+        |  FROM tk a JOIN tk b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, a_id, b_id, inter, uni,
+        |  round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jac
+        |FROM p WHERE 5 * inter >= 4 * uni ORDER BY source, a_id, b_id""".stripMargin),
+
     // Perceptual near-dup detection for the image modality — dHash
     // (difference hash, the blockhash/pHash family): 63 brightness
     // comparisons sampled along the decoded pixel sequence, packed into
