@@ -109,6 +109,46 @@ object QueriesGraphX {
       },
       lpaOracleSql),
 
+    // Newman modularity of the LPA partition (Newman-Girvan 2004): the
+    // community-QUALITY metric every clustering pipeline reports next to
+    // its labels — Q = Σ_c (e_c/m − (d_c/2m)²). Exact by units: Q·4m² =
+    // Σ_c (4m·e_c − d_c²) is pure BIGINT (m = member edges, e_c =
+    // intra-community edges, d_c = community degree sum), one display
+    // divide. Same member graph and the SAME converged labels as
+    // graph_lpa — the oracle reuses the identical 5-round LPA CTE
+    // prefix, so label drift between the two queries is impossible.
+    "graph_modularity" -> QueryDef(
+      (s, d) => {
+        val g = DerivedGraph(s, d)
+        val member = g.edges
+          .filter(col("label").isin("in_nation", "in_region"))
+          .select("src", "dst")
+        val lbl = GraphAnalytics.lpaDF(
+          g.vertices.filter(col("label") =!= "part").select("id"),
+          member, 5)
+        val m = member.count() // one scalar, the |E| every Q term shares
+        val deg = member.select(col("src").as("a"))
+          .unionAll(member.select(col("dst").as("a")))
+          .groupBy("a").agg(count(lit(1)).as("d"))
+        val eIn = member
+          .join(lbl.select(col("id").as("src"), col("community").as("ca")), "src")
+          .join(lbl.select(col("id").as("dst"), col("community").as("cb")), "dst")
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+        val ds = lbl.join(deg, lbl("id") === deg("a"), "left")
+          .groupBy("community").agg(count(lit(1)).as("n_nodes"),
+            sum(coalesce(col("d"), lit(0L))).as("d_sum"))
+        ds.join(eIn, Seq("community"), "left")
+          .select(col("community"), col("n_nodes"),
+            coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+            (lit(4L * m) * coalesce(col("e_in"), lit(0L))
+              - col("d_sum") * col("d_sum")).as("q_units"))
+          .withColumn("q", round(col("q_units").cast("double")
+            / lit((4L * m * m).toDouble), 6))
+          .orderBy("community")
+      },
+      modularityOracleSql),
+
     // BFS distances from a nation seed via an explicit Pregel program;
     // oracle = min level over chained frontier joins (diameter of the
     // derived graph is well under the 10-superstep bound).
@@ -429,7 +469,11 @@ object QueriesGraphX {
     * same argmax — then carry unchanged labels through a left join.
     * All-BIGINT arithmetic: no rounding ladder needed.
     */
-  private lazy val lpaOracleSql: String = {
+  /** Shared CTE prefix producing `me(src,dst)` (member edges), `mu(a,b)`
+    * (their undirected view) and `l5(id, lbl)` — the converged LPA
+    * labels. Drives BOTH the graph_lpa and graph_modularity oracles.
+    */
+  private lazy val lpaCtePrefix: String = {
     // MATERIALIZED for the same reason as the graph_cc oracle: l{i-1} is
     // referenced twice per round and DuckDB inlines plain CTEs — the
     // replay must stay linear in the round count.
@@ -446,9 +490,34 @@ object QueriesGraphX {
        | me AS (SELECT src, dst FROM e WHERE label IN ('in_nation', 'in_region')),
        | mu AS MATERIALIZED (SELECT src AS a, dst AS b FROM me UNION ALL SELECT dst, src FROM me),
        | l0 AS MATERIALIZED (SELECT id, id AS lbl FROM v WHERE label <> 'part'),
-       | $rounds
-       |SELECT id, lbl AS community FROM l5 ORDER BY id""".stripMargin
+       | $rounds""".stripMargin
   }
+
+  private lazy val lpaOracleSql: String =
+    s"""$lpaCtePrefix
+       |SELECT id, lbl AS community FROM l5 ORDER BY id""".stripMargin
+
+  /** Generated oracle for graph_modularity: Newman's Q over the LPA
+    * partition in exact 4m² units (see the QueryDef comment).
+    */
+  private lazy val modularityOracleSql: String =
+    s"""$lpaCtePrefix,
+       | deg AS (SELECT a AS id, COUNT(*) AS d FROM mu GROUP BY a),
+       | mm AS (SELECT COUNT(*) AS m FROM me),
+       | ei AS (SELECT la.lbl AS community, COUNT(*) AS e_in
+       |        FROM me JOIN l5 la ON la.id = me.src JOIN l5 lb ON lb.id = me.dst
+       |        WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+       | ds AS (SELECT l5.lbl AS community, COUNT(*) AS n_nodes,
+       |          CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS d_sum
+       |        FROM l5 LEFT JOIN deg ON deg.id = l5.id GROUP BY l5.lbl)
+       |SELECT ds.community, CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(COALESCE(ei.e_in, 0) AS BIGINT) AS e_in, ds.d_sum,
+       |  CAST(4 * mm.m * COALESCE(ei.e_in, 0) - ds.d_sum * ds.d_sum AS BIGINT)
+       |    AS q_units,
+       |  round(CAST(4 * mm.m * COALESCE(ei.e_in, 0) - ds.d_sum * ds.d_sum AS DOUBLE)
+       |    / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS q
+       |FROM ds LEFT JOIN ei USING (community), mm
+       |ORDER BY ds.community""".stripMargin
 
   /** Landmarks for graph_shortest_paths: three nation vertices. */
   private lazy val spLandmarks: Seq[Long] =

@@ -63,7 +63,8 @@ class EntrySpec extends SparkSpec {
       "quality_gini", "graph_ktruss",
       "dedup_substring", "outlier_mad", "quality_encoding", "graph_walks",
       "unpivot_long", "window_ewma", "interval_coverage", "cdc_apply",
-      "multimodal_phash", "graph_harmonic", "similarity_join_exact")
+      "multimodal_phash", "graph_harmonic", "similarity_join_exact",
+      "graph_modularity")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
