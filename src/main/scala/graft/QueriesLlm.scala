@@ -1429,6 +1429,55 @@ object QueriesLlm {
          |    AS clean
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Nucleus (top-p) vocabulary cut per source — the distributional
+    // twin of vocab_topk's fixed-k cut: the SMALLEST token prefix (by
+    // count desc, token asc) whose cumulative frequency reaches 90% of
+    // the source's tokens. The tokenizer-training question is "how much
+    // tail can we drop"; this answers it exactly. A token is in the
+    // nucleus iff coverage BEFORE it is still short of 0.9 — all-integer
+    // (10·(cum−cnt) < 9·total), one display divide. The per-source
+    // running-sum window runs over the already-collapsed (source, token)
+    // count table, never per-token-occurrence rows.
+    "vocab_nucleus" -> QueryDef(
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("tok"))
+        val tot = Window.partitionBy("source")
+        counts
+          .withColumn("cum", sum(col("cnt")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("total", sum(col("cnt")).over(tot))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_vocab"),
+            sum(when(lit(10L) * (col("cum") - col("cnt")) < lit(9L) * col("total"),
+              1L).otherwise(0L)).as("n_nucleus"),
+            sum(when(lit(10L) * (col("cum") - col("cnt")) < lit(9L) * col("total"),
+              col("cnt")).otherwise(0L)).as("covered"),
+            max(col("total")).as("total"))
+          .withColumn("coverage",
+            round(col("covered").cast("double") / col("total").cast("double"), 6))
+          .orderBy("source")
+      },
+      """WITH c AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |k AS (SELECT source, tok, COUNT(*) AS cnt FROM c GROUP BY source, tok),
+        |r AS (SELECT source, tok, cnt,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY cnt DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS total
+        |  FROM k)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        |  CAST(SUM(CASE WHEN 10 * (cum - cnt) < 9 * total THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nucleus,
+        |  CAST(SUM(CASE WHEN 10 * (cum - cnt) < 9 * total THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS covered,
+        |  CAST(MAX(total) AS BIGINT) AS total,
+        |  round(CAST(SUM(CASE WHEN 10 * (cum - cnt) < 9 * total THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / CAST(MAX(total) AS DOUBLE), 6) AS coverage
+        |FROM r GROUP BY source ORDER BY source""".stripMargin),
+
     // Exact set-similarity join with PREFIX FILTERING (Chaudhuri-Ganti-
     // Kaushik 2006 / PPJoin, Xiao et al. 2008): ALL document pairs with
     // token-set Jaccard ≥ 0.8, found without an all-pairs join. The

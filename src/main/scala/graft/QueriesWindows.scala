@@ -322,6 +322,63 @@ object QueriesWindows {
         |  round(CAST(SUM(b - a) AS DOUBLE) / 1e6, 6) AS covered_s
         |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // Out-of-orderness audit — the measurement a streaming pipeline needs
+    // BEFORE choosing its watermark delay: per event (in arrival order =
+    // event_id), lateness = how far the running max event-time had
+    // already advanced past it, bucketed into a delay histogram. The
+    // watermark that bounds dropped data to bucket B is read straight
+    // off this table. Exact integer microseconds end to end; the one
+    // display divide is per 6-row bucket. Scale shape: the global
+    // running max uses the TWO-LEVEL prefix discipline (the
+    // Shuffle.globalRowNumber pattern lifted from sum to max): arrival
+    // ranges → per-bucket max → running max over the tiny bucket table →
+    // within-bucket frames; no per-event single-partition window ever
+    // runs.
+    "watermark_audit" -> QueryDef(
+      (s, d) => {
+        val B = 4096L
+        val ev = t(s, d, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("bk", expr(s"event_id div ${B}L"))
+        val perBk = ev.groupBy("bk").agg(max(col("us")).as("bmax"))
+        // deliberately unpartitioned: runs on the ≤(N/B)-row bucket table
+        val wB = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+        val offs = perBk.withColumn("pmax", max(col("bmax")).over(wB))
+          .select("bk", "pmax")
+        val wIn = Window.partitionBy("bk").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val late = ev.join(broadcast(offs), "bk")
+          .withColumn("__wmax", max(col("us")).over(wIn))
+          .withColumn("late", greatest(lit(0L),
+            greatest(coalesce(col("__wmax"), col("us")),
+              coalesce(col("pmax"), col("us"))) - col("us")))
+        val bucketed = late.withColumn("bucket_id",
+          when(col("late") === 0L, 0L)
+            .when(col("late") < 1000000L, 1L)
+            .when(col("late") < 10000000L, 2L)
+            .when(col("late") < 60000000L, 3L)
+            .when(col("late") < 600000000L, 4L).otherwise(5L))
+        val total = bucketed.count()
+        bucketed.groupBy("bucket_id")
+          .agg(count(lit(1)).as("n"), max(col("late")).as("max_late_us"))
+          .withColumn("share",
+            round(col("n").cast("double") / lit(total.toDouble), 6))
+          .orderBy("bucket_id")
+      },
+      """WITH v AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT event_id, us,
+        |    GREATEST(0, COALESCE(MAX(us) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us) - us) AS late
+        |  FROM v),
+        |b AS (SELECT CASE WHEN late = 0 THEN 0 WHEN late < 1000000 THEN 1
+        |    WHEN late < 10000000 THEN 2 WHEN late < 60000000 THEN 3
+        |    WHEN late < 600000000 THEN 4 ELSE 5 END AS bucket_id, late FROM l),
+        |t AS (SELECT COUNT(*) AS total FROM b)
+        |SELECT bucket_id, COUNT(*) AS n,
+        |  CAST(MAX(late) AS BIGINT) AS max_late_us,
+        |  round(CAST(COUNT(*) AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+        |FROM b, t GROUP BY bucket_id, t.total ORDER BY bucket_id""".stripMargin),
+
     // Weekly cohort retention matrix: users bucketed by first-seen week,
     // distinct-counted per whole-week offset. Both engines truncate weeks
     // to Monday and the offsets are exact day arithmetic.

@@ -64,7 +64,7 @@ class EntrySpec extends SparkSpec {
       "dedup_substring", "outlier_mad", "quality_encoding", "graph_walks",
       "unpivot_long", "window_ewma", "interval_coverage", "cdc_apply",
       "multimodal_phash", "graph_harmonic", "similarity_join_exact",
-      "graph_modularity")
+      "graph_modularity", "watermark_audit", "vocab_nucleus")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
