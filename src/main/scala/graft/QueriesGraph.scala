@@ -404,6 +404,59 @@ object QueriesGraph {
            |  UNION ALL SELECT walk_id, 3, node FROM s3
            |  UNION ALL SELECT walk_id, 4, node FROM s4)
            |ORDER BY walk_id, step""".stripMargin
-      })
+      }),
+
+    // Rich-club coefficient ladder (Zhou & Mondragón 2004; Colizza et al.
+    // 2006): for each degree threshold k, the edge density among nodes
+    // with degree > k — φ(k) = 2·E_k / (N_k·(N_k−1)). The structural
+    // companion to graph_assortativity's single correlation number: a
+    // rising φ(k) means hubs preferentially interconnect. Exact integer
+    // end to end (φ in ppm via BIGINT div, the similarity_join_exact
+    // rule). Shape: degrees from ONE distinct-undirected scan, the
+    // 4-threshold ladder rides a tiny explode (4 rows per node/edge,
+    // never 4 passes), and the only joins key on vertex id — no
+    // all-pairs anything. At 100 TB the deg frame is vertex-sized and
+    // the pair frame edge-sized; both shuffle on their natural keys.
+    "graph_rich_club" -> QueryDef(
+      (s, d) => {
+        val g = DerivedGraph(s, d)
+        val su = graft.model.DerivedGraph.undirected(g.edges).distinct()
+        val deg = su.groupBy("a").agg(count(lit(1)).as("dg"))
+        val pairs = su.filter(col("a") < col("b"))
+        val ks = array(Seq(2L, 4L, 8L, 16L).map(lit): _*)
+        val nodesK = deg.select(col("dg"), explode(ks).as("k"))
+          .filter(col("dg") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+        val da = deg.select(col("a"), col("dg").as("da"))
+        val db = deg.select(col("a").as("b"), col("dg").as("db"))
+        val edgesK = pairs.join(da, "a").join(db, "b")
+          .select(least(col("da"), col("db")).as("mn"))
+          .select(explode(ks).as("k"), col("mn"))
+          .filter(col("mn") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_edges"))
+        nodesK.join(edgesK, Seq("k"), "left_outer")
+          .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
+          .withColumn("phi_ppm",
+            when(col("n_nodes") > 1,
+              expr("(2 * n_edges * 1000000) div (n_nodes * (n_nodes - 1))")))
+          .orderBy("k")
+      },
+      s"""${DerivedGraphSql.cte},
+         | su AS (SELECT DISTINCT a, b FROM und),
+         | deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS dg FROM su GROUP BY a),
+         | pr AS (SELECT a, b FROM su WHERE a < b),
+         | pd AS (SELECT LEAST(dx.dg, dy.dg) AS mn
+         |        FROM pr JOIN deg dx ON pr.a = dx.a JOIN deg dy ON pr.b = dy.a),
+         | ks AS (SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS k),
+         | nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |        FROM ks JOIN deg ON deg.dg > ks.k GROUP BY k),
+         | ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+         |        FROM ks JOIN pd ON pd.mn > ks.k GROUP BY k)
+         |SELECT nk.k, nk.n_nodes,
+         |  COALESCE(ek.n_edges, CAST(0 AS BIGINT)) AS n_edges,
+         |  CASE WHEN nk.n_nodes > 1
+         |       THEN (2 * COALESCE(ek.n_edges, CAST(0 AS BIGINT)) * 1000000)
+         |            // (nk.n_nodes * (nk.n_nodes - 1)) END AS phi_ppm
+         |FROM nk LEFT JOIN ek USING (k) ORDER BY nk.k""".stripMargin)
   )
 }

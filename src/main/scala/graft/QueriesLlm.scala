@@ -1583,6 +1583,226 @@ object QueriesLlm {
            |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same,
            |  (COUNT(*) OVER (PARTITION BY phash)) > 1 AS is_dup
            |FROM ph ORDER BY doc_id""".stripMargin
+      }),
+
+    // BM25-shaped ranked sparse retrieval — the scoring companion to
+    // text_search_bool's boolean conjunctive search (Robertson-Spärck
+    // Jones probabilistic ranking; k1=1.2, b=0.75). Everything is exact
+    // fixed-point at 1e6 scale so the oracle replays bit-identically:
+    // the idf is the RATIONAL Robertson form (2N−2df+1)/(2df+1) — the
+    // log in classic BM25 is a monotone transform of exactly this ratio,
+    // and ln() is the one function the two engines round differently
+    // (the reason lm_score/tfidf are log-free). Query terms are chosen
+    // BY RANK from the corpus vocabulary (3rd and 7th most frequent,
+    // text_search_bool's no-baked-literals discipline). Scale shape: the
+    // 2-row term table broadcasts into the tf scan (prune-first
+    // semi-join); dl joins on doc_id (one key shuffle); N and Σdl ride a
+    // 1-row broadcast. Overflow audit: tfc6 ≤ 2.2e6; idf6 for a CHOSEN
+    // (top-frequency, df≈N) term is ≤ ~3e6, so tfc6·idf6 stays far
+    // inside BIGINT at any corpus size — the worst case (df=1 rarities,
+    // idf6≈2N·1e6) cannot reach this plan because the rank filter picks
+    // head terms by construction.
+    "bm25_retrieval" -> QueryDef(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy("doc_id", "source", "tok")
+          .agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+        val wT = Window.orderBy(col("cnt").desc, col("tok"))
+        val terms = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(7)
+          .withColumn("rk", row_number().over(wT))
+          .filter(col("rk") === 3 || col("rk") === 7)
+          .select("tok")
+        tf.join(broadcast(terms), "tok")
+          .join(broadcast(dfq.join(terms, "tok")), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("k6", lit(300000L) + expr("(900000 * dl * n) div s"))
+          .withColumn("tfc6",
+            expr("(tf * 2200000 * 1000000) div (tf * 1000000 + k6)"))
+          .withColumn("idf6",
+            expr("((2 * n - 2 * df + 1) * 1000000) div (2 * df + 1)"))
+          .withColumn("term6", expr("(tfc6 * idf6) div 1000000"))
+          .groupBy("doc_id", "source")
+          .agg(sum(col("term6")).as("score6"), count(lit(1)).as("n_terms"))
+          .orderBy(col("score6").desc, col("doc_id")).limit(10)
+      },
+      """WITH tk AS (SELECT doc_id, source,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY doc_id, source, tok),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+        |tr AS (SELECT tok FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+        |    FROM tk GROUP BY tok) WHERE rk IN (3, 7)),
+        |sc AS (SELECT tf.doc_id, tf.source, tf.tf, dfq.df, dl.dl, st.n, st.s
+        |  FROM tf JOIN tr USING (tok) JOIN dfq USING (tok)
+        |  JOIN dl USING (doc_id) CROSS JOIN st),
+        |te AS (SELECT doc_id, source,
+        |    (((tf * 2200000 * 1000000) //
+        |        (tf * 1000000 + (300000 + (900000 * dl * n) // s))) *
+        |     (((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1))) // 1000000 AS term6
+        |  FROM sc)
+        |SELECT doc_id, source, CAST(SUM(term6) AS BIGINT) AS score6,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM te GROUP BY doc_id, source
+        |ORDER BY score6 DESC, doc_id LIMIT 10""".stripMargin),
+
+    // Bigram collocation mining — the PMI screen a tokenizer/phrase
+    // pipeline runs to find multi-word units worth merging (Church &
+    // Hanks 1990; the statistical cousin of bpe_merge_pairs' frequency
+    // rule). Ranking key = the PMI ratio c(ab)·T / (c(a)·c(b)) in a
+    // defined integer replay: den = (c_a·c_b) div T floor-guarded to 1,
+    // score = (c_ab·1e6) div den — log-free (PMI's log is monotone in
+    // the ratio) and overflow-safe (c_a·c_b ≤ T², inside BIGINT through
+    // ~3e8-token corpora per shard; wider corpora rescale T the way
+    // Shuffle.P documents its prime bound). Shape: bigrams from a
+    // per-doc lag window (partition-parallel), then all shuffles carry
+    // (token, count) rows only — vocab-sized, never corpus-sized.
+    "ngram_pmi" -> QueryDef(
+      (s, d) => {
+        val tp = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bg = tp.withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+        val cab = bg.groupBy("tok", "nxt").agg(count(lit(1)).as("c_ab"))
+        val ca = cab.groupBy("tok").agg(sum(col("c_ab")).as("c_a"))
+        val cb = cab.groupBy("nxt").agg(sum(col("c_ab")).as("c_b"))
+        val tot = cab.agg(sum(col("c_ab")).as("tot"))
+        cab.join(ca, "tok").join(cb, "nxt")
+          .crossJoin(broadcast(tot))
+          .withColumn("pmi6", expr(
+            "(c_ab * 1000000) div greatest((c_a * c_b) div tot, CAST(1 AS BIGINT))"))
+          .select(col("tok"), col("nxt"), col("c_ab"), col("c_a"), col("c_b"),
+            col("pmi6"))
+          .orderBy(col("pmi6").desc, col("tok"), col("nxt")).limit(15)
+      },
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(a) - 1)) AS i, a
+        |  FROM d WHERE len(a) >= 2),
+        |bg AS (SELECT a[i] AS tok, a[i + 1] AS nxt FROM p),
+        |cab AS (SELECT tok, nxt, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM bg GROUP BY tok, nxt),
+        |ca AS (SELECT tok, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY tok),
+        |cb AS (SELECT nxt, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY nxt),
+        |tt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS tot FROM cab)
+        |SELECT cab.tok, cab.nxt, cab.c_ab, ca.c_a, cb.c_b,
+        |  (c_ab * 1000000) // greatest((c_a * c_b) // tot, CAST(1 AS BIGINT)) AS pmi6
+        |FROM cab JOIN ca USING (tok) JOIN cb USING (nxt) CROSS JOIN tt
+        |ORDER BY pmi6 DESC, tok, nxt LIMIT 15""".stripMargin),
+
+    // T5-style span corruption (Raffel et al. 2020 §3.1.4) made
+    // deterministic: each (doc, pos) draws from the shared affine hash —
+    // mask when (A·(1000·doc+pos)+B) mod P mod 100 < 15 — consecutive
+    // masked tokens collapse into ONE '<X>' sentinel (the span rule),
+    // and the masked text is rebuilt order-exactly. Per-doc lag window →
+    // partition-parallel; the rebuild is sort_array(collect_list(struct))
+    // inside the same per-doc agg, so nothing ever needs a global order.
+    // The oracle replays token positions via generate_series + list
+    // indexing and the same lag/string_agg — a span-boundary bug (lag
+    // null handling, run collapse) breaks the hash match.
+    "mask_spans" -> QueryDef(
+      (s, d) => {
+        import graft.ops.llm.Shuffle
+        val tp = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("m",
+            (lit(Shuffle.A) * (col("doc_id") * 1000 + col("pos")) + lit(Shuffle.B))
+              % Shuffle.P % 100 < 15)
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val r = tp.withColumn("pm", lag(col("m"), 1).over(w))
+          .withColumn("st", col("m") && (col("pm").isNull || !col("pm")))
+          .withColumn("emit",
+            when(!col("m"), col("tok")).when(col("st"), lit("<X>")))
+        r.groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+          sum(when(col("st"), 1L).otherwise(0L)).as("n_spans"),
+          array_join(transform(
+            sort_array(collect_list(when(col("emit").isNotNull,
+              struct(col("pos"), col("emit"))))),
+            x => x.getField("emit")), " ").as("masked_text"))
+          .orderBy("doc_id")
+      },
+      {
+        import graft.ops.llm.Shuffle
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+           |tp AS (SELECT doc_id, unnest(generate_series(1, len(a))) AS i, a
+           |  FROM d WHERE len(a) > 0),
+           |tk AS (SELECT doc_id, i - 1 AS pos, a[i] AS tok,
+           |    ((${Shuffle.A} * (doc_id * 1000 + (i - 1)) + ${Shuffle.B})
+           |      % ${Shuffle.P}) % 100 < 15 AS m
+           |  FROM tp),
+           |r AS (SELECT doc_id, pos, tok, m,
+           |    lag(m) OVER (PARTITION BY doc_id ORDER BY pos) AS pm FROM tk),
+           |e AS (SELECT doc_id, pos, m,
+           |    (m AND (pm IS NULL OR NOT pm)) AS st,
+           |    CASE WHEN NOT m THEN tok
+           |         WHEN m AND (pm IS NULL OR NOT pm) THEN '<X>' END AS emit
+           |  FROM r)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           |  CAST(SUM(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           |  string_agg(emit, ' ' ORDER BY pos) FILTER (WHERE emit IS NOT NULL)
+           |    AS masked_text
+           |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // Deterministic train/val/test holdout — the split every training
+    // run fixes BEFORE any curation so membership never drifts between
+    // re-runs (hash-based assignment, never rand()). Bucket = shuffle
+    // key mod 97, a PRIME: mod 100 would alias — gcd(A,100)=25, so for
+    // dense ids the affine key mod 100 cycles through only 4 residues
+    // {23,48,73,98} and the val band is structurally empty (caught by
+    // the sf0.001 oracle run; the classic weak-low-digits LCG trap).
+    // Mod a prime coprime to A, consecutive ids sweep every residue →
+    // 87/5/5 bands ≈ 90/5/5. Emits the per-split audit a pipeline logs:
+    // doc and token counts, the bucket range actually hit, and each
+    // split's ppm share. Map-only assignment + one 3-group agg; the
+    // only window is `sum() over ()` on the 3-row split table.
+    "split_holdout" -> QueryDef(
+      (s, d) => {
+        import graft.ops.llm.Shuffle
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .withColumn("bucket", Shuffle.shuffleKey(col("doc_id")) % 97)
+          .withColumn("split",
+            when(col("bucket") < 87, "train").when(col("bucket") < 92, "val")
+              .otherwise("test"))
+        docs.groupBy("split").agg(
+            count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+            min(col("bucket")).as("min_bucket"), max(col("bucket")).as("max_bucket"))
+          .withColumn("share_ppm",
+            expr("(n_docs * 1000000) div sum(n_docs) over ()"))
+          .orderBy("split")
+      },
+      {
+        import graft.ops.llm.Shuffle
+        s"""WITH d AS (SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           |    ((${Shuffle.A} * (doc_id % ${Shuffle.P}) + ${Shuffle.B})
+           |      % ${Shuffle.P}) % 97 AS bucket
+           |  FROM documents),
+           |s AS (SELECT CASE WHEN bucket < 87 THEN 'train'
+           |             WHEN bucket < 92 THEN 'val' ELSE 'test' END AS split,
+           |    n_toks, bucket FROM d),
+           |g AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           |    CAST(MIN(bucket) AS BIGINT) AS min_bucket,
+           |    CAST(MAX(bucket) AS BIGINT) AS max_bucket
+           |  FROM s GROUP BY split)
+           |SELECT split, n_docs, n_tokens, min_bucket, max_bucket,
+           |  (n_docs * 1000000) // CAST(SUM(n_docs) OVER () AS BIGINT) AS share_ppm
+           |FROM g ORDER BY split""".stripMargin
       })
   )
 

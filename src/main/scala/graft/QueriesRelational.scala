@@ -1238,6 +1238,68 @@ object QueriesRelational {
         |SELECT d.event_id, d.event_type, d.value, round(d.dev / mad.mad, 4) AS rz
         |FROM d JOIN mad USING (event_type)
         |WHERE d.dev > 3 * mad.mad
-        |ORDER BY d.event_id""".stripMargin)
+        |ORDER BY d.event_id""".stripMargin),
+
+    // RFM customer segmentation (Hughes 1994; the classic marketing
+    // cohort cube): per customer, Recency = days from last order to the
+    // dataset horizon, Frequency = order count, Monetary = exact cents
+    // through the DECIMAL ladder; each metric quintiled 1-5 (R inverted:
+    // 5 = most recent) and customers rolled up by their 3-digit RFM
+    // code. The quintile needs a GLOBAL rank per metric — the scale
+    // hazard — so ranks come from Shuffle.globalRowNumber's two-level
+    // prefix-sum (range-bucketed key, per-bucket windows, the one
+    // unpartitioned window on the ≤64-row bucket-count table), never a
+    // single-partition window over all customers. Quintile boundaries
+    // are exact rank arithmetic (1 + (5·(rank−1)) div n), so the oracle
+    // replays them from plain row_number.
+    "rfm_segment" -> QueryDef(
+      (s, d) => {
+        import graft.ops.llm.Shuffle
+        val rfm = t(s, d, "orders").groupBy("o_custkey").agg(
+          min(datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date")))
+            .cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast("long").as("monetary_cents"))
+        val ranked = Shuffle.globalRowNumber(
+          Shuffle.globalRowNumber(
+            Shuffle.globalRowNumber(rfm, "recency_days", "o_custkey", 4000L, 64)
+              .withColumnRenamed("pos", "r_rank"),
+            "frequency", "o_custkey", 1000000L, 64)
+            .withColumnRenamed("pos", "f_rank"),
+          "monetary_cents", "o_custkey", 1000000000000L, 64)
+          .withColumnRenamed("pos", "m_rank")
+        val tot = rfm.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("segment", expr(
+            """(5 - ((5 * (r_rank - 1)) div n)) * 100 +
+              |(1 + ((5 * (f_rank - 1)) div n)) * 10 +
+              |(1 + ((5 * (m_rank - 1)) div n))""".stripMargin))
+          .groupBy("segment").agg(
+            count(lit(1)).as("n_customers"),
+            sum(col("monetary_cents")).as("monetary_cents"))
+          .orderBy("segment")
+      },
+      """WITH rfm AS (SELECT o_custkey,
+        |    CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31'))
+        |      AS BIGINT) AS recency_days,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT monetary_cents,
+        |    CAST(row_number() OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_rank,
+        |    CAST(row_number() OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_rank,
+        |    CAST(row_number() OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT) AS m_rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM rfm),
+        |q AS (SELECT monetary_cents,
+        |    (5 - ((5 * (r_rank - 1)) // n)) * 100 +
+        |    (1 + ((5 * (f_rank - 1)) // n)) * 10 +
+        |    (1 + ((5 * (m_rank - 1)) // n)) AS segment
+        |  FROM r)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents
+        |FROM q GROUP BY segment ORDER BY segment""".stripMargin)
   )
 }

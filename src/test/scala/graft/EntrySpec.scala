@@ -64,7 +64,10 @@ class EntrySpec extends SparkSpec {
       "dedup_substring", "outlier_mad", "quality_encoding", "graph_walks",
       "unpivot_long", "window_ewma", "interval_coverage", "cdc_apply",
       "multimodal_phash", "graph_harmonic", "similarity_join_exact",
-      "graph_modularity", "watermark_audit", "vocab_nucleus")
+      "graph_modularity", "watermark_audit", "vocab_nucleus",
+      // round-10b additions
+      "bm25_retrieval", "ngram_pmi", "mask_spans", "split_holdout",
+      "rfm_segment", "graph_rich_club")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

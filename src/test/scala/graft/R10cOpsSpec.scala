@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the round-10b operators (bm25_retrieval, ngram_pmi,
+  * mask_spans, split_holdout, rfm_segment, graph_rich_club). Oracle
+  * parity at sf0.01 is the correctness gate; these pin SEMANTICS on
+  * hand-built corpora where the expected values are recomputed by an
+  * independent plain-Scala reimplementation (or knowable by eye).
+  */
+class R10cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10c").toString
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bm25_retrieval matches an independent fixed-point reimplementation") {
+    // vocab ranks by (cnt desc, tok): w1=10 → r1, w2=7 → r2, w3=7 → r3,
+    // w4=w5=w6=w7=4 → r4..r7, w8=3 → r8. Terms = rank 3 (w3), rank 7 (w7).
+    val docs = Seq(
+      (0L, "w1 w1 w1 w1 w3 w3 w3 w7", "s0"),
+      (1L, "w1 w1 w2 w2 w3 w7 w7", "s0"),
+      (2L, "w1 w2 w3 w4 w5 w6", "s1"),
+      (3L, "w1 w2 w2 w4 w4 w5 w6 w8", "s1"),
+      (4L, "w1 w2 w3 w3 w5 w6 w8", "s1"),
+      (5L, "w1 w2 w4 w5 w6 w7 w8", "s1"))
+    val dir = writeDocs(docs)
+    // independent replay of the declared integer formula
+    val toks = docs.map { case (id, t, s) => (id, s, t.split(" ").toSeq) }
+    val n = toks.size.toLong
+    val sTot = toks.map(_._3.size.toLong).sum
+    val dfOf = Map("w3" -> 4L, "w7" -> 3L)
+    def score(id: Long): (Long, Long) = {
+      val (_, _, ts) = toks.find(_._1 == id).get
+      val dl = ts.size.toLong
+      val terms = Seq("w3", "w7").flatMap { w =>
+        val tf = ts.count(_ == w).toLong
+        if (tf == 0) None else {
+          val df = dfOf(w)
+          val k6 = 300000L + (900000L * dl * n) / sTot
+          val tfc6 = (tf * 2200000L * 1000000L) / (tf * 1000000L + k6)
+          val idf6 = ((2 * n - 2 * df + 1) * 1000000L) / (2 * df + 1)
+          Some(tfc6 * idf6 / 1000000L)
+        }
+      }
+      (terms.sum, terms.size.toLong)
+    }
+    val expected = Seq(0L, 1L, 2L, 4L, 5L)
+      .map(id => (id, score(id))).map { case (id, (s6, nt)) => (id, s6, nt) }
+      .sortBy { case (id, s6, _) => (-s6, id) }
+    val got = SparkEntry.queries("bm25_retrieval")(spark, dir)
+      .select("doc_id", "score6", "n_terms").as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("ngram_pmi: hand-computed collocation ranks on a 2-doc corpus") {
+    // doc0 bigrams: (x,y) (y,x) (x,y); doc1: (z,w). T=4.
+    // pmi6(x,y) = 2e6 div max((2·2) div 4, 1) = 2e6
+    // pmi6(y,x) = 1e6 div max((1·1) div 4, 1) = 1e6 (den floor-guarded)
+    // pmi6(z,w) = 1e6; tie → (tok, nxt) order puts (y,x) before (z,w)
+    val dir = writeDocs(Seq((0L, "x y x y", "s0"), (1L, "z w", "s0")))
+    val got = SparkEntry.queries("ngram_pmi")(spark, dir)
+      .select("tok", "nxt", "c_ab", "pmi6").as[(String, String, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("x", "y", 2L, 2000000L), ("y", "x", 1L, 1000000L),
+      ("z", "w", 1L, 1000000L)))
+  }
+
+  test("mask_spans: run collapse, counts, and text match a plain replay") {
+    import graft.ops.llm.Shuffle
+    val texts = Seq((0L, "a b c d e f g h i j k l", "s0"),
+      (7L, "p q r s t u v w", "s0"))
+    val dir = writeDocs(texts)
+    def replay(id: Long, text: String): (Long, Long, Long, String) = {
+      val ts = text.split(" ")
+      val m = ts.indices.map(p =>
+        (Shuffle.A * (id * 1000 + p) + Shuffle.B) % Shuffle.P % 100 < 15)
+      val out = scala.collection.mutable.Buffer[String]()
+      var spans = 0L
+      ts.indices.foreach { p =>
+        if (!m(p)) out += ts(p)
+        else if (p == 0 || !m(p - 1)) { out += "<X>"; spans += 1 }
+      }
+      (ts.length.toLong, m.count(identity).toLong, spans, out.mkString(" "))
+    }
+    val expected = texts.map { case (id, t, _) =>
+      val (nt, nm, ns, mt) = replay(id, t); (id, nt, nm, ns, mt)
+    }
+    val got = SparkEntry.queries("mask_spans")(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the fixture must actually exercise masking (else the test is vacuous)
+    assert(got.map(_._3).sum > 0)
+  }
+
+  test("split_holdout: all three splits populated, shares and counts consistent") {
+    val got = SparkEntry.queries("split_holdout")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // the mod-100 aliasing regression left val empty — 3 rows is the guard
+    assert(got.map(_._1).sorted.toSeq == Seq("test", "train", "val"))
+    val n = got.map(_._2).sum
+    assert(n == 500L)
+    val train = got.find(_._1 == "train").get
+    assert(train._2 > n * 8 / 10, s"train share too small: ${train._2}/$n")
+    got.foreach { case (_, nd, _, minB, maxB, ppm) =>
+      assert(minB >= 0 && maxB <= 96)
+      assert(ppm == nd * 1000000L / n)
+    }
+  }
+
+  test("rfm_segment: digit ranges, customer conservation, exact cents total") {
+    val d = "/root/testdata/sf0.001"
+    val seg = SparkEntry.queries("rfm_segment")(spark, d)
+      .as[(Long, Long, Long)].collect()
+    val orders = Qh.t(spark, d, "orders")
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(seg.map(_._2).sum == nCust)
+    seg.foreach { case (code, _, _) =>
+      val (r, f, m) = (code / 100, code / 10 % 10, code % 10)
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5, s"code $code")
+    }
+    val totalCents = orders
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long"))
+      .as[Long].head()
+    assert(seg.map(_._3).sum == totalCents)
+  }
+
+  test("graph_rich_club: monotone ladder, phi within [0, 1e6]") {
+    val got = SparkEntry.queries("graph_rich_club")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    // higher threshold → subset of nodes and edges
+    got.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi._2 <= lo._2, s"nodes not monotone: $lo $hi")
+        assert(hi._3 <= lo._3, s"edges not monotone: $lo $hi")
+      case _ =>
+    }
+    got.foreach { case (_, nn, ne, phi) =>
+      phi.foreach(p => assert(p >= 0 && p <= 1000000L, s"phi $p"))
+      if (nn > 1) assert(phi.isDefined)
+      assert(ne <= nn * (nn - 1) / 2)
+    }
+    assert(got.nonEmpty)
+  }
+}
