@@ -686,6 +686,93 @@ object QueriesRelational {
         .orderBy("grp"),
       graft.ops.Sketches.hllOracleSql("lineitem", "l_returnflag", "l_orderkey")),
 
+    // Set-intersection cardinality from SKETCHES — the segment-overlap
+    // estimate (how many parts ship in BOTH an extreme-small- and an
+    // extreme-large-quantity line; the tail thresholds make the overlap
+    // genuinely partial — ~2/3 — rather than the everything-overlaps
+    // degenerate case) computed without ever materializing the
+    // intersection:
+    // inclusion-exclusion over three replayable HLLs (est_a + est_b −
+    // est_union; union sketch = the register view of the concatenated
+    // stream, exactly the register-max merge). Every register is exact
+    // integer arithmetic (the sketch_hll_replay discipline), so even the
+    // APPROXIMATE estimates hash-match the oracle — and the exact
+    // intersection count rides along as the calibration column with the
+    // loose 3σ-per-sketch bound (3·1.04/√256 per estimate, summed over
+    // the three, scaled by the union). The sets are part keys, not the
+    // fixture's ~15 users: raw HLL needs ≥ 2.5·m distincts before the
+    // linear-counting correction — which needs ln(), the one function
+    // the engines round differently — so the operator keys on the
+    // column whose cardinality is in the sketch's raw range at the gate
+    // SF and documents the small-range limit instead of hiding it. At
+    // 100 TB each sketch shuffles ≤ 256 register rows however many rows
+    // stream through, vs the exact path's full distinct — this row
+    // keeps both honest.
+    "sketch_hll_intersect" -> QueryDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        // ONE lineitem scan feeds all three sketch streams (the a/b
+        // predicates are mutually exclusive, so each qualifying line
+        // emits its own label plus 'u' exactly once — multiplicity is
+        // irrelevant to the max-based registers anyway). A union of
+        // filtered scans read the fact table 4x (measured 2x slower at
+        // the sf1 decade probe).
+        val labeled = li.select(
+            explode(when(col("l_quantity") <= 2, array(lit("a"), lit("u")))
+              .when(col("l_quantity") >= 49, array(lit("b"), lit("u")))
+              .otherwise(typedLit(Seq.empty[String]))).as("g"),
+            col("l_partkey"))
+        val est = graft.ops.Sketches.hllReplayable(labeled, "g", "l_partkey")
+          .agg(max(when(col("grp") === "a", col("est_hll"))).as("est_a"),
+            max(when(col("grp") === "b", col("est_hll"))).as("est_b"),
+            max(when(col("grp") === "u", col("est_hll"))).as("est_u"))
+        val exact = li.groupBy("l_partkey").agg(
+            max(when(col("l_quantity") <= 2, 1L).otherwise(0L)).as("ia"),
+            max(when(col("l_quantity") >= 49, 1L).otherwise(0L)).as("ib"))
+          .agg(sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"),
+            sum(col("ia") * col("ib")).as("n_inter"))
+        exact.crossJoin(broadcast(est))
+          .withColumn("est_inter",
+            round(col("est_a") + col("est_b") - col("est_u"), 4))
+          .withColumn("abs_err", round(abs(col("est_inter") - col("n_inter")), 4))
+          .withColumn("within_bound",
+            col("abs_err") <= lit(3 * 3 * 1.04 / 16.0) * col("est_u"))
+          .select("n_a", "n_b", "n_inter", "est_a", "est_b", "est_u",
+            "est_inter", "abs_err", "within_bound")
+          .orderBy("n_a")
+      },
+      {
+        val hll = graft.ops.Sketches.hllOracleSql(
+          """(SELECT 'a' AS g, l_partkey FROM lineitem WHERE l_quantity <= 2
+            |   UNION ALL
+            |   SELECT 'b', l_partkey FROM lineitem WHERE l_quantity >= 49
+            |   UNION ALL
+            |   SELECT 'u', l_partkey FROM (
+            |     SELECT l_partkey FROM lineitem WHERE l_quantity <= 2
+            |     UNION ALL
+            |     SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)) labeled""".stripMargin,
+          "g", "l_partkey")
+        s"""WITH est0 AS ($hll),
+           |e1 AS (SELECT
+           |    MAX(CASE WHEN grp = 'a' THEN est_hll END) AS est_a,
+           |    MAX(CASE WHEN grp = 'b' THEN est_hll END) AS est_b,
+           |    MAX(CASE WHEN grp = 'u' THEN est_hll END) AS est_u
+           |  FROM est0),
+           |ux AS (SELECT l_partkey,
+           |    MAX(CASE WHEN l_quantity <= 2 THEN 1 ELSE 0 END) AS ia,
+           |    MAX(CASE WHEN l_quantity >= 49 THEN 1 ELSE 0 END) AS ib
+           |  FROM lineitem GROUP BY l_partkey),
+           |ex AS (SELECT CAST(SUM(ia) AS BIGINT) AS n_a,
+           |    CAST(SUM(ib) AS BIGINT) AS n_b,
+           |    CAST(SUM(ia * ib) AS BIGINT) AS n_inter FROM ux)
+           |SELECT n_a, n_b, n_inter, est_a, est_b, est_u,
+           |  round(est_a + est_b - est_u, 4) AS est_inter,
+           |  round(abs(round(est_a + est_b - est_u, 4) - n_inter), 4) AS abs_err,
+           |  round(abs(round(est_a + est_b - est_u, 4) - n_inter), 4)
+           |    <= ${3 * 3 * 1.04 / 16.0} * est_u AS within_bound
+           |FROM ex CROSS JOIN e1 ORDER BY n_a""".stripMargin
+      }),
+
     // Declarative data-quality verification (Schelter et al., "Automating
     // Large-Scale Data Quality Verification", VLDB 2018 — the Deequ /
     // Great-Expectations shape): six constraints over orders — row count,

@@ -130,6 +130,31 @@ class R10cOpsSpec extends SparkSpec {
     assert(seg.map(_._3).sum == totalCents)
   }
 
+  test("sketch_hll_intersect: inclusion-exclusion calibrates within bound at gate SF") {
+    val d = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("sketch_hll_intersect")(spark, d)
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double, Boolean)]
+      .collect().head
+    val (nA, nB, nInter, estA, estB, estU, estInter, absErr, within) = r
+    // exact columns recomputed directly
+    val li = Qh.t(spark, d, "lineitem")
+    val ux = li.groupBy("l_partkey").agg(
+      max(when(col("l_quantity") <= 2, 1L).otherwise(0L)).as("ia"),
+      max(when(col("l_quantity") >= 49, 1L).otherwise(0L)).as("ib"))
+    val (eA, eB, eI) = ux.agg(sum("ia"), sum("ib"), sum(col("ia") * col("ib")))
+      .as[(Long, Long, Long)].head()
+    assert((nA, nB, nInter) == ((eA, eB, eI)))
+    // set algebra sanity on the estimates; the overlap must be PARTIAL
+    assert(estU <= estA + estB + 1e-9)
+    assert(estInter == BigDecimal(estA + estB - estU)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(nInter < nA && nInter < nB && nInter > 0, "fixture overlap degenerate")
+    assert(absErr == BigDecimal(math.abs(estInter - nInter))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // at gate SF the sets are in HLL's raw range -> the bound must hold
+    assert(within, s"calibration out of bound: est $estInter vs exact $nInter")
+  }
+
   test("graph_rich_club: monotone ladder, phi within [0, 1e6]") {
     val got = SparkEntry.queries("graph_rich_club")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Option[Long])].collect()
