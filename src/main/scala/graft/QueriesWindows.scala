@@ -392,6 +392,96 @@ object QueriesWindows {
         |SELECT CAST(cohort AS DATE) AS cohort_week,
         |  CAST(date_diff('day', cohort, w) // 7 AS BIGINT) AS week_offset,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Lag autocorrelation of the per-minute event-rate series (the
+    // Box-Jenkins ACF at lags 1-3) — the periodicity probe a pipeline
+    // runs before picking window sizes or alert baselines. Series =
+    // minute-bucket counts; each lag pairs bucket b with b+lag where
+    // BOTH exist (gap buckets carry no zero-fill row — the sparse
+    // convention, documented rather than hidden); Pearson r from the
+    // exact DECIMAL power-sum ladder (agg_stats/assortativity rule:
+    // never the built-in corr), one display divide. Shape: events
+    // collapse to the minute-count table FIRST — the lag self-join and
+    // the 3-lag explode touch only that tiny frame, never events.
+    "ts_autocorr" -> QueryDef(
+      (s, d) => {
+        val bk = t(s, d, "events")
+          .groupBy(expr("unix_micros(ts) div 60000000").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val pairs = bk
+          .select(explode(array(lit(1L), lit(2L), lit(3L))).as("lag"),
+            col("b"), col("cnt").as("x"))
+          .withColumn("b2", col("b") + col("lag"))
+          .join(bk.select(col("b").as("b2"), col("cnt").as("y")), "b2")
+        val nD = col("n_pairs").cast("double")
+        val vx = nD * col("sx2") - col("sx") * col("sx")
+        val vy = nD * col("sy2") - col("sy") * col("sy")
+        pairs.groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+            dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+            dsum(col("x") * col("y")).as("sxy"),
+            dsum(col("x") * col("x")).as("sx2"),
+            dsum(col("y") * col("y")).as("sy2"))
+          // zero-variance series (a perfectly constant rate — the sf0.001
+          // fixture) has no defined ACF: NULL, never a divide-by-zero
+          // (ANSI mode makes the unguarded divide a runtime error)
+          .select(col("lag"), col("n_pairs"),
+            when(vx > 0 && vy > 0,
+              round((nD * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(vx) * sqrt(vy)), 6)).as("autocorr"))
+          .orderBy("lag")
+      },
+      s"""WITH bk AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 60000000 AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY b),
+         |lg AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS lag),
+         |pr AS (SELECT lg.lag, x.cnt AS x, y.cnt AS y
+         |  FROM lg CROSS JOIN bk x JOIN bk y ON y.b = x.b + lg.lag),
+         |st AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    ${dsumSql("x")} AS sx, ${dsumSql("y")} AS sy,
+         |    ${dsumSql("x*y")} AS sxy, ${dsumSql("x*x")} AS sx2,
+         |    ${dsumSql("y*y")} AS sy2
+         |  FROM pr GROUP BY lag)
+         |SELECT lag, n_pairs,
+         |  CASE WHEN CAST(n_pairs AS DOUBLE) * sx2 - sx * sx > 0
+         |        AND CAST(n_pairs AS DOUBLE) * sy2 - sy * sy > 0
+         |  THEN round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+         |    / (sqrt(CAST(n_pairs AS DOUBLE) * sx2 - sx * sx)
+         |       * sqrt(CAST(n_pairs AS DOUBLE) * sy2 - sy * sy)), 6) END AS autocorr
+         |FROM st ORDER BY lag""".stripMargin),
+
+    // CUSUM changepoint detection on the same per-minute rate series
+    // (Page 1954): deviations kept EXACT by clearing the mean's
+    // denominator — dev·T = T·cnt − S (T buckets, S total events; the
+    // devs sum to zero by construction) — cumulative-summed in bucket
+    // order; the changepoint is the bucket where |cusum| peaks (min-b
+    // tie-break). All BIGINT; the only window runs on the minute-count
+    // table (one row per minute of history — ~526k rows/year at ANY
+    // event volume; past that the two-level prefix-sum discipline
+    // applies), never on events.
+    "ts_changepoint" -> QueryDef(
+      (s, d) => {
+        val bk = t(s, d, "events")
+          .groupBy(expr("unix_micros(ts) div 60000000").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val st = bk.agg(count(lit(1)).as("t"), sum(col("cnt")).as("s"))
+        val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        bk.crossJoin(broadcast(st))
+          .withColumn("dev_t", col("t") * col("cnt") - col("s"))
+          .withColumn("cusum_t", sum(col("dev_t")).over(w))
+          .select(col("b").as("cp_bucket"), col("t").as("n_buckets"),
+            col("s").as("total_events"), abs(col("cusum_t")).as("max_abs_cusum_t"))
+          .orderBy(abs(col("cusum_t")).desc, col("b")).limit(1)
+      },
+      """WITH bk AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 60000000 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY b),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+        |    CAST(SUM(cnt) AS BIGINT) AS s FROM bk),
+        |c AS (SELECT b, t, s,
+        |    CAST(SUM(t * cnt - s) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum_t
+        |  FROM bk CROSS JOIN st)
+        |SELECT b AS cp_bucket, t AS n_buckets, s AS total_events,
+        |  abs(cusum_t) AS max_abs_cusum_t
+        |FROM c ORDER BY abs(cusum_t) DESC, b LIMIT 1""".stripMargin)
   )
 }

@@ -67,7 +67,8 @@ class EntrySpec extends SparkSpec {
       "graph_modularity", "watermark_audit", "vocab_nucleus",
       // round-10b additions
       "bm25_retrieval", "ngram_pmi", "mask_spans", "split_holdout",
-      "rfm_segment", "graph_rich_club", "sketch_hll_intersect")
+      "rfm_segment", "graph_rich_club", "sketch_hll_intersect",
+      "ts_autocorr", "ts_changepoint")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

@@ -47,4 +47,16 @@ class PlanShapeR10cSpec extends SparkSpec {
     val p = planOf("graph_rich_club")
     assert(!p.contains("CartesianProduct"), s"rich-club plan:\n$p")
   }
+
+  test("ts_autocorr: lag self-join rides the minute table, no cartesian") {
+    val p = planOf("ts_autocorr")
+    assert(!p.contains("CartesianProduct"), s"autocorr plan:\n$p")
+  }
+
+  test("ts_changepoint: one window pass over the minute table") {
+    val p = planOf("ts_changepoint")
+    assert(!p.contains("CartesianProduct"), s"changepoint plan:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows <= 2, s"expected one window pass (+AQE reprint), got $windows:\n$p")
+  }
 }

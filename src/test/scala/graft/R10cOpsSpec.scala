@@ -155,6 +155,54 @@ class R10cOpsSpec extends SparkSpec {
     assert(within, s"calibration out of bound: est $estInter vs exact $nInter")
   }
 
+  private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10cev").toString
+    rows.map { case (id, ts, u, et, v) => (id, ts, u, et, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("ts_autocorr: alternating series gives r = -1 at lag 1, +1 at lag 2") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    var id = 0L
+    val rows = for {
+      m <- 0 until 60
+      cnt = if (m % 2 == 0) 10 else 20
+      _ <- 0 until cnt
+    } yield {
+      id += 1
+      (id, new java.sql.Timestamp(t0.getTime + m * 60000L), 1L, "click", 1.0)
+    }
+    val dir = writeEvents(rows)
+    val got = SparkEntry.queries("ts_autocorr")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got(0)._3 == -1.0 && got(1)._3 == 1.0 && got(2)._3 == -1.0, s"$got")
+    assert(got.map(_._2) == Seq(59L, 58L, 57L))
+  }
+
+  test("ts_changepoint: CUSUM peaks at the level-shift boundary") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    var id = 0L
+    val rows = for {
+      m <- 0 until 60
+      cnt = if (m < 30) 10 else 20
+      _ <- 0 until cnt
+    } yield {
+      id += 1
+      (id, new java.sql.Timestamp(t0.getTime + m * 60000L), 1L, "click", 1.0)
+    }
+    val dir = writeEvents(rows)
+    val (cp, nb, tot, peak) = SparkEntry.queries("ts_changepoint")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().head
+    val base = t0.getTime / 60000L // minute index of the series start (UTC)
+    assert(cp == base + 29, s"changepoint at $cp, expected ${base + 29}")
+    assert(nb == 60L && tot == 900L)
+    // cusum_t at the pre-shift trough: 30 buckets x (60*10 - 900) = -9000
+    assert(peak == 9000L)
+  }
+
   test("graph_rich_club: monotone ladder, phi within [0, 1e6]") {
     val got = SparkEntry.queries("graph_rich_club")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Option[Long])].collect()
