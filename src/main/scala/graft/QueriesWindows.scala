@@ -406,9 +406,7 @@ object QueriesWindows {
     // the 3-lag explode touch only that tiny frame, never events.
     "ts_autocorr" -> QueryDef(
       (s, d) => {
-        val bk = t(s, d, "events")
-          .groupBy(expr("unix_micros(ts) div 60000000").as("b"))
-          .agg(count(lit(1)).as("cnt"))
+        val bk = Windows.minuteCounts(t(s, d, "events"))
         val pairs = bk
           .select(explode(array(lit(1L), lit(2L), lit(3L))).as("lag"),
             col("b"), col("cnt").as("x"))
@@ -459,19 +457,8 @@ object QueriesWindows {
     // event volume; past that the two-level prefix-sum discipline
     // applies), never on events.
     "ts_changepoint" -> QueryDef(
-      (s, d) => {
-        val bk = t(s, d, "events")
-          .groupBy(expr("unix_micros(ts) div 60000000").as("b"))
-          .agg(count(lit(1)).as("cnt"))
-        val st = bk.agg(count(lit(1)).as("t"), sum(col("cnt")).as("s"))
-        val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-        bk.crossJoin(broadcast(st))
-          .withColumn("dev_t", col("t") * col("cnt") - col("s"))
-          .withColumn("cusum_t", sum(col("dev_t")).over(w))
-          .select(col("b").as("cp_bucket"), col("t").as("n_buckets"),
-            col("s").as("total_events"), abs(col("cusum_t")).as("max_abs_cusum_t"))
-          .orderBy(abs(col("cusum_t")).desc, col("b")).limit(1)
-      },
+      (s, d) => Windows.cusumChangepoint(
+        Windows.minuteCounts(t(s, d, "events"))),
       """WITH bk AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 60000000 AS b,
         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY b),
         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,

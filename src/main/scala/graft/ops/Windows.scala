@@ -348,4 +348,69 @@ object Windows {
   def streamingSessions(streamingEvents: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =
     sessions(streamingEvents.withWatermark("ts", watermark), gap)
+
+  /** Per-minute event-rate series `(b, cnt)` — the shared input of the
+    * two time-series queries (`ts_autocorr`, `ts_changepoint`) and the
+    * [[RateView]] streaming state. One combinable groupBy; at any event
+    * volume the output is one row per minute of history.
+    */
+  def minuteCounts(events: DataFrame): DataFrame =
+    events.groupBy(expr("unix_micros(ts) div 60000000").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** CUSUM changepoint over a `(b, cnt)` rate series (Page 1954), exact
+    * integer arithmetic (dev·T = T·cnt − S so the mean never divides):
+    * the single row where |cusum| peaks, min-b tie-break. One source of
+    * truth for the batch query AND the streaming view — the
+    * batch/streaming unification discipline. The window runs on the
+    * minute table (one row per minute of history), never on events.
+    */
+  def cusumChangepoint(bk: DataFrame): DataFrame = {
+    val st = bk.agg(count(lit(1)).as("t"), sum(col("cnt")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("b").rowsBetween(Long.MinValue, 0)
+    bk.crossJoin(broadcast(st))
+      .withColumn("dev_t", col("t") * col("cnt") - col("s"))
+      .withColumn("cusum_t", sum(col("dev_t")).over(w))
+      .select(col("b").as("cp_bucket"), col("t").as("n_buckets"),
+        col("s").as("total_events"), abs(col("cusum_t")).as("max_abs_cusum_t"))
+      .orderBy(abs(col("cusum_t")).desc, col("b")).limit(1)
+  }
+
+  /** Incrementally-maintained minute-rate state + CUSUM changepoint —
+    * the streaming twin of `ts_changepoint` (the LocfView/NearDedupView
+    * foreachBatch-fold pattern) with a STRONGER contract than the other
+    * twins: minute counts merge as an abelian group (groupBy(b).sum), so
+    * the fold is ORDER-INDEPENDENT — late or out-of-order events land in
+    * their bucket whatever batch they arrive in; no watermark discipline
+    * is needed and parity with the batch query holds under ANY split of
+    * the prefix into batches (ChangepointStreamSpec proves both the
+    * time-ordered and the shuffled split). State = one row per minute of
+    * history (~526k rows/year at ANY event volume), localCheckpointed so
+    * lineage never grows with batch count.
+    */
+  final class RateView(spark: org.apache.spark.sql.SparkSession) {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    private var state: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("b", LongType), StructField("cnt", LongType))))
+
+    /** foreachBatch sink: `stream.writeStream.foreachBatch(view.sink)`. */
+    def sink(batch: DataFrame, batchId: Long): Unit = { processBatch(batch); () }
+
+    /** Fold one micro-batch of raw events into the rate state. */
+    def processBatch(batch: DataFrame): Unit =
+      state = state.unionByName(minuteCounts(batch))
+        .groupBy("b").agg(sum(col("cnt")).as("cnt"))
+        .localCheckpoint()
+
+    /** The changepoint over everything folded so far — identical to the
+      * batch query on the union of all batches, by construction.
+      */
+    def changepoint: DataFrame = cusumChangepoint(state)
+
+    /** Current state size (one row per minute seen). */
+    def stateSize: Long = state.count()
+  }
 }
