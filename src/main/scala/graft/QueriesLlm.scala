@@ -1585,6 +1585,47 @@ object QueriesLlm {
            |FROM ph ORDER BY doc_id""".stripMargin
       }),
 
+    // Shot-boundary (scene-cut) detection over the decoded video frames —
+    // the standard frame-differencing detector (|Δ brightness| over a
+    // per-pixel threshold; the sampling decision behind "one keyframe per
+    // shot" in video curation): consecutive-frame brightness deltas from
+    // the REAL parsed P6 stream (parsePpmFrames walks the actual bytes —
+    // a header/offset bug changes every sum), cut when |Δsum| exceeds
+    // 8 units per pixel-channel — all exact integers, frame dims constant
+    // within a stream so the sum delta IS the mean delta scaled by w·h·3.
+    // Per-video lag window (partition-parallel); the oracle replays the
+    // pixel formula and the same lag. Frame 0 of each video has no
+    // predecessor and is excluded (the lag-null convention).
+    "multimodal_scene_cut" -> QueryDef(
+      (s, d) => {
+        val fr = Multimodal.decodeFrames(
+          Multimodal.synthMedia(t(s, d, "documents"))).toDF()
+        val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+        fr.withColumn("prev_sum", lag(col("frame_sum"), 1).over(w))
+          .filter(col("prev_sum").isNotNull)
+          .withColumn("delta_sum", abs(col("frame_sum") - col("prev_sum")))
+          .withColumn("is_cut", col("delta_sum") >
+            lit(8L) * col("width") * col("height") * 3)
+          .select(col("doc_id"), col("frame_idx"), col("delta_sum"), col("is_cut"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      """WITH v AS (SELECT doc_id AS id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
+        |                  2 + doc_id % 9 AS f
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT id, w, h, CAST(unnest(range(0, f)) AS BIGINT) AS fi FROM v),
+        |fs AS (SELECT id, w, h, fi,
+        |    CAST(list_sum(list_transform(range(0, w * h * 3), j ->
+        |      (31 * id + 13 * fi + 7 * j) % 256)) AS BIGINT) AS frame_sum
+        |  FROM fr),
+        |lg AS (SELECT id, fi, w, h, frame_sum,
+        |    lag(frame_sum) OVER (PARTITION BY id ORDER BY fi) AS prev_sum
+        |  FROM fs)
+        |SELECT id AS doc_id, fi AS frame_idx,
+        |  abs(frame_sum - prev_sum) AS delta_sum,
+        |  abs(frame_sum - prev_sum) > 8 * w * h * 3 AS is_cut
+        |FROM lg WHERE prev_sum IS NOT NULL
+        |ORDER BY doc_id, frame_idx""".stripMargin),
+
     // BM25-shaped ranked sparse retrieval — the scoring companion to
     // text_search_bool's boolean conjunctive search (Robertson-Spärck
     // Jones probabilistic ranking; k1=1.2, b=0.75). Everything is exact

@@ -773,6 +773,61 @@ object QueriesRelational {
            |FROM ex CROSS JOIN e1 ORDER BY n_a""".stripMargin
       }),
 
+    // Self-join cardinality from the CMS INNER PRODUCT (Cormode &
+    // Muthukrishnan 2005 §4.2: est(|R⋈R|) = min_j Σ_w sketch[j][w]² —
+    // the second moment F₂ a cost-based optimizer needs before
+    // committing to a key join, and the skew detector behind the
+    // skew_salted_join decision: Σ_k c(k)² is exactly the number of
+    // row pairs a self-equi-join produces). The estimate is one-sided
+    // (colliding keys only ADD cross terms, est ≥ exact always) with
+    // the published ε·N² overcount bound (ε = e/w; 3 > e keeps the
+    // bound integer). All BIGINT, fully replayed — even the APPROXIMATE
+    // estimate hash-matches. At 100 TB the sketch shuffles ≤ d·w rows
+    // however many rows stream through, vs the exact path's per-key
+    // groupBy — the same honesty pairing as sketch_hll_intersect.
+    "sketch_join_cardinality" -> QueryDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_partkey"))
+        val sk = graft.ops.Sketches.cmsSketch(li, "l_partkey")
+        val est = sk.groupBy("j").agg(sum(col("cnt") * col("cnt")).as("ip"))
+          .agg(min(col("ip")).as("est_sj"))
+        val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).as("exact_sj"),
+            sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"))
+        exact.crossJoin(broadcast(est))
+          .withColumn("overcount", col("est_sj") - col("exact_sj"))
+          .withColumn("within_bound", col("overcount") <=
+            expr(s"(3 * n_rows * n_rows) div ${graft.ops.Sketches.CmsWidth}"))
+          .select("n_rows", "n_keys", "exact_sj", "est_sj", "overcount",
+            "within_bound")
+          .orderBy("n_rows")
+      },
+      {
+        import graft.ops.Sketches
+        val probes = (0 until Sketches.CmsDepth).map(j =>
+          s"SELECT CAST($j AS BIGINT) AS j, ${Sketches.cmsBucketSql("x", j)} AS bucket FROM k")
+          .mkString("\n UNION ALL ")
+        s"""WITH k AS (SELECT ((l_partkey % ${Sketches.P})
+           |    + ${Sketches.P}) % ${Sketches.P} AS x
+           |  FROM lineitem),
+           |pr AS ($probes),
+           |sk AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM pr GROUP BY j, bucket),
+           |ip AS (SELECT j, CAST(SUM(cnt * cnt) AS BIGINT) AS ip
+           |  FROM sk GROUP BY j),
+           |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_sj FROM ip),
+           |ex0 AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM lineitem GROUP BY l_partkey),
+           |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_sj,
+           |    CAST(SUM(c) AS BIGINT) AS n_rows,
+           |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM ex0)
+           |SELECT n_rows, n_keys, exact_sj, est_sj,
+           |  est_sj - exact_sj AS overcount,
+           |  est_sj - exact_sj <= (3 * n_rows * n_rows) // ${Sketches.CmsWidth}
+           |    AS within_bound
+           |FROM ex CROSS JOIN est ORDER BY n_rows""".stripMargin
+      }),
+
     // Declarative data-quality verification (Schelter et al., "Automating
     // Large-Scale Data Quality Verification", VLDB 2018 — the Deequ /
     // Great-Expectations shape): six constraints over orders — row count,

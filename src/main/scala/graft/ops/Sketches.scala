@@ -38,8 +38,10 @@ object Sketches {
     * bucket) — rank ∈ [1, 24], an all-zero slice capping automatically.
     */
   final val HllRankBits = 23
-  // classic LCG multiplier/increment, < 2³¹ so a·x' stays in BIGINT
-  private final val P = 2147483647L // 2³¹ − 1 (Mersenne)
+  // classic LCG multiplier/increment, < 2³¹ so a·x' stays in BIGINT.
+  // Public like Dedup.P / Shuffle.P: generated oracles normalize keys
+  // with the SAME modulus the sketch builders use (one source of truth).
+  final val P = 2147483647L // 2³¹ − 1 (Mersenne)
   private final val A1 = 1103515245L
   private final val B1 = 12345L
 

@@ -68,7 +68,8 @@ class EntrySpec extends SparkSpec {
       // round-10b additions
       "bm25_retrieval", "ngram_pmi", "mask_spans", "split_holdout",
       "rfm_segment", "graph_rich_club", "sketch_hll_intersect",
-      "ts_autocorr", "ts_changepoint")
+      "ts_autocorr", "ts_changepoint", "sketch_join_cardinality",
+      "multimodal_scene_cut")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

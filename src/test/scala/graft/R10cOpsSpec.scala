@@ -203,6 +203,44 @@ class R10cOpsSpec extends SparkSpec {
     assert(peak == 9000L)
   }
 
+  test("sketch_join_cardinality: exact F2, one-sided estimate, bound holds") {
+    // key i appears i times, i = 1..10: self-join size = sum i^2 = 385
+    val dir = java.nio.file.Files.createTempDirectory("r10cj").toString
+    (1 to 10).flatMap(i => Seq.fill(i)(i.toLong))
+      .map(k => (k, k, 1.0, "N"))
+      .toDF("l_partkey", "l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val (nRows, nKeys, exact, est, over, within) =
+      SparkEntry.queries("sketch_join_cardinality")(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect().head
+    assert(nRows == 55L && nKeys == 10L && exact == 385L)
+    assert(over >= 0L, "CMS inner product must never undercount")
+    assert(est == exact + over)
+    assert(within, s"overcount $over exceeds the eps*N^2 bound")
+  }
+
+  test("multimodal_scene_cut: deltas match a direct pixel-formula replay") {
+    import graft.ops.llm.Multimodal
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("multimodal_scene_cut")(spark, d)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.nonEmpty)
+    // independent replay straight from the synthesis formulas
+    val expected = Qh.t(spark, d, "documents").select("doc_id").as[Long].collect()
+      .filter(_ % 3 == 2).sorted.toSeq.flatMap { id =>
+        val (w, h, f) = Multimodal.videoDims(id)
+        val sums = (0 until f).map(fi =>
+          (0 until w * h * 3).map(j => Multimodal.pxVal(id, fi, j).toLong).sum)
+        (1 until f).map { fi =>
+          val delta = math.abs(sums(fi) - sums(fi - 1))
+          (id, fi.toLong, delta, delta > 8L * w * h * 3)
+        }
+      }
+    assert(got == expected)
+    // both classes must occur or the threshold is vacuous on this fixture
+    assert(got.exists(_._4) && got.exists(!_._4), "threshold never separates")
+  }
+
   test("graph_rich_club: monotone ladder, phi within [0, 1e6]") {
     val got = SparkEntry.queries("graph_rich_club")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Option[Long])].collect()
