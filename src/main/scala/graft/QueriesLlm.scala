@@ -14,8 +14,12 @@ import graft.ops.llm.{Curation, Dedup, Mixture, Multimodal, Packing, Similarity,
   */
 object QueriesLlm {
 
-  /** DuckDB replay of Dedup.polyFoldExpr over a string expression. */
-  private def duckFold(strExpr: String): String =
+  /** DuckDB replay of Dedup.polyFoldExpr over a string expression.
+    * `private[graft]`: table_diff_digest (QueriesRelational) folds
+    * canonical row strings with the same arithmetic — one replay, one
+    * source of truth.
+    */
+  private[graft] def duckFold(strExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split($strExpr, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (acc, c) -> (acc * 31 + c) % ${Dedup.P})""".stripMargin

@@ -1382,6 +1382,72 @@ object QueriesRelational {
         |WHERE d.dev > 3 * mad.mad
         |ORDER BY d.event_id""".stripMargin),
 
+    // Bucketed anti-entropy digest — "did the replica drift?" answered
+    // WITHOUT shipping rows (the Merkle-tree reconciliation primitive of
+    // Dynamo/Cassandra repair, flattened to one level): every row folds
+    // to a hash of its CANONICAL string (all-integer rendering — cents,
+    // epoch days — because float/timestamp formatting is engine-
+    // specific), per-key-range buckets keep (count, SUM of row hashes) —
+    // an ORDER-INDEPENDENT abelian digest, so partitioning never changes
+    // it — and only buckets whose (n, digest) pairs differ surface, with
+    // the drift class (count vs content vs one-sided). The mutations are
+    // SPARSE (delete %101, patch +1 cent %97) so the diff output is the
+    // point of the op: a handful of dirty buckets out of hundreds, which
+    // at 100 TB is exactly what's re-shipped for repair — bucket-sized
+    // row sets, never the table. One scan per side, one bucket-keyed
+    // combinable agg each, a bucket-count-sized full join.
+    "table_diff_digest" -> QueryDef(
+      (s, d) => {
+        import graft.ops.llm.Dedup
+        def digest(src: org.apache.spark.sql.DataFrame) = src
+          .withColumn("row_str", concat_ws("|",
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("cents"),
+            datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+              .cast("long"),
+            col("o_orderpriority")))
+          .withColumn("h", graft.functions.TextHash.poly_fold(col("row_str"), Dedup.P))
+          .groupBy(expr("o_orderkey div 64").as("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("h")).as("dig"))
+        val o = t(s, d, "orders").withColumn("cents",
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        val a = digest(o)
+        val b = digest(o.filter(col("o_orderkey") % 101 =!= 0)
+          .withColumn("cents", when(col("o_orderkey") % 97 === 0,
+            col("cents") + 1).otherwise(col("cents"))))
+        a.select(col("bucket"), col("n").as("n_a"), col("dig").as("dig_a"))
+          .join(b.select(col("bucket"), col("n").as("n_b"), col("dig").as("dig_b")),
+            Seq("bucket"), "full_outer")
+          .filter(col("n_a").isNull || col("n_b").isNull ||
+            col("n_a") =!= col("n_b") || col("dig_a") =!= col("dig_b"))
+          .withColumn("change",
+            when(col("n_a").isNull, "only_b").when(col("n_b").isNull, "only_a")
+              .when(col("n_a") =!= col("n_b"), "count").otherwise("content"))
+          .orderBy("bucket")
+      },
+      {
+        def canon(filter: String, patch: Boolean) = {
+          val cents = if (patch)
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END"
+          else "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+          s"""SELECT o_orderkey // 64 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(${QueriesLlm.duckFold("concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+            s"$cents, date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)), o_orderpriority)")}) AS BIGINT) AS dig
+             |FROM orders $filter GROUP BY bucket""".stripMargin
+        }
+        s"""WITH a AS (${canon("", patch = false)}),
+           |b AS (${canon("WHERE o_orderkey % 101 <> 0", patch = true)})
+           |SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+           |  a.n AS n_a, b.n AS n_b, a.dig AS dig_a, b.dig AS dig_b,
+           |  CASE WHEN a.bucket IS NULL THEN 'only_b'
+           |       WHEN b.bucket IS NULL THEN 'only_a'
+           |       WHEN a.n <> b.n THEN 'count' ELSE 'content' END AS change
+           |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+           |WHERE a.bucket IS NULL OR b.bucket IS NULL
+           |   OR a.n <> b.n OR a.dig <> b.dig
+           |ORDER BY bucket""".stripMargin
+      }),
+
     // RFM customer segmentation (Hughes 1994; the classic marketing
     // cohort cube): per customer, Recency = days from last order to the
     // dataset horizon, Frequency = order count, Monetary = exact cents

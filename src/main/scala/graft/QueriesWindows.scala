@@ -447,6 +447,29 @@ object QueriesWindows {
          |       * sqrt(CAST(n_pairs AS DOUBLE) * sy2 - sy * sy)), 6) END AS autocorr
          |FROM st ORDER BY lag""".stripMargin),
 
+    // Hour-of-day seasonal index — the third time-series lens next to
+    // ACF (periodicity) and CUSUM (level shifts): per hour h, the event
+    // share relative to a uniform clock (index = n_h·24/total, in ppm —
+    // the multiplicative seasonal factor a forecaster divides out, and
+    // the load-shape input to capacity planning). Exact BIGINT; the only
+    // window is `sum() over ()` on the ≤24-row hour table. Both engines
+    // read the same UTC wall-clock hour (Spark under the pinned UTC
+    // session timezone, DuckDB on the naive timestamp).
+    "ts_seasonality" -> QueryDef(
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(hour(col("ts")).cast("long").as("hod"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("index_ppm",
+            expr("(n * 24 * 1000000) div sum(n) over ()"))
+          .orderBy("hod")
+      },
+      """SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  (CAST(COUNT(*) AS BIGINT) * 24 * 1000000)
+        |    // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS index_ppm
+        |FROM events GROUP BY hod ORDER BY hod""".stripMargin),
+
     // CUSUM changepoint detection on the same per-minute rate series
     // (Page 1954): deviations kept EXACT by clearing the mean's
     // denominator — dev·T = T·cnt − S (T buckets, S total events; the

@@ -241,6 +241,31 @@ class R10cOpsSpec extends SparkSpec {
     assert(got.exists(_._4) && got.exists(!_._4), "threshold never separates")
   }
 
+  test("ts_seasonality: conservation, hour domain, uniform-mean index") {
+    val got = SparkEntry.queries("ts_seasonality")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall(r => r._1 >= 0 && r._1 <= 23))
+    assert(got.map(_._2).sum == 1000L) // sf0.001 events row count
+    val total = got.map(_._2).sum
+    got.foreach { case (_, n, ppm) => assert(ppm == n * 24 * 1000000L / total) }
+  }
+
+  test("table_diff_digest: identical replicas diff empty; drift localizes to its bucket") {
+    val ts = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    // keys 1..5 (bucket 0, untouched — must NOT appear in the diff),
+    // 97 (bucket 1, cents-patched → content), 202 = 2*101 (bucket 3,
+    // deleted; the bucket's only row, so the bucket disappears → only_a)
+    val keys = Seq(1L, 2L, 3L, 4L, 5L, 97L, 202L)
+    val dir = java.nio.file.Files.createTempDirectory("r10cd").toString
+    keys.map(k => (k, k % 7, "O", 100.0 + k, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("table_diff_digest")(spark, dir)
+      .select("bucket", "change").as[(Long, String)].collect().toSeq
+    assert(got == Seq(1L -> "content", 3L -> "only_a"), s"got $got")
+  }
+
   test("graph_rich_club: monotone ladder, phi within [0, 1e6]") {
     val got = SparkEntry.queries("graph_rich_club")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Option[Long])].collect()
