@@ -1630,6 +1630,57 @@ object QueriesLlm {
         |FROM lg WHERE prev_sum IS NOT NULL
         |ORDER BY doc_id, frame_idx""".stripMargin),
 
+    // Deterministic negative sampling over the customer–part interaction
+    // set — the contrastive-pair generator every embedding/two-tower
+    // trainer needs (Mikolov et al. 2013 §2.2 negative sampling;
+    // recommender BPR): per interacting customer, 4 candidate negatives
+    // drawn by the shared affine hash over the part-key space, each
+    // checked against the TRUE positive set (a hash draw can hit a real
+    // interaction — the classic false-negative trap) and flagged rather
+    // than silently dropped, so the consumer chooses resample-vs-drop.
+    // Never rand(): re-runs and resumed jobs see identical pairs
+    // (Shuffle's reproducibility rule). Scale shape: positives shuffle
+    // once on (c, p); candidates are a map-side explode off the distinct
+    // customer frame; the flag join keys on the same (c, p) — no
+    // all-pairs anything; the 1-row part-count broadcasts.
+    "negative_sampling" -> QueryDef(
+      (s, d) => {
+        import graft.ops.llm.Shuffle
+        val pos = t(s, d, "orders")
+          .select(col("o_custkey").as("c"), col("o_orderkey"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("p")), "o_orderkey")
+          .select("c", "p").distinct()
+        val np = t(s, d, "part").agg(max(col("p_partkey")).cast("long").as("np"))
+        val cand = pos.select("c").distinct()
+          .crossJoin(broadcast(np))
+          .select(col("c"),
+            explode(array((1 to 4).map(k => lit(k.toLong)): _*)).as("k"), col("np"))
+          .withColumn("p",
+            (lit(Shuffle.A) * (col("c") * 131 + col("k")) + lit(Shuffle.B))
+              % Shuffle.P % col("np") + 1)
+        cand.join(pos.withColumn("hit", lit(1L)), Seq("c", "p"), "left_outer")
+          .select(col("c"), col("k"), col("p").as("p_neg"),
+            col("hit").isNull.as("kept"))
+          .orderBy("c", "k")
+      },
+      {
+        import graft.ops.llm.Shuffle
+        s"""WITH pos AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |np AS (SELECT CAST(MAX(p_partkey) AS BIGINT) AS np FROM part),
+           |cu AS (SELECT DISTINCT c FROM pos),
+           |cand AS (SELECT c, CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS k, np
+           |  FROM cu CROSS JOIN np),
+           |cd AS (SELECT c, k,
+           |    (${Shuffle.A} * (c * 131 + k) + ${Shuffle.B})
+           |      % ${Shuffle.P} % np + 1 AS p_neg
+           |  FROM cand)
+           |SELECT cd.c AS c, cd.k AS k, cd.p_neg, pos.p IS NULL AS kept
+           |FROM cd LEFT JOIN pos ON pos.c = cd.c AND pos.p = cd.p_neg
+           |ORDER BY cd.c, cd.k""".stripMargin
+      }),
+
     // BM25-shaped ranked sparse retrieval — the scoring companion to
     // text_search_bool's boolean conjunctive search (Robertson-Spärck
     // Jones probabilistic ranking; k1=1.2, b=0.75). Everything is exact

@@ -69,7 +69,8 @@ class EntrySpec extends SparkSpec {
       "bm25_retrieval", "ngram_pmi", "mask_spans", "split_holdout",
       "rfm_segment", "graph_rich_club", "sketch_hll_intersect",
       "ts_autocorr", "ts_changepoint", "sketch_join_cardinality",
-      "multimodal_scene_cut", "ts_seasonality", "table_diff_digest")
+      "multimodal_scene_cut", "ts_seasonality", "table_diff_digest",
+      "negative_sampling")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

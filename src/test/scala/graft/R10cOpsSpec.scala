@@ -266,6 +266,33 @@ class R10cOpsSpec extends SparkSpec {
     assert(got == Seq(1L -> "content", 3L -> "only_a"), s"got $got")
   }
 
+  test("negative_sampling: draws replay the hash, false negatives flagged not dropped") {
+    import graft.ops.llm.Shuffle
+    val dir = java.nio.file.Files.createTempDirectory("r10cn").toString
+    // customers 1,2 each order parts {1,2} via two orders; parts 1..4
+    Seq((10L, 1L), (11L, 2L)).map { case (o, c) => (o, c, "O", 1.0,
+      java.sql.Timestamp.valueOf("1995-06-01 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L))
+      .map { case (o, p) => (o, p, 1.0, "N") }
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1L to 4L).map(p => (p, s"part$p", 1)).toDF("p_partkey", "p_name", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val pos = Map(1L -> Set(1L, 2L), 2L -> Set(1L, 2L))
+    val expected = for (c <- Seq(1L, 2L); k <- 1L to 4L) yield {
+      val p = (Shuffle.A * (c * 131 + k) + Shuffle.B) % Shuffle.P % 4 + 1
+      (c, k, p, !pos(c).contains(p))
+    }
+    val got = SparkEntry.queries("negative_sampling")(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the 4-part universe guarantees both classes appear
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
   test("graph_rich_club: monotone ladder, phi within [0, 1e6]") {
     val got = SparkEntry.queries("graph_rich_club")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Option[Long])].collect()
