@@ -47,6 +47,7 @@ object Bench {
     graft.ops.GraphAnalytics.warm(spark, sfDir)
     graft.ops.llm.Similarity.warm(spark, sfDir)
     graft.QueriesGraph.warmPostings(spark, sfDir)
+    graft.QueriesGraphX.warmSharedBfs(spark, sfDir)
     // A failed query's wall time is its FAIL-FAST time — without surfacing
     // the failure in the artifact, a broken query makes the total look
     // BETTER (r9 shipped three broken queries this way: stderr-only

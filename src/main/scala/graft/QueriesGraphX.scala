@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import scala.collection.immutable.ListMap
 import graft.model.{DerivedGraph, DerivedGraphSql}
 import graft.ops.GraphAnalytics
@@ -12,6 +13,31 @@ import graft.ops.GraphAnalytics
   * triangle count (3-way self-join) are all value-checked in DuckDB.
   */
 object QueriesGraphX {
+
+  /** The multi-landmark BFS frame FOUR centralities read
+    * (shortest_paths / closeness / harmonic / eccentricity) — traversed
+    * once per (session, SF dir) and persisted, like Tables/DerivedGraph/
+    * partPostings: before this cache each query re-ran the full Pregel
+    * traversal (~1.5 s each at sf0.1, ~11 s at sf1), paying 4x for one
+    * frame. |V|·L rows (L = 3 landmarks) — comfortably persistable at
+    * any SF the landmark design targets.
+    */
+  private val bfsCache = new graft.model.SessionCache[String, org.apache.spark.sql.DataFrame]
+
+  private def sharedBfs(s: org.apache.spark.sql.SparkSession, d: String) =
+    bfsCache.getOrElseUpdate(s, d) {
+      GraphAnalytics.multiSourceBfs(
+        GraphAnalytics.derivedGraphX(s, d), spLandmarks, 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Materialize the persisted BFS frame — the bench warmup hook, owned
+    * here next to the persist it warms (the partPostings convention).
+    */
+  def warmSharedBfs(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    sharedBfs(s, d).count()
+    ()
+  }
 
   val defs: ListMap[String, QueryDef] = ListMap(
 
@@ -182,8 +208,7 @@ object QueriesGraphX {
     // (vertex, landmark). Value-checked like graph_bfs_dist — iterative
     // graph analytics under the full oracle.
     "graph_shortest_paths" -> QueryDef(
-      (s, d) => GraphAnalytics.multiSourceBfs(
-        GraphAnalytics.derivedGraphX(s, d), spLandmarks, 10)
+      (s, d) => sharedBfs(s, d)
         .orderBy("id", "landmark"),
       spOracleSql),
 
@@ -194,8 +219,7 @@ object QueriesGraphX {
     // n_reached and sum_dist are exact BIGINTs; closeness is one IEEE
     // division of those exact inputs, 6 dp — the determinism ladder.
     "graph_closeness" -> QueryDef(
-      (s, d) => GraphAnalytics.multiSourceBfs(
-        GraphAnalytics.derivedGraphX(s, d), spLandmarks, 10)
+      (s, d) => sharedBfs(s, d)
         .groupBy("landmark")
         .agg(count(lit(1)).as("n_reached"), sum("dist").as("sum_dist"))
         .select(col("landmark"), col("n_reached"), col("sum_dist"),
@@ -213,8 +237,7 @@ object QueriesGraphX {
     // units. Same shared BFS frame as graph_shortest_paths/closeness —
     // three centralities ride one traversal, the production pattern.
     "graph_harmonic" -> QueryDef(
-      (s, d) => GraphAnalytics.multiSourceBfs(
-        GraphAnalytics.derivedGraphX(s, d), spLandmarks, 10)
+      (s, d) => sharedBfs(s, d)
         .filter(col("dist") > 0)
         .groupBy("landmark")
         .agg(count(lit(1)).as("n_reached"),
@@ -223,6 +246,29 @@ object QueriesGraphX {
           round(col("h_units").cast("double") / lit(2520.0), 6).as("harmonic"))
         .orderBy("landmark"),
       harmonicOracleSql),
+
+    // Landmark eccentricity + diameter lower bound (Magnien-Latapy-Habib
+    // 2009: max over any landmark set of ecc(L) lower-bounds the true
+    // diameter — the standard cheap diameter probe on graphs too big for
+    // all-pairs): ecc(L) = max dist(L,·) over the reached set. FOURTH
+    // centrality riding the ONE shared multi-landmark BFS frame
+    // (shortest_paths / closeness / harmonic / eccentricity — the
+    // production pattern: traverse once, derive many), so the marginal
+    // cost is a 4-row aggregate; the diameter bound is a window max on
+    // that same ≤4-row frame. All BIGINT.
+    "graph_eccentricity" -> QueryDef(
+      (s, d) => sharedBfs(s, d)
+        .groupBy("landmark")
+        .agg(max(col("dist")).cast("long").as("eccentricity"),
+          count(lit(1)).as("n_reached"))
+        .withColumn("diameter_lb",
+          max(col("eccentricity")).over(Window.partitionBy()))
+        .orderBy("landmark"),
+      s"""$spCtePrefix
+         |SELECT landmark, CAST(MAX(dist) AS BIGINT) AS eccentricity,
+         |  CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |  CAST(MAX(MAX(dist)) OVER () AS BIGINT) AS diameter_lb
+         |FROM d GROUP BY landmark ORDER BY landmark""".stripMargin),
 
     // 8-core of the derived graph (Seidman's density screen): iterative
     // peel with a 10-round bound — converges in ≤3 rounds on this graph

@@ -70,7 +70,7 @@ class EntrySpec extends SparkSpec {
       "rfm_segment", "graph_rich_club", "sketch_hll_intersect",
       "ts_autocorr", "ts_changepoint", "sketch_join_cardinality",
       "multimodal_scene_cut", "ts_seasonality", "table_diff_digest",
-      "negative_sampling")
+      "negative_sampling", "bootstrap_ci", "graph_eccentricity")
     val missing = required.filterNot(SparkEntry.queries.keySet.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

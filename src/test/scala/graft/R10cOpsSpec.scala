@@ -293,6 +293,53 @@ class R10cOpsSpec extends SparkSpec {
     assert(got.exists(_._4) && got.exists(!_._4))
   }
 
+  test("bootstrap_ci matches a plain-Scala Poisson-bootstrap replay") {
+    import graft.ops.llm.Shuffle
+    val dir = java.nio.file.Files.createTempDirectory("r10cb").toString
+    // one group, rows (orderkey i, linenumber 1), x = i, i = 1..40
+    val rows = (1 to 40).map(i => (i.toLong, 1L, i.toDouble, "N", 1L))
+    rows.toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def weight(key: Long, r: Long): Long = {
+      val h = (Shuffle.A * (key * 37 + r) + Shuffle.B) % Shuffle.P % 1000
+      if (h < 368) 0 else if (h < 736) 1 else if (h < 920) 2
+      else if (h < 981) 3 else if (h < 996) 4 else if (h < 999) 5 else 6
+    }
+    val means = (0L until 32L).flatMap { r =>
+      val ws = rows.map { case (ok, ln, x, _, _) => (weight(ok * 8 + ln, r), x) }
+      val wn = ws.map(_._1).sum
+      if (wn == 0) None
+      else Some((r, ws.map { case (w, x) => BigDecimal(x).setScale(6) * w }.sum.toDouble / wn))
+    }
+    val sorted = means.sortBy { case (r, m) => (m, r) }.map(_._2)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (expLo, expHi) = (r6(sorted(1)), r6(sorted(sorted.size - 2)))
+    val (grp, n, meanX, nRes, lo, hi) =
+      SparkEntry.queries("bootstrap_ci")(spark, dir)
+        .as[(String, Long, Double, Long, Double, Double)].collect().head
+    assert(grp == "N" && n == 40L && nRes == means.size.toLong)
+    assert(meanX == r6((1 to 40).sum.toDouble / 40))
+    assert((lo, hi) == ((expLo, expHi)), s"got ($lo,$hi) expected ($expLo,$expHi)")
+    assert(lo < hi && lo <= meanX && meanX <= hi)
+  }
+
+  test("graph_eccentricity: consistent with the shared BFS siblings") {
+    val d = "/root/testdata/sf0.001"
+    val ecc = SparkEntry.queries("graph_eccentricity")(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(ecc.nonEmpty)
+    val dia = ecc.map(_._2).max
+    ecc.foreach { case (_, e, nr, dlb) =>
+      assert(e >= 1 && e <= 10, s"ecc $e outside the BFS bound")
+      assert(dlb == dia, "diameter_lb must be the max eccentricity")
+      assert(nr > 1)
+    }
+    // same traversal as closeness -> identical per-landmark reach counts
+    val reach = SparkEntry.queries("graph_closeness")(spark, d)
+      .select("landmark", "n_reached").as[(Long, Long)].collect().toMap
+    ecc.foreach { case (l, _, nr, _) => assert(reach(l) == nr) }
+  }
+
   test("graph_rich_club: monotone ladder, phi within [0, 1e6]") {
     val got = SparkEntry.queries("graph_rich_club")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Option[Long])].collect()
