@@ -24,6 +24,14 @@ import scala.reflect.ClassTag
   */
 object GraphAnalytics {
 
+  /** Largest peel fringe (rows) [[kTrussDF]] will broadcast to the three
+    * per-round triangle-kill joins. ~500k (a,b) long pairs ≈ 25 MB packed
+    * — comfortably inside a 1 GiB-driver budget; a larger fringe (a mass
+    * first-round peel on a sparse graph) falls back to AQE's shuffle
+    * join, which at that size is the right plan anyway.
+    */
+  final val MaxBroadcastFringe = 500000L
+
   /** Build a GraphX graph with (label, name) vertex attributes,
     * EdgePartition2D-partitioned.
     *
@@ -513,16 +521,46 @@ object GraphAnalytics {
     * lineage cut per round; survivors shrink monotonically. Skewed hub
     * keys are AQE's skew-join case; no broadcast requirement.
     */
-  def kTrussDF(canonicalEdges: DataFrame, k: Int, rounds: Int = 6,
-      broadcastSides: Boolean = false): DataFrame = {
-    require(k >= 3, s"k must be ≥ 3, got $k")
-    require(rounds >= 1, s"rounds must be ≥ 1, got $rounds")
-    // same opt-in (and same OOM-trap caveat) as [[triangleCountDF]]'s
-    // broadcastSides: hints the degree + adjacency sides of the one-time
-    // enumeration, whose un-hinted form pays four sort-merge passes over
-    // the edge table
+  /** Canonical triangle list (x < y < z, one row per triangle) of a
+    * canonical undirected edge set (`a < b`, distinct) — the
+    * [[triangleCountDF]] degree-ordered enumeration with the rows kept
+    * instead of counted. Factored out of [[kTrussDF]] so the enumeration
+    * can be computed once per (session, dataset) and SHARED between the
+    * triangle count, the truss peel, and any future clustering-coefficient
+    * style consumer (the sharedBfs "traverse once, derive many"
+    * discipline applied to triangles).
+    */
+  def triangleListDF(t: DataFrame, broadcastSides: Boolean = false): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (broadcastSides) broadcast(_) else identity
+    val deg = hint(t.select(col("a").as("x")).unionAll(t.select(col("b").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d")))
+    val withDeg = t
+      .join(deg.select(col("x").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("x").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("w")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("o"))
+      .select(col("o.u").as("u"), col("o.w").as("w"))
+    val adj = hint(oriented.groupBy("u")
+      .agg(sort_array(collect_list(col("w"))).as("nbrs")))
+    oriented
+      .join(adj.select(col("u"), col("nbrs").as("na")), Seq("u"))
+      .join(adj.select(col("u").as("w"), col("nbrs").as("nb")), Seq("w"))
+      .select(col("u"), col("w"),
+        explode(array_intersect(col("na"), col("nb"))).as("v3"))
+      // canonicalize the (degree,id)-oriented corners back to x < y < z
+      .select(array_sort(array(col("u"), col("w"), col("v3"))).as("t"))
+      .select(col("t").getItem(0).as("x"), col("t").getItem(1).as("y"),
+        col("t").getItem(2).as("z"))
+  }
+
+  def kTrussDF(canonicalEdges: DataFrame, k: Int, rounds: Int = 6,
+      broadcastSides: Boolean = false,
+      triangleList: Option[DataFrame] = None): DataFrame = {
+    require(k >= 3, s"k must be ≥ 3, got $k")
+    require(rounds >= 1, s"rounds must be ≥ 1, got $rounds")
     // INCREMENTAL peel with the TRIANGLE LIST as state (the kCoreDF
     // discipline lifted to edges): enumerate every triangle ONCE
     // (canonical x < y < z), derive supports by exploding each triangle
@@ -535,32 +573,13 @@ object GraphAnalytics {
     // SQL oracle replays (KTrussSpec pins this on graphs engineered to
     // hit multi-removal triangles), and the maintained supports equal the
     // oracle's final support pass at any converged round.
-    def triangles(t: DataFrame): DataFrame = {
-      val deg = hint(t.select(col("a").as("x")).unionAll(t.select(col("b").as("x")))
-        .groupBy("x").agg(count(lit(1)).as("d")))
-      val withDeg = t
-        .join(deg.select(col("x").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("x").as("b"), col("d").as("db")), "b")
-      val oriented = withDeg.select(
-        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-          struct(col("a").as("u"), col("b").as("w")))
-          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("o"))
-        .select(col("o.u").as("u"), col("o.w").as("w"))
-      val adj = hint(oriented.groupBy("u")
-        .agg(sort_array(collect_list(col("w"))).as("nbrs")))
-      oriented
-        .join(adj.select(col("u"), col("nbrs").as("na")), Seq("u"))
-        .join(adj.select(col("u").as("w"), col("nbrs").as("nb")), Seq("w"))
-        .select(col("u"), col("w"),
-          explode(array_intersect(col("na"), col("nb"))).as("v3"))
-        // canonicalize the (degree,id)-oriented corners back to x < y < z
-        .select(array_sort(array(col("u"), col("w"), col("v3"))).as("t"))
-        .select(col("t").getItem(0).as("x"), col("t").getItem(1).as("y"),
-          col("t").getItem(2).as("z"))
-    }
     def edgeOf(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
       struct(p.as("a"), q.as("b"))
-    var tri = triangles(canonicalEdges.select("a", "b")).localCheckpoint()
+    // a caller-provided (typically session-persisted) triangle list is
+    // already materialization-stable — don't pay a checkpoint copy for it
+    var tri = triangleList.getOrElse(
+      triangleListDF(canonicalEdges.select("a", "b"), broadcastSides)
+        .localCheckpoint())
     var sup = tri.select(explode(array(
         edgeOf(col("x"), col("y")), edgeOf(col("x"), col("z")),
         edgeOf(col("y"), col("z")))).as("e"))
@@ -577,21 +596,46 @@ object GraphAnalytics {
       r += 1
       // zero-triangle edges never enter sup, so the survivor projection
       // drops them with the low-support rows — and being triangle-less
-      // their removal charges nothing. keptSup/removed stay LAZY: both
-      // are cheap filters over the checkpointed sup.
+      // their removal charges nothing. keptSup stays LAZY (a cheap filter
+      // over the checkpointed sup); BOTH round counts come from one
+      // aggregate scan instead of a keptSup.count() plus three later
+      // re-derivations of the fringe (measured: the per-round AQE
+      // broadcast builds each rescanned the full |E|-row sup to re-filter
+      // `removed` — ~7 s of the 13 s sf0.1 wall across the peel).
       val keptSup = sup.filter(col("support") >= k - 2)
-      val removed = sup.filter(col("support") < k - 2).select("a", "b")
-      val nKept = keptSup.count()
+      val Array(nKept, nRemoved) = {
+        val row = sup.agg(
+          sum(when(col("support") >= k - 2, 1L).otherwise(0L)),
+          sum(when(col("support") < k - 2, 1L).otherwise(0L))).head()
+        Array(if (row.isNullAt(0)) 0L else row.getLong(0),
+          if (row.isNullAt(1)) 0L else row.getLong(1))
+      }
       if (nKept == nEdges) converged = true
       else {
-        val flagged = tri
+        // materialize the fringe ONCE (it is tiny after round 1 — the
+        // whole sf0.1 peel removes ~90k of 1.2M edges) so the three
+        // fringe joins read a small checkpoint, not three re-filters of
+        // sup; hint broadcast only when the measured row count proves it
+        // fits (scale-safe: a pathological first-round mass removal falls
+        // back to a shuffle join under AQE).
+        val removed0 = sup.filter(col("support") < k - 2).select("a", "b")
+          .localCheckpoint()
+        val fringeBroadcast = nRemoved <= MaxBroadcastFringe
+        val removed: DataFrame =
+          if (fringeBroadcast) broadcast(removed0) else removed0
+        val flagged0 = tri
           .join(removed.select(col("a").as("x"), col("b").as("y"))
             .withColumn("__r1", lit(1)), Seq("x", "y"), "left")
           .join(removed.select(col("a").as("x"), col("b").as("z"))
             .withColumn("__r2", lit(1)), Seq("x", "z"), "left")
           .join(removed.select(col("a").as("y"), col("b").as("z"))
             .withColumn("__r3", lit(1)), Seq("y", "z"), "left")
-          .localCheckpoint()
+        // one materialization of the flagged frame serves BOTH consumers
+        // (the dec charge and the survivor projection) — an A/B against
+        // the lazy form that re-runs the three kill joins per consumer
+        // measured the single checkpoint faster even with a broadcast
+        // fringe (the probes over |T| rows dominate the extra write)
+        val flagged = flagged0.localCheckpoint()
         val survives = col("__r1").isNull && col("__r2").isNull &&
           col("__r3").isNull
         // each lost triangle charges ONLY its surviving edges (a null

@@ -107,6 +107,41 @@ object Prof {
       }
     }
 
+    // ---- graph_ktruss (r10 close bench's most expensive query, 13.7 s):
+    // stage-level dump to separate the one-time triangle enumeration from
+    // the per-round peel cost before optimizing either.
+    if (args.contains("--truss")) {
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+          stages.add((si.name.takeWhile(_ != '\n').take(60), dur,
+            Option(si.taskMetrics).map(_.executorRunTime).getOrElse(-1L)))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      time("ktruss: full query (instrumented)") {
+        graft.QueriesGraphX.defs("graph_ktruss").fn(spark, sfDir).count()
+      }
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val ss = stages.asScala.toSeq
+      println(s"[prof] ktruss stages: ${ss.size}, wall sum=${ss.map(_._2).sum} ms")
+      ss.sortBy(-_._2).take(20).foreach { case (n, d, rt) =>
+        println(f"[prof] kt stage $n%-60s wall=${d}%5d ms  taskCpuSum=${rt}%6d ms")
+      }
+      // min-of-3 repeats: the co-tenant load on this host swings 2-8, so
+      // a single repeat conflates plan cost with noise
+      (1 to 3).foreach { i =>
+        time(s"ktruss: full query repeat $i") {
+          graft.QueriesGraphX.defs("graph_ktruss").fn(spark, sfDir).count()
+        }
+      }
+    }
+
     // ---- dedup_clusters
     time("clusters: full query") {
       graft.QueriesLlm.defs("dedup_clusters").fn(spark, sfDir).count()

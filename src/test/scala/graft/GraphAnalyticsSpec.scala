@@ -177,6 +177,24 @@ class GraphAnalyticsSpec extends SparkSpec {
       GraphAnalytics.triangleCount(canonical))
   }
 
+  test("triangleListDF enumerates each triangle exactly once, canonically") {
+    // same fixture as the count test: K4 (4 triangles) + triangle 5-6-7
+    val canonical = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L), (7L, 8L))
+      .toDF("src", "dst").select($"src".as("a"), $"dst".as("b"))
+    val rows = GraphAnalytics.triangleListDF(canonical)
+      .orderBy("x", "y", "z").as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L), (5L, 6L, 7L)))
+    // the broadcast-hinted plan (the bench/shared-cache opt-in) agrees,
+    // and the list's cardinality IS the triangle count graph_triangles
+    // now reads off the shared frame
+    assert(GraphAnalytics.triangleListDF(canonical, broadcastSides = true)
+      .count() == GraphAnalytics.triangleCountDF(
+        canonical.select($"a".as("src"), $"b".as("dst"))))
+  }
+
   test("bfs distances on a path with an unreachable pair") {
     val dists = GraphAnalytics.bfsDistances(e, seed = 1L)
       .orderBy("id").as[(Long, Long)].collect().toSeq
