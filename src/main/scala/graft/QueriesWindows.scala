@@ -492,6 +492,35 @@ object QueriesWindows {
         |  FROM bk CROSS JOIN st)
         |SELECT b AS cp_bucket, t AS n_buckets, s AS total_events,
         |  abs(cusum_t) AS max_abs_cusum_t
-        |FROM c ORDER BY abs(cusum_t) DESC, b LIMIT 1""".stripMargin)
+        |FROM c ORDER BY abs(cusum_t) DESC, b LIMIT 1""".stripMargin),
+
+    // Exact two-sample Kolmogorov–Smirnov drift test (click vs purchase
+    // value distributions) — the distribution-level drift gate a feature
+    // pipeline runs between cohorts/snapshots. ECDF differences compared
+    // in exact integer units (cum₁·n₂ − cum₂·n₁, DECIMAL(38,0) products);
+    // the two-level prefix-sum discipline keeps every window partition-
+    // parallel except the ≤(value-range)-row bucket-offset table. The
+    // 5% decision replays Smirnov's asymptotic critical value on both
+    // engines from the same rounded doubles.
+    "ks_drift" -> QueryDef(
+      (s, d) => Windows.ksDrift(t(s, d, "events")),
+      """WITH pts AS (SELECT value,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value),
+        |cum AS (SELECT
+        |    CAST(SUM(c1) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+        |    CAST(SUM(c2) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+        |  FROM pts),
+        |ns AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM pts),
+        |d AS (SELECT n1, n2,
+        |    CAST(MAX(abs(CAST(f1 AS DECIMAL(38,0)) * n2 - CAST(f2 AS DECIMAL(38,0)) * n1)) AS BIGINT) AS ks_units
+        |  FROM cum CROSS JOIN ns GROUP BY n1, n2)
+        |SELECT n1, n2, ks_units,
+        |  round(CAST(ks_units AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks,
+        |  round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS crit_05,
+        |  round(CAST(ks_units AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+        |    > round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS reject_05
+        |FROM d""".stripMargin)
   )
 }

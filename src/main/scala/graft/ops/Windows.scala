@@ -413,4 +413,63 @@ object Windows {
     /** Current state size (one row per minute seen). */
     def stateSize: Long = state.count()
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift test between the `value`
+    * distributions of two event types (the distribution-level companion
+    * to the per-column profile_drift report): D = max over the combined
+    * sample of |F̂₁(v) − F̂₂(v)|, with the large-sample 5% rejection rule
+    * D > 1.358·√((n₁+n₂)/(n₁·n₂)) (Smirnov 1948 asymptotic critical
+    * value).
+    *
+    * Exactness discipline: the ECDF difference is compared in INTEGER
+    * units — at each distinct value, d_units = |cum₁·n₂ − cum₂·n₁| with
+    * the products in DECIMAL(38,0) so the arithmetic stays exact past
+    * 10⁹-row samples — and only the one displayed statistic divides.
+    * Shape: (1) distinct-value collapse (combinable groupBy — the window
+    * never sees raw events); (2) two-level prefix sum — the within-bucket
+    * running sums partition by the integer part of `value` (partition-
+    * parallel), the bucket-offset table is one row per unit of value
+    * range (bounded, broadcast-joined); (3) a global max. No global
+    * window at any scale.
+    */
+  def ksDrift(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val pts = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("c2"))
+      .withColumn("b", floor(col("value")).cast("long"))
+    val wIn = Window.partitionBy("b").orderBy("value")
+      .rowsBetween(Long.MinValue, 0)
+    val inBucket = pts
+      .withColumn("r1", sum(col("c1")).over(wIn))
+      .withColumn("r2", sum(col("c2")).over(wIn))
+    val bucketTotals = pts.groupBy("b")
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+    // offsets: strictly-preceding bucket totals. The unpartitioned window
+    // runs on the bucket table only — one row per unit of value range.
+    val wOff = Window.orderBy("b").rowsBetween(Long.MinValue, -1)
+    val offsets = bucketTotals
+      .withColumn("o1", coalesce(sum(col("t1")).over(wOff), lit(0L)))
+      .withColumn("o2", coalesce(sum(col("t2")).over(wOff), lit(0L)))
+      .select("b", "o1", "o2")
+    val ns = bucketTotals.agg(sum(col("t1")).as("n1"), sum(col("t2")).as("n2"))
+    val units = inBucket.join(broadcast(offsets), "b")
+      .crossJoin(broadcast(ns))
+      .select(abs((col("o1") + col("r1")).cast(DecimalType(38, 0)) * col("n2") -
+        (col("o2") + col("r2")).cast(DecimalType(38, 0)) * col("n1")).as("du"),
+        col("n1"), col("n2"))
+    units.groupBy("n1", "n2")
+      .agg(max(col("du")).cast("long").as("ks_units"))
+      .withColumn("ks", round(col("ks_units").cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double")), 6))
+      .withColumn("crit_05", round(lit(1.358) * sqrt(
+        (col("n1") + col("n2")).cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double"))), 6))
+      .withColumn("reject_05", col("ks") > col("crit_05"))
+      .select("n1", "n2", "ks_units", "ks", "crit_05", "reject_05")
+  }
 }
