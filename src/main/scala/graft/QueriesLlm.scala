@@ -601,6 +601,33 @@ object QueriesLlm {
         cs.map(ivfRecallOracleSql)
       }),
 
+    // Per-vector int8 quantization audit — the compression gate before an
+    // ANN index swaps to 4x-smaller codes: symmetric scale = max|x|/127,
+    // round-half-up spelled floor(x+0.5) on both engines, reconstruction
+    // errors fixed-pointed to integer micro-units before the (order-
+    // independent) per-vector sums. Pure map work, no shuffle at any SF.
+    "embedding_quantize" -> QueryDef(
+      (s, d) => Similarity.quantizeInt8Audit(t(s, d, "embeddings"))
+        .orderBy("vec_id"),
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx FROM e),
+        |s AS (SELECT vec_id, label, v, mx, mx / 127.0 AS scale FROM m),
+        |q AS (SELECT vec_id, label, v, mx, scale,
+        |        list_transform(v, x -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS qv
+        |      FROM s),
+        |err AS (SELECT vec_id, label, v, scale, qv,
+        |          list_transform(generate_series(1, len(v)), i ->
+        |            CAST(floor(abs(v[i] - qv[i] * scale) * 1e6 + 0.5) AS BIGINT)) AS eu
+        |        FROM q)
+        |SELECT vec_id, label, CAST(len(v) AS BIGINT) AS n_dims,
+        |  round(scale, 6) AS scale6,
+        |  CAST(list_aggregate(eu, 'sum') AS BIGINT) AS sum_err_units,
+        |  CAST(list_aggregate(eu, 'max') AS BIGINT) AS max_err_units,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_saturated
+        |FROM err ORDER BY vec_id""".stripMargin),
+
     // Top-5 tokens per language.
     "text_tokens" -> QueryDef(
       (s, d) => TextAnalysis.topTermsPerLang(t(s, d, "documents"))

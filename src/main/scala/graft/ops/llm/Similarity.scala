@@ -352,4 +352,36 @@ object Similarity {
     // duplicates a (q, c) pair — the shared top-k tail applies unchanged.
     topKJoin(q, c, k, Seq("ivf_cell"))
   }
+
+  /** Per-vector symmetric int8 quantization audit (Jacob et al., CVPR
+    * 2018 §2.1 shape): scale = max|x|/127, q_i = ⌊x_i/scale + 0.5⌋, and
+    * the reconstruction-error report a pipeline gates on before swapping
+    * its ANN index to the 4×-smaller int8 codes. Round-half-up is spelled
+    * as floor(x+0.5) on BOTH engines (never the banker's-rounding
+    * built-in), and per-element errors are fixed-pointed to integer
+    * micro-units BEFORE summing so the per-vector totals are
+    * order-independent. All-zero vectors quantize to zero exactly.
+    *
+    * Scale: pure map work over the embedding column — no shuffle, no
+    * fitted state, codegen'd HOFs end to end; at 100 TB this is a single
+    * scan that could write the int8 codes alongside.
+    */
+  def quantizeInt8Audit(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), col("label"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
+      .withColumn("mx", expr(
+        "aggregate(v, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("scale", col("mx") / lit(127.0))
+      .withColumn("q", expr(
+        "transform(v, x -> if(mx = 0.0d, 0L, cast(floor(x / scale + 0.5d) as bigint)))"))
+      .withColumn("eu", expr(
+        "zip_with(v, q, (x, qq) -> cast(floor(abs(x - qq * scale) * 1e6 + 0.5d) as bigint))"))
+      .select(col(idCol), col("label"),
+        size(col("v")).cast("long").as("n_dims"),
+        round(col("scale"), 6).as("scale6"),
+        expr("aggregate(eu, 0L, (a, x) -> a + x)").as("sum_err_units"),
+        array_max(col("eu")).as("max_err_units"),
+        expr("aggregate(q, 0L, (a, x) -> a + if(abs(x) = 127L, 1L, 0L))")
+          .as("n_saturated"))
 }

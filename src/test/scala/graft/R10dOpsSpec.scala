@@ -48,6 +48,37 @@ class R10dOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 0.0, false)))
   }
 
+  test("embedding_quantize: scale, saturation and zero-vector edge cases") {
+    val emb = Seq(
+      (0L, Array(1.27f, -1.27f, 0.635f, 0.0f), 1),   // exact scale 0.01
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f), 1),        // all-zero → q = 0, err 0
+      (2L, Array(-2.54f, 1.27f, 0.01f, -0.02f), 2))  // negative max-abs
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.llm.Similarity.quantizeInt8Audit(emb)
+      .orderBy("vec_id")
+      .select("vec_id", "n_dims", "scale6", "sum_err_units", "max_err_units", "n_saturated")
+      .as[(Long, Long, Double, Long, Long, Long)].collect().toSeq
+    // independent replay in plain Scala (double precision, same formulas)
+    def replay(id: Long, xs: Array[Float]): (Long, Long, Double, Long, Long, Long) = {
+      val v = xs.map(_.toDouble)
+      val mx = v.map(math.abs).max
+      val scale = mx / 127.0
+      val q = v.map(x => if (mx == 0.0) 0L else math.floor(x / scale + 0.5).toLong)
+      val eu = v.zip(q).map { case (x, qq) =>
+        math.floor(math.abs(x - qq * scale) * 1e6 + 0.5).toLong }
+      (id, v.length.toLong,
+        BigDecimal(scale).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        eu.sum, eu.max, q.count(x => math.abs(x) == 127L).toLong)
+    }
+    val expected = Seq(
+      replay(0L, Array(1.27f, -1.27f, 0.635f, 0.0f)),
+      replay(1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      replay(2L, Array(-2.54f, 1.27f, 0.01f, -0.02f)))
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the two full-scale components of vec 0 and the max of vec 2 saturate
+    assert(got(0)._6 == 2L && got(1)._6 == 0L)
+  }
+
   test("ks_drift ties across buckets: duplicate values collapse to one ECDF point") {
     // values straddle integer-bucket boundaries and repeat within/across
     // samples — the two-level prefix sum must agree with the flat ECDF
