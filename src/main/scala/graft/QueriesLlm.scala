@@ -1420,6 +1420,35 @@ object QueriesLlm {
         |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
         |FROM sh s JOIN c USING (sh) GROUP BY s.doc_id ORDER BY doc_id""".stripMargin),
 
+    // Asymmetric shingle containment (Broder 1997): the near-dup measure
+    // that catches a doc EMBEDDED in a larger one, where Jaccard goes
+    // quiet because the union is dominated by the big doc. Raw-substring
+    // shingles (SQL-replayable), DF-capped posting lists, pair explode
+    // with per-doc set sizes packed into the candidate longs — the pair
+    // table never joins anything. Both directions emitted per pair;
+    // threshold compares 6-dp-rounded values on both engines.
+    "dedup_containment" -> QueryDef(
+      (s, d) => Dedup.containment(t(s, d, "documents")),
+      s"""WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 20) AS sh
+        |            FROM (SELECT doc_id, text,
+        |                    unnest(generate_series(1, length(text) - 19, 5)) AS p
+        |                  FROM documents WHERE length(text) >= 20)),
+        |df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+        |g AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)
+        |      WHERE df.df <= ${Dedup.ContainmentMaxDf}),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+        |pr AS (SELECT g1.doc_id AS a_id, g2.doc_id AS b_id,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |       FROM g g1 JOIN g g2 ON g1.sh = g2.sh AND g1.doc_id < g2.doc_id
+        |       GROUP BY 1, 2),
+        |j AS (SELECT a_id, b_id, inter,
+        |        round(CAST(inter AS DOUBLE) / sa.sz, 6) AS cont_a,
+        |        round(CAST(inter AS DOUBLE) / sb.sz, 6) AS cont_b
+        |      FROM pr JOIN sz sa ON sa.doc_id = pr.a_id
+        |              JOIN sz sb ON sb.doc_id = pr.b_id)
+        |SELECT a_id, b_id, inter, cont_a, cont_b FROM j
+        |WHERE greatest(cont_a, cont_b) >= 0.8 ORDER BY a_id, b_id""".stripMargin),
+
     // Encoding-artifact screen — the curation signal RefinedWeb/C4-class
     // pipelines gate on before any model-based scoring: U+FFFD
     // replacement characters (decode failures), C0/DEL control bytes

@@ -438,6 +438,66 @@ object Dedup {
       // rounded cosine — collapse to one row.
       .distinct()
   }
+
+  /** Shingles shared by more documents than this are dropped from the
+    * containment index AND the per-doc set sizes (the [[MaxGramDf]]
+    * discipline): a shingle in 200+ documents is boilerplate/template
+    * text that carries no sub-duplication signal but drives the K² pair
+    * blowup inside its posting list.
+    */
+  val ContainmentMaxDf: Int = 200
+
+  /** Exact shingle-containment detection — the ASYMMETRIC near-dup
+    * measure (Broder 1997 §2: containment C(A,B) = |S(A)∩S(B)|/|S(A)|)
+    * that catches a document EMBEDDED inside a larger one, where Jaccard
+    * goes quiet because the union is dominated by the big doc. Shingles
+    * are raw `len`-char substrings at `stride` (replayable in SQL, no
+    * hash replay needed); one posting-list groupBy, pair generation by
+    * double explode inside each DF-capped list (never a doc self-join);
+    * per-doc set sizes ride INSIDE the postings packed into the low 20
+    * bits of each candidate long (the graph_common_neighbors lesson: the
+    * pair table is never joined). Emits both directions' containments per
+    * unordered pair; the threshold compares 6-dp-rounded values on both
+    * engines.
+    */
+  def containment(docs: DataFrame, len: Int = 20, stride: Int = 5,
+      maxDf: Int = ContainmentMaxDf, minCont: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.filter(length(col(textCol)) >= len)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, length($textCol) - ${len - 1}, $stride)," +
+          s" p -> substring($textCol, p, $len))")).as("sh"))
+      .distinct()
+    val postings = sh.groupBy("sh")
+      .agg(sort_array(graft.functions.ArrayFunctions.bounded_collect_list(
+        col(idCol), maxDf + 1)).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+    val sizes = postings.select(explode(col("ds")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("sz"))
+    // (doc, sz) packed into one long: sz < 2^20 (set size = distinct
+    // shingles per doc, bounded by n_chars/stride), packed order = doc
+    // order, so the pair path below is pure long lanes and the pair table
+    // never joins anything.
+    val packed = postings.select(col("sh"), explode(col("ds")).as("d"))
+      .join(sizes, "d")
+      .groupBy("sh")
+      .agg(sort_array(collect_list(shiftleft(col("d"), 20) + col("sz"))).as("cz"))
+      .filter(size(col("cz")) >= 2)
+    val inter = packed
+      .select(posexplode(col("cz")).as(Seq("__i", "a")), col("cz"))
+      .select(col("a"), explode(expr("slice(cz, __i + 2, size(cz))")).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .select(shiftright(col("a"), 20).as("a_id"),
+        shiftright(col("b"), 20).as("b_id"), col("inter"),
+        round(col("inter").cast("double") /
+          col("a").bitwiseAND(lit(0xFFFFFL)), 6).as("cont_a"),
+        round(col("inter").cast("double") /
+          col("b").bitwiseAND(lit(0xFFFFFL)), 6).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minCont)
+      .orderBy("a_id", "b_id")
+  }
 }
 
 /** Streaming twin of [[Dedup.verifiedClusters]] — MinHash near-dedup as a

@@ -79,6 +79,41 @@ class R10dOpsSpec extends SparkSpec {
     assert(got(0)._6 == 2L && got(1)._6 == 0L)
   }
 
+  test("dedup_containment: embedded doc scores 1.0 one way while Jaccard stays low") {
+    // doc 0 is a verbatim prefix slab of doc 1; doc 2 is unrelated.
+    // stride-5/len-20 shingles of doc 0 all reappear in doc 1 because the
+    // prefix is shingle-aligned (multiple of 5) and long enough.
+    val prefix = ('a' to 'z').mkString * 4 // 104 chars
+    val big = prefix + ("0123456789" * 30)  // 404 chars
+    val docs = Seq((0L, prefix), (1L, big), (2L, "zyxw" * 30))
+      .toDF("doc_id", "text")
+    val got = graft.ops.llm.Dedup.containment(docs)
+      .select("a_id", "b_id", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.size == 1)
+    val (a, b, ca, cb) = got.head
+    assert((a, b) == (0L, 1L))
+    assert(ca == 1.0, s"prefix doc fully contained, got $ca")
+    assert(cb < 0.8, s"big doc NOT contained in the prefix, got $cb")
+    // independent replay: distinct shingle sets in plain Scala
+    def shingles(t: String): Set[String] =
+      (1 to (t.length - 19) by 5).map(p => t.substring(p - 1, p - 1 + 20)).toSet
+    val (s0, s1) = (shingles(prefix), shingles(big))
+    val inter = (s0 & s1).size.toDouble
+    assert(ca == math.rint(inter / s0.size * 1e6) / 1e6)
+    assert(cb == math.rint(inter / s1.size * 1e6) / 1e6)
+  }
+
+  test("dedup_containment: a boilerplate shingle shared by >maxDf docs is ignored") {
+    // 30 docs share one 20-char slab; with maxDf = 10 the slab's posting
+    // list is dropped, so no pair survives (each doc's unique tail differs)
+    val slab = "SHARED-BOILERPLATE--" // 20 chars
+    val docs = (0L until 30L).map(i => (i, slab + s"unique-tail-$i-" + ("x" * 30)))
+      .toDF("doc_id", "text")
+    val got = graft.ops.llm.Dedup.containment(docs, maxDf = 10)
+    assert(got.count() == 0)
+  }
+
   test("ks_drift ties across buckets: duplicate values collapse to one ECDF point") {
     // values straddle integer-bucket boundaries and repeat within/across
     // samples — the two-level prefix sum must agree with the flat ECDF
