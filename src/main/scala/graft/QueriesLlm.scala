@@ -745,6 +745,29 @@ object QueriesLlm {
         |  TRUE AS ok
         |FROM q ORDER BY doc_id""".stripMargin),
 
+    // Per-channel pixel statistics from the DECODED image bytes — the
+    // exposure/color screen an image-curation pipeline gates on (a channel
+    // stuck at 0/255 or a crushed range flags synthetic or corrupted
+    // captures). The walk undoes bottom-up rows, BGR order and stride
+    // padding to reach logical RGB, so a swapped channel or padding
+    // mistake shifts the sums and fails the oracle replay of the
+    // synthesis formula. Map-only 3-rows-per-image fan-out, no shuffle.
+    "multimodal_channel_stats" -> QueryDef(
+      (s, d) => Multimodal.channelStats(Multimodal.synthMedia(t(s, d, "documents")))
+        .toDF().orderBy("doc_id", "channel"),
+      """WITH img AS (SELECT doc_id AS id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |ch AS (SELECT id, w, h, CAST(unnest([0, 1, 2]) AS INTEGER) AS channel FROM img),
+        |v AS (SELECT id, w, h, channel,
+        |        list_transform(range(0, w * h), p ->
+        |          (31 * id + 7 * (3 * p + channel)) % 256) AS vals
+        |      FROM ch)
+        |SELECT id AS doc_id, channel, CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(list_sum(vals) AS BIGINT) AS ch_sum,
+        |  CAST(list_aggregate(vals, 'min') AS BIGINT) AS ch_min,
+        |  CAST(list_aggregate(vals, 'max') AS BIGINT) AS ch_max
+        |FROM v ORDER BY doc_id, channel""".stripMargin),
+
     // Deterministic stratified sampling — the data-mixing primitive of a
     // training pipeline: every 10th document per language stratum in
     // stable doc_id order. Rank-based, not rand()-based, so the sample is

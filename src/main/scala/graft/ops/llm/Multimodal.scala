@@ -32,6 +32,11 @@ final case class ResizedImage(
     doc_id: Long, in_w: Long, in_h: Long, out_w: Long, out_h: Long,
     out_bytes: Long, out_n_vals: Long, out_sum: Long, out_wsum: Long)
 
+/** One image channel's pixel statistics (channel = logical RGB index). */
+final case class ChannelStats(
+    doc_id: Long, channel: Int, n_px: Long, ch_sum: Long, ch_min: Long,
+    ch_max: Long)
+
 /** One image perceptual hash (difference hash over the decoded pixels):
   * 63 brightness-comparison bits packed into a BIGINT.
   */
@@ -477,6 +482,61 @@ object Multimodal {
       t += 1
     }
     ImagePHash(id, w, h, hash, ok = true)
+  }
+
+  /** Per-channel statistics of a BMP payload from the DECODED bytes —
+    * the exposure/color screen an image-curation pipeline gates on (a
+    * channel stuck at 0/255 or a crushed range flags synthetic or
+    * corrupted captures). Channel index is the LOGICAL RGB position
+    * (0=R, 1=G, 2=B); the walk undoes bottom-up rows, BGR byte order and
+    * stride padding, so a swapped-channel or padding mistake shifts the
+    * per-channel sums and fails the oracle.
+    */
+  def bmpChannelStats(id: Long, b: Array[Byte]): Array[ChannelStats] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dataOff = u32(b, 10)
+    val w = u32(b, 18); val h = u32(b, 22)
+    val bpp = u16(b, 28); val compression = u32(b, 30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return null
+    val stride = (w * 3 + 3) / 4 * 4
+    if (dataOff.toLong + stride.toLong * h > b.length) return null
+    val sum = new Array[Long](3)
+    val mn = Array.fill(3)(255L); val mx = new Array[Long](3)
+    var r = 0
+    while (r < h) {
+      val rowOff = dataOff + (h - 1 - r) * stride
+      var c = 0
+      while (c < w) {
+        var ch = 0
+        while (ch < 3) {
+          // logical channel ch lives at BGR byte offset 2-ch
+          val v = (b(rowOff + c * 3 + (2 - ch)) & 0xff).toLong
+          sum(ch) += v
+          if (v < mn(ch)) mn(ch) = v
+          if (v > mx(ch)) mx(ch) = v
+          ch += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    Array.tabulate(3)(ch =>
+      ChannelStats(id, ch, w.toLong * h, sum(ch), mn(ch), mx(ch)))
+  }
+
+  /** Per-image per-channel stats of the image payloads (map-only fan-out
+    * of exactly 3 rows per image; corrupt payloads contribute zero rows).
+    */
+  def channelStats(media: DataFrame): Dataset[ChannelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          Option(bmpChannelStats(id, bytes)).getOrElse(Array.empty[ChannelStats]).toSeq
+        }
+      }
   }
 
   /** Per-image perceptual hashes of the image payloads (map-only). */

@@ -114,6 +114,27 @@ class R10dOpsSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("multimodal channel stats: sums reconcile with decode and corrupt bytes yield no rows") {
+    import graft.ops.llm.Multimodal
+    val docs = Seq((0L, ""), (3L, ""), (6L, "")).toDF("doc_id", "text")
+    val media = Multimodal.synthMedia(docs)
+    val ch = Multimodal.channelStats(media).collect()
+    assert(ch.length == 9) // 3 images x 3 channels
+    // per-image: channel sums add up to the whole-image val_sum and every
+    // channel covers all w*h pixels
+    val whole = Multimodal.decode(media).collect().map(m => m.doc_id -> m).toMap
+    ch.groupBy(_.doc_id).foreach { case (id, rows) =>
+      assert(rows.map(_.ch_sum).sum == whole(id).val_sum)
+      assert(rows.forall(r => r.n_px == whole(id).width.toLong * whole(id).height))
+      assert(rows.forall(r => r.ch_min <= r.ch_max && r.ch_max <= 255))
+    }
+    // corrupt payload (truncated) → zero rows, never a throw
+    val corrupt = media.limit(1)
+      .select(col("doc_id"), col("kind"),
+        expr("substring(payload, 1, 20)").as("payload"))
+    assert(Multimodal.channelStats(corrupt).count() == 0)
+  }
+
   test("ks_drift ties across buckets: duplicate values collapse to one ECDF point") {
     // values straddle integer-bucket boundaries and repeat within/across
     // samples — the two-level prefix sum must agree with the flat ECDF
