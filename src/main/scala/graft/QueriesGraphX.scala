@@ -350,7 +350,36 @@ object QueriesGraphX {
         |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-        |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin)
+        |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin),
+
+    // Watts–Strogatz local clustering coefficient per vertex (Watts &
+    // Strogatz 1998): cc(v) = 2·t(v)/(deg(v)·(deg(v)−1)) over the
+    // co-order part projection — THIRD consumer of the one shared
+    // persisted triangle list (count, truss peel, now per-vertex credit):
+    // per-vertex triangle counts are one explode + combinable groupBy
+    // over that list, degrees one distinct-edge scan; no new enumeration,
+    // no adjacency state. One IEEE division of exact BIGINTs per row.
+    "graph_clustering_coeff" -> QueryDef(
+      (s, d) => GraphAnalytics.clusteringCoeffDF(
+        GraphAnalytics.coOrderPartEdges(s, d)
+          .select(col("src").as("a"), col("dst").as("b")),
+        sharedTriangles(s, d))
+        .orderBy("id"),
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |        SELECT x AS id FROM t UNION ALL SELECT y FROM t
+        |        UNION ALL SELECT z FROM t) GROUP BY id),
+        |dg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |        SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY id)
+        |SELECT dg.id, deg, COALESCE(n_tri, 0) AS n_tri,
+        |  round(CAST(2 * COALESCE(n_tri, 0) AS DOUBLE) / (deg * (deg - 1)), 6) AS cc
+        |FROM dg LEFT JOIN tc ON tc.id = dg.id
+        |WHERE deg >= 2 ORDER BY dg.id""".stripMargin)
   )
 
   /** Generated oracle for graph_pagerank: GraphAnalytics.pageRankDF's ten

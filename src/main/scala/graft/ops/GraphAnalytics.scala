@@ -556,6 +556,32 @@ object GraphAnalytics {
         col("t").getItem(2).as("z"))
   }
 
+  /** Watts–Strogatz local clustering coefficient per vertex:
+    * cc(v) = 2·t(v)/(deg(v)·(deg(v)−1)) for deg ≥ 2, where t(v) counts
+    * triangles incident to v. Derived entirely from a canonical
+    * triangle list (one explode + combinable groupBy) and one
+    * distinct-edge degree scan — no adjacency state, no new enumeration
+    * when the caller passes the shared persisted list.
+    *
+    * Input contract: canonical undirected edges (`a < b`, distinct) and
+    * their triangle list (x < y < z, one row per triangle).
+    */
+  def clusteringCoeffDF(canonicalEdges: DataFrame,
+      triangleList: DataFrame): DataFrame = {
+    val tcnt = triangleList
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    val deg = canonicalEdges.select(col("a").as("id"))
+      .unionAll(canonicalEdges.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(tcnt, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round((lit(2L) * coalesce(col("n_tri"), lit(0L))).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double"), 6).as("cc"))
+  }
+
   def kTrussDF(canonicalEdges: DataFrame, k: Int, rounds: Int = 6,
       broadcastSides: Boolean = false,
       triangleList: Option[DataFrame] = None): DataFrame = {

@@ -135,6 +135,26 @@ class R10dOpsSpec extends SparkSpec {
     assert(Multimodal.channelStats(corrupt).count() == 0)
   }
 
+  test("graph_clustering_coeff: hand-computed cc on K4-minus-an-edge plus a pendant") {
+    import graft.ops.GraphAnalytics
+    // vertices 1-4 form K4 minus edge (3,4); vertex 5 pendant on 1.
+    // triangles: (1,2,3) and (1,2,4).
+    // deg: 1→4, 2→3, 3→2, 4→2, 5→1 (pendant, excluded by deg≥2)
+    // t(v): 1→2, 2→2, 3→1, 4→1
+    // cc:   1→ 2·2/(4·3)=0.333333, 2→ 2·2/(3·2)=0.666667,
+    //       3→ 2·1/(2·1)=1.0,      4→ 1.0
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (1L, 5L))
+      .toDF("a", "b")
+    val tri = GraphAnalytics.triangleListDF(edges)
+    val got = GraphAnalytics.clusteringCoeffDF(edges, tri)
+      .orderBy("id")
+      .select("id", "deg", "n_tri", "cc")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 0.333333), (2L, 3L, 2L, 0.666667),
+      (3L, 2L, 1L, 1.0), (4L, 2L, 1L, 1.0)))
+  }
+
   test("ks_drift ties across buckets: duplicate values collapse to one ECDF point") {
     // values straddle integer-bucket boundaries and repeat within/across
     // samples — the two-level prefix sum must agree with the flat ECDF
