@@ -494,6 +494,56 @@ object QueriesWindows {
         |  abs(cusum_t) AS max_abs_cusum_t
         |FROM c ORDER BY abs(cusum_t) DESC, b LIMIT 1""".stripMargin),
 
+    // Pearson chi-square independence test between event type and
+    // hour-of-day (Pearson 1900) — "is traffic mix stable across the
+    // day?", the categorical companion to ks_drift's continuous test.
+    // Events collapse to the ≤(types × 24)-cell contingency table FIRST
+    // (one combinable groupBy); expected counts E = rowTot·colTot/N as
+    // doubles from exact BIGINTs (identical op sequence both engines),
+    // per-cell terms rounded to 6 dp and summed EXACTLY as DECIMAL(18,6)
+    // so the statistic is accumulation-order-independent.
+    "chi2_independence" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val cells = t(s, d, "events")
+          .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+          .agg(count(lit(1)).as("o"))
+        val rt = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+        val ct = cells.groupBy("hod").agg(sum(col("o")).as("ct"))
+        val n = cells.agg(sum(col("o")).as("n"),
+          countDistinct(col("event_type")).as("r"),
+          countDistinct(col("hod")).as("c"))
+        val term = cells.join(broadcast(rt), "event_type")
+          .join(broadcast(ct), "hod").crossJoin(broadcast(n))
+          .withColumn("e", col("rt").cast("double") * col("ct").cast("double") /
+            col("n").cast("double"))
+          .withColumn("t6", round((col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e"), 6)
+            .cast(DecimalType(18, 6)))
+        term.groupBy("n", "r", "c")
+          .agg(sum(col("t6")).cast("double").as("chi2"))
+          .select(col("n"), col("r").as("n_types"), col("c").as("n_hours"),
+            ((col("r") - 1) * (col("c") - 1)).as("dof"), col("chi2"))
+      },
+      """WITH cells AS (SELECT event_type,
+        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY event_type, hod),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY event_type),
+        |ct AS (SELECT hod, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY hod),
+        |ns AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+        |    CAST(COUNT(DISTINCT hod) AS BIGINT) AS c
+        |  FROM cells),
+        |term AS (SELECT n, r, c,
+        |    CAST(round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS t6
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (hod) CROSS JOIN ns)
+        |SELECT n, r AS n_types, c AS n_hours, (r - 1) * (c - 1) AS dof,
+        |  CAST(SUM(t6) AS DOUBLE) AS chi2
+        |FROM term GROUP BY n, r, c""".stripMargin),
+
     // Exact two-sample Kolmogorov–Smirnov drift test (click vs purchase
     // value distributions) — the distribution-level drift gate a feature
     // pipeline runs between cohorts/snapshots. ECDF differences compared

@@ -155,6 +155,24 @@ class R10dOpsSpec extends SparkSpec {
       (3L, 2L, 1L, 1.0), (4L, 2L, 1L, 1.0)))
   }
 
+  test("chi2_independence: hand-computed 2x2 contingency table") {
+    // A@h0: 10, A@h1: 20, B@h0: 20, B@h1: 10 → all E = 15,
+    // chi2 = 4 * round(25/15, 6) = 6.666668 (rounded per cell), dof = 1
+    val rows = Seq(("A", 0, 10), ("A", 1, 20), ("B", 0, 20), ("B", 1, 10))
+      .flatMap { case (t, h, n) => Seq.fill(n)((t, h)) }
+      .zipWithIndex.map { case ((t, h), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"),
+          i.toLong % 7, t, 1.0, "{}")
+      }
+    val dir = java.nio.file.Files.createTempDirectory("chi2").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("chi2_independence")(spark, dir)
+      .select("n", "n_types", "n_hours", "dof", "chi2")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((60L, 2L, 2L, 1L, 6.666668)))
+  }
+
   test("ks_drift ties across buckets: duplicate values collapse to one ECDF point") {
     // values straddle integer-bucket boundaries and repeat within/across
     // samples — the two-level prefix sum must agree with the flat ECDF
