@@ -494,6 +494,55 @@ object QueriesWindows {
         |  abs(cusum_t) AS max_abs_cusum_t
         |FROM c ORDER BY abs(cusum_t) DESC, b LIMIT 1""".stripMargin),
 
+    // Lower weighted median of line price weighted by quantity, per
+    // return flag — the robust-center primitive for skewed monetary
+    // data (Edgeworth 1888): smallest price p with cumWeight(≤p) ≥
+    // totalWeight/2, decided by the INTEGER comparison 2·cum ≥ tot (no
+    // division anywhere). Quantities are exact integers stored as
+    // doubles; both engines cast to BIGINT first. Rows collapse to the
+    // (flag, price) weight table before any window; the cumulative sum
+    // uses the two-level prefix discipline (price-bucket windows are
+    // partition-parallel; the offset table is flags × ~price-range/1000
+    // rows).
+    "weighted_median" -> QueryDef(
+      (s, d) => {
+        val base = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"),
+            col("l_extendedprice").as("price"))
+          .agg(sum(col("l_quantity").cast("long")).as("w"))
+          .withColumn("b", floor(col("price") / 1000).cast("long"))
+        val wIn = Window.partitionBy("flag", "b").orderBy("price")
+          .rowsBetween(Long.MinValue, 0)
+        val inB = base.withColumn("r", sum(col("w")).over(wIn))
+        val bTot = base.groupBy("flag", "b").agg(sum(col("w")).as("t"))
+        val wOff = Window.partitionBy("flag").orderBy("b")
+          .rowsBetween(Long.MinValue, -1)
+        val offs = bTot
+          .withColumn("o", coalesce(sum(col("t")).over(wOff), lit(0L)))
+          .select("flag", "b", "o")
+        val tot = base.groupBy("flag").agg(sum(col("w")).as("total_weight"))
+        inB.join(broadcast(offs), Seq("flag", "b"))
+          .join(broadcast(tot), "flag")
+          .filter((col("o") + col("r")) * 2 >= col("total_weight"))
+          .groupBy(col("flag"), col("total_weight"))
+          .agg(min(col("price")).as("median_price"))
+          .select(col("flag").as("l_returnflag"), col("median_price"),
+            col("total_weight"))
+          .orderBy("l_returnflag")
+      },
+      """WITH base AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT flag, price,
+        |    CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |  FROM base),
+        |tot AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS tw FROM base GROUP BY flag)
+        |SELECT c.flag AS l_returnflag, MIN(price) AS median_price,
+        |  tw AS total_weight
+        |FROM cum c JOIN tot USING (flag) WHERE 2 * cw >= tw
+        |GROUP BY c.flag, tw ORDER BY l_returnflag""".stripMargin),
+
     // Pearson chi-square independence test between event type and
     // hour-of-day (Pearson 1900) — "is traffic mix stable across the
     // day?", the categorical companion to ks_drift's continuous test.

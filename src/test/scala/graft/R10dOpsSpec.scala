@@ -173,6 +173,28 @@ class R10dOpsSpec extends SparkSpec {
     assert(got == Seq((60L, 2L, 2L, 1L, 6.666668)))
   }
 
+  test("weighted_median: hand-computed lower weighted median per group") {
+    // flag X: prices 10(w2) 20(w1) 3000(w1): tot=4, 2*cum: 10→4 ≥ 4 → median 10
+    // flag Y: prices 10(w1) 20(w1) 30(w4): tot=6, cum 10→1,20→2,30→6;
+    //   2*cum ≥ 6 first at 30 → median 30 (weight concentration wins)
+    val rows = Seq(
+      ("X", 10.0, 2.0), ("X", 20.0, 1.0), ("X", 3000.0, 1.0),
+      ("Y", 10.0, 1.0), ("Y", 20.0, 1.0), ("Y", 30.0, 4.0))
+      .zipWithIndex.map { case ((f, p, q), i) =>
+        (i.toLong, 1L, 1L, i, q, p, 0.0, 0.0, f, "O",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      }
+    val dir = java.nio.file.Files.createTempDirectory("wm").toString
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("weighted_median")(spark, dir)
+      .select("l_returnflag", "median_price", "total_weight")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got == Seq(("X", 10.0, 4L), ("Y", 30.0, 6L)))
+  }
+
   test("ks_drift ties across buckets: duplicate values collapse to one ECDF point") {
     // values straddle integer-bucket boundaries and repeat within/across
     // samples — the two-level prefix sum must agree with the flat ECDF
