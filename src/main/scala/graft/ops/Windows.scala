@@ -433,15 +433,30 @@ object Windows {
     * window at any scale.
     */
   def ksDrift(events: DataFrame, typeA: String = "click",
-      typeB: String = "purchase"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
-    val pts = events
+      typeB: String = "purchase"): DataFrame =
+    ksDriftFromCounts(ksValueCounts(events, typeA, typeB))
+
+  /** The distinct-value count table `(value, c1, c2)` [[ksDrift]] runs
+    * on — split out because it merges as an ABELIAN GROUP (per-value
+    * sums), which is what lets [[DriftView]] maintain it incrementally
+    * under any batch split / arrival order.
+    */
+  def ksValueCounts(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase"): DataFrame =
+    events
       .filter(col("event_type").isin(typeA, typeB))
       .groupBy(col("value"))
       .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("c1"),
         sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("c2"))
-      .withColumn("b", floor(col("value")).cast("long"))
+
+  /** [[ksDrift]]'s statistic over a prepared `(value, c1, c2)` count
+    * table — one source of truth for the batch query and the streaming
+    * view.
+    */
+  def ksDriftFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val pts = counts.withColumn("b", floor(col("value")).cast("long"))
     val wIn = Window.partitionBy("b").orderBy("value")
       .rowsBetween(Long.MinValue, 0)
     val inBucket = pts
@@ -471,5 +486,43 @@ object Windows {
           (col("n1").cast("double") * col("n2").cast("double"))), 6))
       .withColumn("reject_05", col("ks") > col("crit_05"))
       .select("n1", "n2", "ks_units", "ks", "crit_05", "reject_05")
+  }
+
+  /** Incrementally-maintained two-sample KS drift — the streaming twin
+    * of `ks_drift` with the [[RateView]] contract: the per-value count
+    * table merges as an abelian group (per-value sums), so the fold is
+    * ORDER-INDEPENDENT — late or out-of-order events land in their
+    * value row whatever batch they arrive in, no watermark discipline
+    * needed, and parity with the batch query holds under ANY split of
+    * the input into batches (DriftStreamSpec proves the shuffled split).
+    * State = one row per distinct value seen, localCheckpointed so
+    * lineage never grows with batch count.
+    */
+  final class DriftView(spark: org.apache.spark.sql.SparkSession,
+      typeA: String = "click", typeB: String = "purchase") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    private var state: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("value", DoubleType), StructField("c1", LongType),
+        StructField("c2", LongType))))
+
+    /** foreachBatch sink: `stream.writeStream.foreachBatch(view.sink)`. */
+    def sink(batch: DataFrame, batchId: Long): Unit = { processBatch(batch); () }
+
+    /** Fold one micro-batch of raw events into the count state. */
+    def processBatch(batch: DataFrame): Unit =
+      state = state.unionByName(ksValueCounts(batch, typeA, typeB))
+        .groupBy("value")
+        .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+        .localCheckpoint()
+
+    /** The KS statistic over everything folded so far — identical to the
+      * batch query on the union of all batches, by construction.
+      */
+    def drift: DataFrame = ksDriftFromCounts(state)
+
+    /** Current state size (one row per distinct value seen). */
+    def stateSize: Long = state.count()
   }
 }
