@@ -81,6 +81,23 @@ object QueriesGraphX {
       },
       prOracleSql),
 
+    // Personalized PageRank from the nation-vertex seed set (Page et al.
+    // 1999 §6; Jeh & Widom 2003) — the proximity/recommendation variant:
+    // teleport mass 0.15·|V| lands ONLY on seeds, so ranks measure
+    // closeness to the seeds instead of global prestige (customers and
+    // suppliers of well-connected nations rise; unreachable-from-seed
+    // mass decays to 0). Same fixed-point ladder, per-round rounding and
+    // lineage cadence as graph_pagerank; the oracle replays the rounds
+    // with the seed-conditional base term.
+    "graph_ppr" -> QueryDef(
+      (s, d) => {
+        val g = graft.model.DerivedGraph(s, d)
+        GraphAnalytics.personalizedPageRankDF(g.vertices, g.edges,
+          col("label") === "nation", 10)
+          .orderBy(col("rank").desc, col("id")).limit(100)
+      },
+      pprOracleSql),
+
     // Eigenvector centrality (Bonacich 1972) by 8 rounds of synchronous
     // power iteration with per-round L1 renormalization to Σx = |V| —
     // the renormalization is what keeps the iterate (and the fixed-point
@@ -412,6 +429,38 @@ object QueriesGraphX {
        |                COUNT(*) AS n FROM r10)
        |SELECT r.id, round(r.rank * tot.n / tot.t, 6) AS rank
        |FROM r10 r, tot ORDER BY rank DESC, id LIMIT 100""".stripMargin
+  }
+
+  /** Generated oracle for graph_ppr: [[graft.ops.GraphAnalytics.personalizedPageRankDF]]'s
+    * ten rounds replayed as chained MATERIALIZED CTEs — the [[prOracleSql]]
+    * ladder with the uniform 0.15 base replaced by the seed-conditional
+    * base(v) = (0.15·|V|)/|S| for nation vertices, 0 elsewhere, computed
+    * in the same double op order on both engines. The LEFT JOIN +
+    * COALESCE 0 covers the Spark side's receivers ∪ constant-no-in union
+    * exactly (a no-in vertex is round(base + 0.85·0, 6) on both sides).
+    */
+  private lazy val pprOracleSql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT vb.id,
+         |   round(vb.base + CAST(0.85 AS DOUBLE) * COALESCE(m.msum, CAST(0 AS DOUBLE)), 6) AS rank
+         | FROM vb LEFT JOIN (
+         |   SELECT ed.dst AS id,
+         |     CAST(SUM(CAST(floor((r.rank / ed.outdeg) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS msum
+         |   FROM r${i - 1} r JOIN ed ON r.id = ed.src GROUP BY ed.dst) m ON m.id = vb.id)""".stripMargin
+    }.mkString(",\n ")
+    s"""${graft.model.DerivedGraphSql.cte},
+       | deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       | ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg ON deg.src = e.src),
+       | ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv,
+       |   CAST(SUM(CASE WHEN label = 'nation' THEN 1 ELSE 0 END) AS DOUBLE) AS nsd
+       |   FROM v),
+       | vb AS MATERIALIZED (SELECT v.id,
+       |   CASE WHEN v.label = 'nation' THEN CAST(0.15 AS DOUBLE) * ns.nv / ns.nsd
+       |        ELSE CAST(0 AS DOUBLE) END AS base
+       |   FROM v CROSS JOIN ns),
+       | r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v),
+       | $rounds
+       |SELECT id, rank FROM r10 ORDER BY rank DESC, id LIMIT 100""".stripMargin
   }
 
   /** Generated oracle for graph_eigenvector: the 8 power-iteration rounds

@@ -197,6 +197,68 @@ object GraphAnalytics {
         round(col("rank") * col("__n") / col("__t"), roundScale).as("rank"))
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6 / Jeh & Widom 2003):
+    * [[pageRankDF]]'s ladder with the teleport mass concentrated on a
+    * SEED SET instead of spread uniformly — rank(v) = round(base(v) +
+    * 0.85·msum(v), 6) per round, where base(v) = 0.15·|V|/|S| for seeds
+    * and 0 elsewhere (total teleport mass 0.15·|V|, matching the
+    * unnormalized pagerank convention so the two ladders share the
+    * fixed-point headroom analysis). The recommendation/proximity
+    * primitive: ranks measure closeness to the seeds, not global
+    * prestige.
+    *
+    * Same determinism ladder as [[pageRankDF]] (1e9 fixed-point long
+    * message sums, per-round rounding), same per-round shape (receivers ∪
+    * constant no-in frame — no-in vertices hold base(v) exactly from
+    * round 1), same lineage-cut cadence. The seed-flag join rides a
+    * broadcast of the seed id list only.
+    */
+  def personalizedPageRankDF(vertices: DataFrame, edges: DataFrame,
+      seedPred: org.apache.spark.sql.Column, numIter: Int = 10,
+      roundScale: Int = 6, checkpointEvery: Int = 2,
+      broadcastRankLimit: Long = 5000000L): DataFrame = {
+    val e = edges.select("src", "dst")
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
+      .localCheckpoint()
+    val nV = vertices.count()
+    require(nV < Long.MaxValue / 1000000000L,
+      s"personalizedPageRankDF: |V|=$nV exceeds the 1e9 fixed-point headroom")
+    val seeds = vertices.filter(seedPred).select(col("id")).localCheckpoint()
+    val nS = seeds.count()
+    require(nS > 0, "personalizedPageRankDF: empty seed set")
+    // both engines compute the seed base as (0.15 · nV) / nS in this op
+    // order — see the generated oracle
+    val seedBase = lit(0.15) * lit(nV.toDouble) / lit(nS.toDouble)
+    val hintSmall: DataFrame => DataFrame =
+      if (nV <= broadcastRankLimit) broadcast(_) else identity
+    val seedFlag = broadcast(seeds.withColumn("__s", lit(1)))
+    // no-in vertices never receive a message: constant base(v) from
+    // round 1 (0.15·|V|/|S| for seeds, exactly 0.0 otherwise)
+    val noIn = vertices.select("id")
+      .join(ed.select(col("dst")), col("id") === col("dst"), "left_anti")
+      .join(seedFlag, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__s").isNotNull, round(seedBase, roundScale))
+          .otherwise(lit(0.0)).as("rank"))
+      .localCheckpoint()
+    var ranks = vertices.select(col("id"), lit(1.0).as("rank"))
+    for (i <- 1 to numIter) {
+      val msum = hintSmall(ranks).join(ed, col("id") === col("src"))
+        .select(col("dst"),
+          floor(col("rank") / col("__outdeg") * lit(1e9)).as("__c"))
+        .groupBy("dst")
+        .agg((sum(col("__c")).cast("double") / lit(1e9)).as("__msum"))
+      ranks = msum
+        .join(seedFlag, msum("dst") === seedFlag("id"), "left")
+        .select(msum("dst").as("id"),
+          round(when(col("__s").isNotNull, seedBase).otherwise(lit(0.0)) +
+            lit(0.85) * col("__msum"), roundScale).as("rank"))
+        .unionAll(noIn)
+      if (i % checkpointEvery == 0 || i == numIter) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** Eigenvector centrality by synchronous power iteration (Bonacich
     * 1972): x' = A'x, L1-renormalized to Σx = |V| every round so the
     * iterate neither diverges nor vanishes (the renormalization is what
