@@ -745,6 +745,61 @@ object QueriesLlm {
         |  TRUE AS ok
         |FROM q ORDER BY doc_id""".stripMargin),
 
+    // Per-document OOV rate against the top-20 corpus vocabulary — the
+    // tokenizer-coverage gate run before committing a vocab: documents
+    // whose mass falls outside the vocab fragment into long byte-level
+    // sequences and blow the token budget. Vocab = top-20 tokens by
+    // (count desc, token) — a TakeOrdered over the collapsed count table,
+    // broadcast back against the token stream; one combinable per-doc
+    // agg; one IEEE division of exact ints per row.
+    "vocab_coverage" -> QueryDef(
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(20)
+          .select(col("tok"), lit(1).as("__v"))
+        tk.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vb AS (SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok)
+        |       ORDER BY cnt DESC, tok LIMIT 20),
+        |j AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |      FROM tk t LEFT JOIN vb v ON v.tok = t.tok GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+        |FROM j ORDER BY doc_id""".stripMargin),
+
+    // Loudness-normalization gain from the DECODED PCM bytes — the
+    // EBU-R128-style pass (simplified to a fixed 1000-unit RMS target) an
+    // audio pipeline runs before feature extraction: gain = √(tgt²·n/Σs²)
+    // scales each clip to target RMS. Sum of squares is exact integer
+    // arithmetic over the real samples; both display roots are identical
+    // IEEE sequences; the oracle replays the synthesis formula. Map-only.
+    "multimodal_audio_gain" -> QueryDef(
+      (s, d) => Multimodal.audioGains(Multimodal.synthMedia(t(s, d, "documents")))
+        .toDF().orderBy("doc_id"),
+      """WITH a AS (SELECT doc_id AS id, 64 + doc_id % 193 AS n FROM documents
+        |           WHERE doc_id % 3 = 1),
+        |sq AS (SELECT id, n,
+        |    CAST(list_sum(list_transform(range(0, n), k ->
+        |      ((131 * id + 17 * k) % 4096 - 2048) * ((131 * id + 17 * k) % 4096 - 2048)))
+        |      AS BIGINT) AS sum_sq
+        |  FROM a)
+        |SELECT id AS doc_id, CAST(n AS BIGINT) AS n_samples, sum_sq,
+        |  CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE round(sqrt(CAST(sum_sq AS DOUBLE) / n), 6) END AS rms6,
+        |  CASE WHEN sum_sq = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE round(sqrt(CAST(1000000 AS DOUBLE) * n / sum_sq), 6) END AS gain6
+        |FROM sq ORDER BY doc_id""".stripMargin),
+
     // Per-channel pixel statistics from the DECODED image bytes — the
     // exposure/color screen an image-curation pipeline gates on (a channel
     // stuck at 0/255 or a crushed range flags synthetic or corrupted

@@ -32,6 +32,10 @@ final case class ResizedImage(
     doc_id: Long, in_w: Long, in_h: Long, out_w: Long, out_h: Long,
     out_bytes: Long, out_n_vals: Long, out_sum: Long, out_wsum: Long)
 
+/** One audio clip's RMS and loudness-normalization gain. */
+final case class AudioGain(
+    doc_id: Long, n_samples: Long, sum_sq: Long, rms6: Double, gain6: Double)
+
 /** One image channel's pixel statistics (channel = logical RGB index). */
 final case class ChannelStats(
     doc_id: Long, channel: Int, n_px: Long, ch_sum: Long, ch_min: Long,
@@ -522,6 +526,57 @@ object Multimodal {
     }
     Array.tabulate(3)(ch =>
       ChannelStats(id, ch, w.toLong * h, sum(ch), mn(ch), mx(ch)))
+  }
+
+  /** RMS + normalization gain of a parsed WAV — the loudness-
+    * normalization pass an audio pipeline runs before feature extraction
+    * (EBU R128-style target, simplified to a fixed RMS target of 1000
+    * 16-bit units): gain = √(target²·n / Σs²), the factor that scales
+    * the clip to target RMS. Sum of squares is exact integer arithmetic
+    * from the real PCM bytes; the two display roots are identical IEEE
+    * sequences on both engines. Returns null on a malformed container.
+    */
+  def wavGain(id: Long, b: Array[Byte]): AudioGain = {
+    val d = parseWav(id, b)
+    if (!d.ok) return null
+    var off = 12
+    var dataOff = -1; var dataLen = -1
+    while (dataOff < 0) {
+      val cid = new String(b, off, 4, "US-ASCII")
+      val clen = u32(b, off + 4)
+      if (cid == "data") { dataOff = off + 8; dataLen = clen }
+      else off += 8 + clen + (clen & 1)
+    }
+    val n = dataLen / 2
+    var sumsq = 0L
+    var k = 0
+    while (k < n) {
+      val s = s16(b, dataOff + k * 2).toLong
+      sumsq += s * s
+      k += 1
+    }
+    val rms6 =
+      if (n == 0) 0.0
+      else BigDecimal(math.sqrt(sumsq.toDouble / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gain6 =
+      if (sumsq == 0L) 0.0
+      else BigDecimal(math.sqrt(1000000.0 * n / sumsq))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    AudioGain(id, n.toLong, sumsq, rms6, gain6)
+  }
+
+  /** Per-clip RMS/gain of the audio payloads (map-only; corrupt
+    * containers contribute zero rows).
+    */
+  def audioGains(media: DataFrame): Dataset[AudioGain] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) => Option(wavGain(id, bytes)) }
+      }
   }
 
   /** Per-image per-channel stats of the image payloads (map-only fan-out

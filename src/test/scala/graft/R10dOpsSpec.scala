@@ -227,6 +227,48 @@ class R10dOpsSpec extends SparkSpec {
     assert(got.find(_._1 == 1L).get._2 > got.find(_._1 == 2L).get._2)
   }
 
+  test("multimodal_audio_gain: matches the synthesis replay; corrupt bytes yield no rows") {
+    import graft.ops.llm.Multimodal
+    val docs = Seq((1L, ""), (4L, ""), (7L, "")).toDF("doc_id", "text")
+    val media = Multimodal.synthMedia(docs)
+    val got = Multimodal.audioGains(media).collect()
+      .map(g => g.doc_id -> g).toMap
+    assert(got.keySet == Set(1L, 4L, 7L))
+    got.foreach { case (id, g) =>
+      val n = (64 + id % 193).toInt
+      val sq = (0 until n).map { k =>
+        val s = ((131 * id + 17 * k) % 4096 - 2048); s * s
+      }.sum
+      assert(g.n_samples == n.toLong && g.sum_sq == sq)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(g.rms6 == r6(math.sqrt(sq.toDouble / n)))
+      assert(g.gain6 == r6(math.sqrt(1000000.0 * n / sq)))
+      // gain * rms ≈ 1000-unit target (within display rounding)
+      assert(math.abs(g.gain6 * g.rms6 - 1000.0) < 0.01)
+    }
+    val corrupt = media.filter(col("kind") === "audio").limit(1)
+      .select(col("doc_id"), col("kind"),
+        expr("substring(payload, 1, 10)").as("payload"))
+    assert(Multimodal.audioGains(corrupt).count() == 0)
+  }
+
+  test("vocab_coverage: OOV counted against the (cnt desc, tok) top-k cut") {
+    // with a top-20 vocab and 21 distinct tokens, exactly the rarest
+    // token (ties broken by name) is OOV
+    val toks = (1 to 21).map(i => (f"w$i%02d", 22 - i)) // w01 x21 ... w21 x1
+    val text = toks.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq((0L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("vcov").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("vocab_coverage")(spark, dir)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val total = toks.map(_._2).sum.toLong
+    assert(got == Seq((0L, total, 1L, math.rint(1.0 / total * 1e6) / 1e6)))
+  }
+
   test("ks_drift ties across buckets: duplicate values collapse to one ECDF point") {
     // values straddle integer-bucket boundaries and repeat within/across
     // samples — the two-level prefix sum must agree with the flat ECDF
