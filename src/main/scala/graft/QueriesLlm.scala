@@ -745,6 +745,58 @@ object QueriesLlm {
         |  TRUE AS ok
         |FROM q ORDER BY doc_id""".stripMargin),
 
+    // Embedding-space outlier screen: top-5 vectors farthest from their
+    // label centroid — the curation pass that surfaces mislabeled or
+    // corrupted embeddings before they poison an ANN index or a
+    // contrastive batch. Exactness ladder: per-(label, dim) centroid
+    // from an exact DECIMAL(18,9) sum (order-independent) with one IEEE
+    // divide; per-dim squared deviations fixed-pointed to micro-units
+    // BEFORE the per-vector integer sum. Shapes: one 64x posexplode,
+    // one combinable (label, dim) agg to a labels×dims table broadcast
+    // back, one combinable per-vector agg, one label-partitioned top-5
+    // window.
+    "embedding_outliers" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val ex = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(expr("transform(embedding, x -> cast(x as double))"))
+              .as(Seq("i", "x")))
+        val means = ex.groupBy("label", "i")
+          .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") /
+            count(lit(1))).as("m"))
+        val units = ex.join(broadcast(means), Seq("label", "i"))
+          .select(col("vec_id"), col("label"),
+            floor((col("x") - col("m")) * (col("x") - col("m")) * lit(1e6) +
+              lit(0.5)).cast("long").as("u"))
+          .groupBy("vec_id", "label").agg(sum(col("u")).as("dist2_units"))
+        val w = Window.partitionBy("label")
+          .orderBy(col("dist2_units").desc, col("vec_id"))
+        units.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("label"), col("rk"), col("vec_id"), col("dist2_units"),
+            round(col("dist2_units").cast("double") / lit(1e6), 6).as("dist2"))
+          .orderBy("label", "rk")
+      },
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex0 AS (SELECT vec_id, label, v,
+        |          unnest(generate_series(1, len(v))) AS i FROM e),
+        |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[CAST(i AS INT)] AS x FROM ex0),
+        |mn AS (SELECT label, i,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+        |       FROM ex GROUP BY label, i),
+        |un AS (SELECT vec_id, ex.label,
+        |         CAST(SUM(CAST(floor((x - m) * (x - m) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS dist2_units
+        |       FROM ex JOIN mn ON mn.label = ex.label AND mn.i = ex.i
+        |       GROUP BY vec_id, ex.label),
+        |rk AS (SELECT label, vec_id, dist2_units,
+        |         CAST(row_number() OVER (PARTITION BY label
+        |           ORDER BY dist2_units DESC, vec_id) AS BIGINT) AS rk
+        |       FROM un)
+        |SELECT label, rk, vec_id, dist2_units,
+        |  round(CAST(dist2_units AS DOUBLE) / 1e6, 6) AS dist2
+        |FROM rk WHERE rk <= 5 ORDER BY label, rk""".stripMargin),
+
     // Per-document OOV rate against the top-20 corpus vocabulary — the
     // tokenizer-coverage gate run before committing a vocab: documents
     // whose mass falls outside the vocab fragment into long byte-level

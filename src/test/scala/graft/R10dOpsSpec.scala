@@ -269,6 +269,40 @@ class R10dOpsSpec extends SparkSpec {
     assert(got == Seq((0L, total, 1L, math.rint(1.0 / total * 1e6) / 1e6)))
   }
 
+  test("embedding_outliers: the planted far vector ranks first in its label") {
+    // label 0: three tight vectors at ~(1,1) and one far at (9,9) — the
+    // planted outlier must rank 1; replay the exact arithmetic by hand
+    val emb = Seq(
+      (0L, Array(1.0f, 1.0f), 0), (1L, Array(1.1f, 0.9f), 0),
+      (2L, Array(0.9f, 1.1f), 0), (3L, Array(9.0f, 9.0f), 0),
+      (4L, Array(5.0f, 5.0f), 1), (5L, Array(5.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("eo").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("embedding_outliers")(spark, dir)
+      .select("label", "rk", "vec_id", "dist2_units")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // independent replay (double arithmetic, same fixed-pointing)
+    val vs = Map(0L -> Array(1.0f, 1.0f), 1L -> Array(1.1f, 0.9f),
+      2L -> Array(0.9f, 1.1f), 3L -> Array(9.0f, 9.0f))
+      .map { case (k, a) => k -> a.map(_.toDouble) }
+    // mirror the engine's exact DECIMAL(18,9) accumulation before the
+    // one IEEE divide (a raw double sum can drift in the 9th decimal)
+    val mean = Array(0, 1).map { i =>
+      vs.values.map(v => BigDecimal(v(i))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / 4L
+    }
+    def units(v: Array[Double]) = v.zip(mean).map { case (x, m) =>
+      math.floor((x - m) * (x - m) * 1e6 + 0.5).toLong }.sum
+    val lbl0 = vs.toSeq.map { case (id, v) => (id, units(v)) }
+      .sortBy { case (id, u) => (-u, id) }.zipWithIndex
+      .map { case ((id, u), r) => (0, r + 1L, id, u) }
+    assert(got.filter(_._1 == 0) == lbl0)
+    assert(got.filter(_._1 == 0).head._3 == 3L) // the planted outlier
+    // identical vectors in label 1 tie at distance 0, vec_id breaks
+    assert(got.filter(_._1 == 1) == Seq((1, 1L, 4L, 0L), (1, 2L, 5L, 0L)))
+  }
+
   test("ks_drift ties across buckets: duplicate values collapse to one ECDF point") {
     // values straddle integer-bucket boundaries and repeat within/across
     // samples — the two-level prefix sum must agree with the flat ECDF
