@@ -1589,6 +1589,56 @@ object QueriesRelational {
         |  FROM r)
         |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
         |  CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents
-        |FROM q GROUP BY segment ORDER BY segment""".stripMargin)
+        |FROM q GROUP BY segment ORDER BY segment""".stripMargin),
+
+    // Market-basket association rules (Agrawal-Imielinski-Swami 1993) over
+    // orders-as-baskets: top-20 co-purchased part pairs with support,
+    // both directional confidences and lift — the cross-sell screen and
+    // the classic frequent-itemset primitive at pair depth. Pair
+    // generation by double explode inside each order's sorted item list
+    // (baskets are naturally small — ~7 lines in TPC-H — so no DF cap is
+    // needed; a cap would go on the LIST SIZE if baskets could grow),
+    // never an all-pairs part join; metrics are IEEE divisions of exact
+    // BIGINTs in the same op order on both engines.
+    "basket_rules" -> QueryDef(
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val baskets = items.groupBy("o")
+          .agg(sort_array(collect_list(col("p"))).as("ps"))
+        val pairs = baskets.filter(size(col("ps")) >= 2)
+          .select(posexplode(col("ps")).as(Seq("__i", "a")), col("ps"))
+          .select(col("a"),
+            explode(expr("slice(ps, __i + 2, size(ps))")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        val top = pairs.orderBy(col("n_ab").desc, col("a"), col("b")).limit(20)
+        val cnt = items.groupBy("p").agg(count(lit(1)).as("n"))
+        val nOrders = items.select(col("o")).distinct().count()
+        top
+          .join(cnt.select(col("p").as("a"), col("n").as("n_a")), "a")
+          .join(cnt.select(col("p").as("b"), col("n").as("n_b")), "b")
+          .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+            round(col("n_ab").cast("double") / lit(nOrders.toDouble), 6).as("support"),
+            round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
+            round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"),
+            round(col("n_ab").cast("double") * lit(nOrders.toDouble) /
+              (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+          .orderBy(col("n_ab").desc, col("a"), col("b"))
+      },
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pr AS (SELECT i1.p AS a, i2.p AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |       FROM items i1 JOIN items i2 ON i1.o = i2.o AND i1.p < i2.p
+        |       GROUP BY 1, 2),
+        |top AS (SELECT * FROM pr ORDER BY n_ab DESC, a, b LIMIT 20),
+        |cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY p),
+        |no AS (SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS nord FROM items)
+        |SELECT a, b, n_ab, ca.n AS n_a, cb.n AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) / nord, 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / ca.n, 6) AS conf_a_b,
+        |  round(CAST(n_ab AS DOUBLE) / cb.n, 6) AS conf_b_a,
+        |  round(CAST(n_ab AS DOUBLE) * nord / (CAST(ca.n AS DOUBLE) * cb.n), 6) AS lift
+        |FROM top JOIN cnt ca ON ca.p = top.a JOIN cnt cb ON cb.p = top.b
+        |CROSS JOIN no ORDER BY n_ab DESC, a, b""".stripMargin)
   )
 }

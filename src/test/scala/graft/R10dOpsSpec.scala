@@ -303,6 +303,28 @@ class R10dOpsSpec extends SparkSpec {
     assert(got.filter(_._1 == 1) == Seq((1, 1L, 4L, 0L), (1, 2L, 5L, 0L)))
   }
 
+  test("basket_rules: support/confidence/lift replayed on hand baskets") {
+    // orders: {1,2}, {1,2}, {1,3}, {2} → N=4; n(1)=3, n(2)=3, n(3)=1
+    // pairs: (1,2)x2, (1,3)x1
+    val rows = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 2L))
+      .zipWithIndex.map { case ((o, p), i) =>
+        (o, p, 1L, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      }
+    val dir = java.nio.file.Files.createTempDirectory("br").toString
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("basket_rules")(spark, dir)
+      .select("a", "b", "n_ab", "support", "conf_a_b", "conf_b_a", "lift")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 0.5, 0.666667, 0.666667, 0.888889),
+      (1L, 3L, 1L, 0.25, 0.333333, 1.0, 1.333333)))
+  }
+
   test("ks_drift ties across buckets: duplicate values collapse to one ECDF point") {
     // values straddle integer-bucket boundaries and repeat within/across
     // samples — the two-level prefix sum must agree with the flat ECDF
