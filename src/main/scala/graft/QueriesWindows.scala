@@ -494,6 +494,76 @@ object QueriesWindows {
         |  abs(cusum_t) AS max_abs_cusum_t
         |FROM c ORDER BY abs(cusum_t) DESC, b LIMIT 1""".stripMargin),
 
+    // Conversion-latency percentiles: exact interpolated p25/p50/p90 of
+    // the first-view → first-purchase delay over converted users — the
+    // time-to-convert read-out that turns event_funnel's step counts
+    // into an SLA ("half of buyers convert within X hours"). First-touch
+    // times are combinable per-user min-aggs in exact micros; the rank
+    // over converted users uses the two-level prefix discipline (hour-
+    // bucket windows partition-parallel, offset table ≤ latency-range
+    // hours); quantile interpolation spelled identically on both engines
+    // (the quantile_cont ladder).
+    "funnel_latency" -> QueryDef(
+      (s, d) => {
+        val f = t(s, d, "events").groupBy("user_id").agg(
+          min(when(col("event_type") === "view",
+            expr("unix_micros(ts)"))).as("v_us"),
+          min(when(col("event_type") === "purchase",
+            expr("unix_micros(ts)"))).as("p_us"))
+        val converted = col("v_us").isNotNull && col("p_us").isNotNull &&
+          col("p_us") >= col("v_us")
+        val conv = f.filter(converted)
+          .select((col("p_us") - col("v_us")).as("lat"))
+          .withColumn("b", expr("lat div 3600000000"))
+        val wIn = Window.partitionBy("b").orderBy("lat")
+        val inB = conv.withColumn("r", row_number().over(wIn).cast("long"))
+        val bTot = conv.groupBy("b").agg(count(lit(1)).as("t"))
+        val wOff = Window.orderBy("b").rowsBetween(Long.MinValue, -1)
+        val offs = bTot
+          .withColumn("o", coalesce(sum(col("t")).over(wOff), lit(0L)))
+          .select("b", "o")
+        val ranked = inB.join(broadcast(offs), "b")
+          .select((col("o") + col("r")).as("rk"), col("lat"))
+        val stats = f.agg(
+          sum(when(col("v_us").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+          sum(when(converted, 1L).otherwise(0L)).as("n_converted"))
+        val probes = stats
+          .select(col("n_viewed"), col("n_converted"),
+            explode(array(lit(0.25), lit(0.5), lit(0.9))).as("p"))
+          .withColumn("pos", (col("n_converted") - 1).cast("double") * col("p"))
+          .withColumn("lo_rk", floor(col("pos")).cast("long") + 1)
+          .withColumn("hi_rk", ceil(col("pos")).cast("long") + 1)
+        probes
+          .join(ranked.select(col("rk").as("lo_rk"), col("lat").as("lo_v")), Seq("lo_rk"))
+          .join(ranked.select(col("rk").as("hi_rk"), col("lat").as("hi_v")), Seq("hi_rk"))
+          .select(col("p"), col("n_viewed"), col("n_converted"),
+            round((col("lo_v") + (col("hi_v") - col("lo_v")) *
+              (col("pos") - floor(col("pos")))) / lit(1e6), 6).as("q_lat_sec"))
+          .orderBy("p")
+      },
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+        |  FROM events GROUP BY user_id),
+        |conv AS (SELECT p_us - v_us AS lat FROM f
+        |  WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= v_us),
+        |rkd AS (SELECT lat, CAST(row_number() OVER (ORDER BY lat) AS BIGINT) AS rk FROM conv),
+        |st AS (SELECT
+        |    CAST(SUM(CASE WHEN v_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        |    CAST(SUM(CASE WHEN v_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= v_us
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |  FROM f),
+        |probes AS (SELECT n_viewed, n_converted, p,
+        |    CAST(n_converted - 1 AS DOUBLE) * p AS pos,
+        |    CAST(floor(CAST(n_converted - 1 AS DOUBLE) * p) AS BIGINT) + 1 AS lo_rk,
+        |    CAST(ceil(CAST(n_converted - 1 AS DOUBLE) * p) AS BIGINT) + 1 AS hi_rk
+        |  FROM st, (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS p))
+        |SELECT pr.p, pr.n_viewed, pr.n_converted,
+        |  round((lo.lat + (hi.lat - lo.lat) * (pr.pos - floor(pr.pos))) / 1e6, 6) AS q_lat_sec
+        |FROM probes pr JOIN rkd lo ON lo.rk = pr.lo_rk
+        |JOIN rkd hi ON hi.rk = pr.hi_rk
+        |ORDER BY pr.p""".stripMargin),
+
     // Lower weighted median of line price weighted by quantity, per
     // return flag — the robust-center primitive for skewed monetary
     // data (Edgeworth 1888): smallest price p with cumWeight(≤p) ≥

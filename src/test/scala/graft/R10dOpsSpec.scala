@@ -325,6 +325,29 @@ class R10dOpsSpec extends SparkSpec {
       (1L, 3L, 1L, 0.25, 0.333333, 1.0, 1.333333)))
   }
 
+  test("funnel_latency: interpolated percentiles over hand-built conversions") {
+    // users 1-5 convert with latencies 10, 20, 30, 40, 100 s; user 6
+    // views only; user 7 purchases BEFORE viewing (not a conversion)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, u: Long, ty: String, offSec: Long) =
+      (id, new java.sql.Timestamp(t0 + offSec * 1000), u, ty, 1.0, "{}")
+    val lats = Seq(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L, 5L -> 100L)
+    val rows = lats.zipWithIndex.flatMap { case ((u, lat), i) =>
+      Seq(ev(i * 2 + 1, u, "view", 0), ev(i * 2 + 2, u, "purchase", lat))
+    } ++ Seq(ev(100L, 6L, "view", 0), ev(101L, 7L, "purchase", 0),
+      ev(102L, 7L, "view", 50))
+    val dir = java.nio.file.Files.createTempDirectory("fl").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("funnel_latency")(spark, dir)
+      .select("p", "n_viewed", "n_converted", "q_lat_sec")
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    // n=5 latencies [10,20,30,40,100]: pos(p)=(n-1)p → p25 at pos 1 = 20,
+    // p50 at pos 2 = 30, p90 at pos 3.6 = 40 + 0.6*60 = 76
+    assert(got == Seq((0.25, 7L, 5L, 20.0), (0.5, 7L, 5L, 30.0),
+      (0.9, 7L, 5L, 76.0)))
+  }
+
   test("ks_drift ties across buckets: duplicate values collapse to one ECDF point") {
     // values straddle integer-bucket boundaries and repeat within/across
     // samples — the two-level prefix sum must agree with the flat ECDF
