@@ -1591,6 +1591,41 @@ object QueriesRelational {
         |  CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents
         |FROM q GROUP BY segment ORDER BY segment""".stripMargin),
 
+    // TPC-H Q5-shaped 6-table star with the LOCAL-supplier predicate
+    // (customer and supplier share a nation) — the join-ordering stress
+    // test of the relational surface: two broadcast dims (nation,
+    // region), a selective region + order-year filter that must push
+    // into the scans, and the fact⋈orders⋈customer⋈supplier chain left
+    // to Catalyst/AQE to order. Revenue on the exact DECIMAL ladder;
+    // deterministic (revenue desc, n_name) output.
+    "star_local_revenue" -> QueryDef(
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter(year(col("o_orderdate")) === 1995),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name")),
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND EXTRACT(year FROM o_orderdate) = 1995
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+
     // Market-basket association rules (Agrawal-Imielinski-Swami 1993) over
     // orders-as-baskets: top-20 co-purchased part pairs with support,
     // both directional confidences and lift — the cross-sell screen and

@@ -58,6 +58,15 @@ class PlanShapeR10dSpec extends SparkSpec {
       s"bucket offsets + per-flag totals must broadcast:\n$p")
   }
 
+  test("star_local_revenue: dims broadcast, selective filters reach the scans") {
+    val p = planOf("star_local_revenue")
+    assert(!p.contains("CartesianProduct"), s"star plan:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"nation and region must broadcast, got $bhj BHJs:\n$p")
+    assert(p.contains("ASIA"), s"the region filter must appear in the plan:\n$p")
+    assert(p.contains("1995"), s"the order-year filter must appear in the plan:\n$p")
+  }
+
   test("graph_ppr: final pass is a top-k over the checkpointed rank table") {
     // the per-round joins run inside the checkpoint cadence (their
     // broadcast shape is pageRankDF's, measured there); the visible plan
