@@ -396,7 +396,22 @@ object QueriesGraphX {
         |SELECT dg.id, deg, COALESCE(n_tri, 0) AS n_tri,
         |  round(CAST(2 * COALESCE(n_tri, 0) AS DOUBLE) / (deg * (deg - 1)), 6) AS cc
         |FROM dg LEFT JOIN tc ON tc.id = dg.id
-        |WHERE deg >= 2 ORDER BY dg.id""".stripMargin)
+        |WHERE deg >= 2 ORDER BY dg.id""".stripMargin),
+
+    // Landmark STRESS centrality (Shimbel 1953) from the shared landmark
+    // set — the betweenness-family member that stays exactly countable:
+    // classic betweenness accumulates path FRACTIONS (Brandes 2001) that
+    // no cross-engine replay survives; stress counts the shortest paths
+    // through each vertex, so both Brandes passes (forward σ, backward
+    // successor accumulation) run in exact BIGINTs. Fifth consumer of
+    // the landmark discipline (shortest_paths/closeness/harmonic/
+    // eccentricity read distances; stress needs σ and the DAG, so it
+    // runs its own two-pass ladder on the same seeds). Top-100, (stress
+    // desc, id) deterministic.
+    "graph_stress" -> QueryDef(
+      (s, d) => GraphAnalytics.stressCentralityDF(
+        DerivedGraph.undirected(DerivedGraph(s, d).edges), spLandmarks, 10),
+      stressOracleSql)
   )
 
   /** Generated oracle for graph_pagerank: GraphAnalytics.pageRankDF's ten
@@ -675,6 +690,54 @@ object QueriesGraphX {
   /** Landmarks for graph_shortest_paths: three nation vertices. */
   private lazy val spLandmarks: Seq[Long] =
     Seq(3L, 7L, 12L).map(DerivedGraph.NationBase + _)
+
+  /** graph_stress oracle: the engine's two integer Brandes passes as
+    * chained CTEs — forward frontier joins carrying σ (anti-joined
+    * against the running visited set), then the backward successor
+    * accumulation h by descending depth, stress = Σ σ·h per vertex
+    * excluding the landmark itself. Levels the BFS never reaches are
+    * empty CTEs on both engines.
+    *
+    * Every generated CTE is MATERIALIZED: DuckDB inlines CTEs by
+    * default, and this chain references f_{l-1} three times per level
+    * (next frontier, visited union, final score) — inlined, the plan
+    * tree grows ~3^depth copies of the base-table scans and dies on
+    * file handles before it dies on CPU (measured: "Too many open
+    * files" at depth 10, 0.3 s materialized).
+    */
+  private lazy val stressOracleSql: String = {
+    val depth = 10
+    val f0 = spLandmarks.map(s =>
+      s"SELECT CAST($s AS BIGINT) AS lm, CAST($s AS BIGINT) AS id, CAST(1 AS BIGINT) AS sigma")
+      .mkString("\n   UNION ALL ")
+    val fwd = (1 to depth).map { l =>
+      s"""f$l AS MATERIALIZED (SELECT f.lm, u.b AS id, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |   FROM f${l - 1} f JOIN u2 u ON u.a = f.id
+         |   LEFT JOIN v${l - 1} w ON w.lm = f.lm AND w.id = u.b
+         |   WHERE w.id IS NULL GROUP BY f.lm, u.b),
+         | v$l AS MATERIALIZED (SELECT lm, id FROM v${l - 1} UNION ALL SELECT lm, id FROM f$l)""".stripMargin
+    }.mkString(",\n ")
+    val bwd = (depth - 1 to 0 by -1).map { l =>
+      s"""h$l AS MATERIALIZED (SELECT f.lm, f.id, COALESCE(s.x, CAST(0 AS BIGINT)) AS h
+         |   FROM f$l f LEFT JOIN (SELECT n.lm, u.a, CAST(SUM(1 + n.h) AS BIGINT) AS x
+         |     FROM u2 u JOIN h${l + 1} n ON u.b = n.id GROUP BY n.lm, u.a) s
+         |   ON s.lm = f.lm AND s.a = f.id)""".stripMargin
+    }.mkString(",\n ")
+    val lv = (0 to depth).map(l =>
+      s"SELECT t.lm, t.id, t.sigma, hh.h FROM f$l t JOIN h$l hh ON hh.lm = t.lm AND hh.id = t.id")
+      .mkString("\n   UNION ALL ")
+    s"""${DerivedGraphSql.cte},
+       | u2 AS MATERIALIZED (SELECT a, b FROM und),
+       | f0 AS MATERIALIZED ($f0),
+       | v0 AS MATERIALIZED (SELECT lm, id FROM f0),
+       | $fwd,
+       | h$depth AS MATERIALIZED (SELECT lm, id, CAST(0 AS BIGINT) AS h FROM f$depth),
+       | $bwd,
+       | sc AS MATERIALIZED ($lv)
+       |SELECT id, CAST(SUM(CAST(sigma AS DECIMAL(38,0)) * h) AS BIGINT) AS stress_units
+       |FROM sc WHERE id <> lm GROUP BY id
+       |ORDER BY stress_units DESC, id LIMIT 100""".stripMargin
+  }
 
   /** Shared CTE prefix producing `d(id, landmark, dist)` — the
     * graph_bfs_dist chained frontier-join pattern instantiated once per

@@ -1674,6 +1674,54 @@ object QueriesRelational {
         |  round(CAST(n_ab AS DOUBLE) / cb.n, 6) AS conf_b_a,
         |  round(CAST(n_ab AS DOUBLE) * nord / (CAST(ca.n AS DOUBLE) * cb.n), 6) AS lift
         |FROM top JOIN cnt ca ON ca.p = top.a JOIN cnt cb ON cb.p = top.b
-        |CROSS JOIN no ORDER BY n_ab DESC, a, b""".stripMargin)
+        |CROSS JOIN no ORDER BY n_ab DESC, a, b""".stripMargin),
+
+    // TPC-H Q17-shaped correlated-subquery decorrelation: per-brand
+    // yearly revenue from SMALL-QUANTITY line items (quantity below 20%
+    // of the part's own average) — the "would we save by dropping
+    // small-lot orders?" screen, and the optimizer shape where a
+    // correlated per-part average MUST become a pre-aggregation joined
+    // back (one extra partkey-keyed shuffle) instead of a per-row
+    // subquery. The threshold compare clears the average's denominator:
+    // qty < 0.2·(sumq/cnt) ⟺ 5·qty·cnt < sumq — exact BIGINTs, no
+    // IEEE boundary anywhere (quantities are integral). Revenue on the
+    // exact DECIMAL ladder; only the final /7.0 is IEEE, identical both
+    // engines.
+    "small_qty_revenue" -> QueryDef(
+      (s, d) => {
+        val pf = t(s, d, "part")
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+          .select(col("p_partkey"), col("p_brand"))
+        // brand filter FIRST (broadcast), so the per-part threshold table
+        // rides only qualifying parts — the decorrelated agg never
+        // aggregates the parts the outer query will drop
+        val li = t(s, d, "lineitem")
+          .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("p_brand"),
+            col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
+        val th = li.groupBy("l_partkey")
+          .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sumq"))
+        li.join(th, "l_partkey")
+          .filter(lit(5L) * col("qty") * col("cnt") < col("sumq"))
+          .groupBy("p_brand")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            count(lit(1)).as("n_items"),
+            (dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+          .orderBy("p_brand")
+      },
+      s"""WITH pf AS (SELECT p_partkey, p_brand FROM part
+         |  WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+         |li AS (SELECT l_partkey, p_brand, CAST(l_quantity AS BIGINT) AS qty,
+         |    l_extendedprice
+         |  FROM lineitem JOIN pf ON l_partkey = p_partkey),
+         |th AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(qty) AS BIGINT) AS sumq
+         |  FROM li GROUP BY 1)
+         |SELECT p_brand, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  ${dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM li JOIN th USING (l_partkey)
+         |WHERE 5 * qty * cnt < sumq
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
   )
 }

@@ -690,6 +690,118 @@ object QueriesWindows {
         |  round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS crit_05,
         |  round(CAST(ks_units AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
         |    > round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS reject_05
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin),
+
+    // Exact Mann–Whitney U rank-sum test (Mann & Whitney 1947) between
+    // the click and purchase value samples — the rank-based drift gate
+    // (location shift) beside ks_drift's max-ECDF gap. Midranks in
+    // integer 2x units over the SAME collapsed per-value count table
+    // (the pooled sort rides the bounded value DOMAIN, two-level bucket
+    // prefix for the strict counts); the tie-corrected normal z is the
+    // only IEEE step, spelled identically on both engines.
+    "mann_whitney" -> QueryDef(
+      (s, d) => Windows.mannWhitney(t(s, d, "events")),
+      """WITH pts AS (SELECT value,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value),
+        |r AS (SELECT c1, c2, c1 + c2 AS g,
+        |    COALESCE(CAST(SUM(c1 + c2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |  FROM pts),
+        |a AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * (2 * cb + g + 1)) AS BIGINT) AS r1_2,
+        |    CAST(SUM(g * g * g - g) AS BIGINT) AS tie_units
+        |  FROM r),
+        |u AS (SELECT n1, n2, r1_2 - n1 * (n1 + 1) AS u1_2, tie_units FROM a)
+        |SELECT n1, n2, u1_2, 2 * n1 * n2 - u1_2 AS u2_2, tie_units,
+        |  round((CAST(u1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+        |    (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie_units AS DOUBLE) /
+        |        (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))), 6) AS z,
+        |  abs(round((CAST(u1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+        |    (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie_units AS DOUBLE) /
+        |        (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))), 6)) > 1.96 AS reject_05
+        |FROM u""".stripMargin),
+
+    // Top-20 three-step user journeys (event-type trigrams per user in
+    // event-time order) — the path-mining / clickstream-analysis
+    // primitive behind "what do users do before purchasing?". The lead
+    // window partitions by user (partition-parallel, the
+    // event_transitions discipline — no global window); trigram counting
+    // is one combinable groupBy over the ≤|types|³ path table.
+    // Deterministic (n desc, e0, e1, e2) cut.
+    "path_mining" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("e1", lead(col("event_type"), 1).over(w))
+          .withColumn("e2", lead(col("event_type"), 2).over(w))
+          .filter(col("e2").isNotNull)
+          .groupBy(col("event_type").as("e0"), col("e1"), col("e2"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("e0"), col("e1"), col("e2"))
+          .limit(20)
+      },
+      """WITH p AS (SELECT event_type AS e0,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+        |  FROM events)
+        |SELECT e0, e1, e2, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p WHERE e2 IS NOT NULL
+        |GROUP BY e0, e1, e2 ORDER BY n DESC, e0, e1, e2 LIMIT 20""".stripMargin),
+
+    // Seasonal-residual anomaly screen: the top-20 minutes whose event
+    // count deviates most from their hour-of-day seasonal profile —
+    // ts_seasonality's profile turned into a detector (the monitoring
+    // "this Tuesday 3 AM spike" alarm). Events collapse to the bounded
+    // per-minute count table FIRST (the ts_changepoint discipline —
+    // minute count rides the time RANGE, not the event decade); the
+    // 24-row profile carries exact BIGINT power sums (n·Σx² − (Σx)²
+    // variance ladder, the agg_stats/outlier_zscore form) and broadcast-
+    // joins back. One IEEE z expression, spelled identically both
+    // engines; deterministic (|z| desc, minute) cut.
+    "ts_anomaly_seasonal" -> QueryDef(
+      (s, d) => {
+        val minutes = t(s, d, "events")
+          .groupBy(date_trunc("minute", col("ts")).as("minute"))
+          .agg(count(lit(1)).as("cnt"))
+        val prof = minutes
+          .groupBy(hour(col("minute")).cast("long").as("hod"))
+          .agg(count(lit(1)).as("nm"), sum(col("cnt")).as("s"),
+            sum(col("cnt") * col("cnt")).as("ss"))
+        val d8 = (c: org.apache.spark.sql.Column) => c.cast("double")
+        minutes.withColumn("hod", hour(col("minute")).cast("long"))
+          .join(broadcast(prof), "hod")
+          // a single-minute or constant-count hour has no defined profile
+          // (zero variance → 0/0): exclude it in exact integers
+          .filter(col("nm") > lit(1L) &&
+            col("nm") * col("ss") - col("s") * col("s") > lit(0L))
+          .withColumn("z", round(
+            (d8(col("cnt")) - d8(col("s")) / d8(col("nm"))) /
+              sqrt(d8(col("nm") * col("ss") - col("s") * col("s")) /
+                (d8(col("nm")) * d8(col("nm") - lit(1L)))), 6))
+          .select(col("minute"), col("hod"), col("cnt"), col("z"))
+          .orderBy(abs(col("z")).desc, col("minute"))
+          .limit(20)
+      },
+      """WITH m AS (SELECT date_trunc('minute', ts) AS minute,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |prof AS (SELECT CAST(EXTRACT(hour FROM minute) AS BIGINT) AS hod,
+        |    CAST(COUNT(*) AS BIGINT) AS nm, CAST(SUM(cnt) AS BIGINT) AS s,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+        |  FROM m GROUP BY 1)
+        |SELECT minute, hod, cnt,
+        |  round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nm AS DOUBLE)) /
+        |    sqrt(CAST(nm * ss - s * s AS DOUBLE) /
+        |      (CAST(nm AS DOUBLE) * CAST(nm - 1 AS DOUBLE))), 6) AS z
+        |FROM m JOIN prof ON prof.hod = CAST(EXTRACT(hour FROM m.minute) AS BIGINT)
+        |WHERE nm > 1 AND nm * ss - s * s > 0
+        |ORDER BY abs(round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nm AS DOUBLE)) /
+        |    sqrt(CAST(nm * ss - s * s AS DOUBLE) /
+        |      (CAST(nm AS DOUBLE) * CAST(nm - 1 AS DOUBLE))), 6)) DESC, minute
+        |LIMIT 20""".stripMargin)
   )
 }

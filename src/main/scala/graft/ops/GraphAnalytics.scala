@@ -965,4 +965,90 @@ object GraphAnalytics {
             sqrt(nD * col("sy2") - col("sy") * col("sy"))), roundScale)
           .as("assortativity"))
   }
+
+  /** Landmark STRESS centrality (Shimbel 1953): the number of shortest
+    * paths from the landmark set that pass THROUGH each vertex — the
+    * betweenness family's exactly-countable member. Classic betweenness
+    * sums FRACTIONS σ_st(v)/σ_st (Brandes 2001 accumulates them with
+    * per-vertex divisions, which no exact cross-engine replay survives);
+    * stress drops the normalization and counts paths, so the whole
+    * two-pass Brandes structure stays in INTEGERS:
+    *
+    *   forward  (level-synchronous BFS):  σ(v) = Σ σ(u) over in-DAG edges
+    *   backward (by descending depth):    h(v) = Σ_{w ∈ succ_DAG(v)} (1 + h(w))
+    *   stress(v) = Σ_landmarks σ(v)·h(v)   for v not itself the landmark
+    *
+    * where h(v) counts shortest paths from v onward in the BFS DAG
+    * (every shortest s→t path through v factors as σ_sv paths into v
+    * times one path onward, so σ·h is exactly Shimbel's count).
+    *
+    * 100 TB shape: ≤2·maxDepth rounds of edge-keyed joins + combinable
+    * groupBys (the pagerank cost ladder, ~2× for the two passes); the
+    * frontier/level frames are |V|·L rows at worst, lineage cut per
+    * round; no driver state, no global window. σ·h products are summed
+    * as DECIMAL(38,0); at the gate graph (layered TPC-H derived graph,
+    * diameter ≤ 8) values stay far below the BIGINT output cast — a
+    * graph with 10¹⁸-path multiplicities moves the output column to
+    * DECIMAL(38,0), same ladder.
+    */
+  def stressCentralityDF(edges: DataFrame, seeds: Seq[Long],
+      maxDepth: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(col("a"), col("b")).localCheckpoint()
+    // forward: per landmark, level-synchronous frontier carrying σ
+    var frontier = seeds.map(s => (s, s, 1L)).toDF("lm", "id", "sigma")
+      .repartition(col("lm"), col("id")).localCheckpoint()
+    var visited = frontier.select("lm", "id").localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer((0, frontier))
+    var d = 0
+    var exhausted = false
+    while (d < maxDepth && !exhausted) {
+      d += 1
+      val next = frontier.join(und, col("id") === col("a"))
+        .groupBy(col("lm"), col("b"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("lm"), col("b").as("id"), col("sigma"))
+        .join(visited, Seq("lm", "id"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else {
+        frontier = next
+        visited = visited.unionAll(next.select("lm", "id")).localCheckpoint()
+        levels += ((d, next))
+      }
+    }
+    // backward: h by descending depth; the deepest level has no DAG
+    // successors, so its h is the left-join's coalesce(…, 0)
+    var hPrev: DataFrame = null
+    val scored = levels.reverseIterator.map { case (_, lvl) =>
+      val withH = if (hPrev == null)
+        lvl.withColumn("h", lit(0L))
+      else {
+        // successor columns renamed BEFORE the join — levels share
+        // attribute lineage through the forward pass, and an lm==lm
+        // condition would otherwise lean on self-join disambiguation
+        val succ = und.join(
+            hPrev.select(col("lm").as("__slm"), col("id").as("__w"), col("h")),
+            col("b") === col("__w"))
+          .groupBy(col("__slm"), col("a"))
+          .agg(sum(lit(1L) + col("h")).as("__hs"))
+        lvl.join(succ,
+            col("lm") === col("__slm") && col("id") === col("a"), "left")
+          .select(col("lm"), col("id"), col("sigma"),
+            coalesce(col("__hs"), lit(0L)).as("h"))
+      }
+      val cut = withH.localCheckpoint()
+      hPrev = cut
+      cut
+    }.toSeq
+    scored.reduce(_ unionAll _)
+      .filter(col("id") =!= col("lm"))
+      .groupBy("id")
+      .agg(sum(col("sigma").cast(DecimalType(38, 0)) * col("h"))
+        .cast("long").as("stress_units"))
+      .orderBy(col("stress_units").desc, col("id"))
+      .limit(100)
+  }
 }

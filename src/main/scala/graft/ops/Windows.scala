@@ -525,4 +525,56 @@ object Windows {
     /** Current state size (one row per distinct value seen). */
     def stateSize: Long = state.count()
   }
+
+  /** Exact two-sample Mann–Whitney U rank-sum test (Mann & Whitney 1947)
+    * between the `typeA` and `typeB` value distributions — the rank-based
+    * companion to [[ksDrift]] (location shift rather than max-ECDF gap).
+    *
+    * All rank arithmetic is INTEGER-EXACT: ranks are kept in 2× units so
+    * tie-group average ranks (midranks) never leave BIGINT — for a tie
+    * group of size g starting after `cb` pooled observations the doubled
+    * midrank is `2·cb + g + 1`. The statistic runs over the SAME collapsed
+    * per-value count table as [[ksDrift]] ([[ksValueCounts]]), so the
+    * pooled sort is over the bounded value DOMAIN, not the events; the
+    * strict prefix count uses the same two-level bucket discipline (in-
+    * bucket windows partition by floor(value), the offset table is one
+    * row per unit of range). Rank-sum products are accumulated as
+    * DECIMAL(38,0) (n² ladder) before the final BIGINT cast. Only the
+    * z-score leaves integers — one IEEE expression spelled identically in
+    * the DuckDB oracle, with the standard tie-corrected variance.
+    */
+  def mannWhitney(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val pts = ksValueCounts(events, typeA, typeB)
+      .withColumn("g", col("c1") + col("c2"))
+      .withColumn("b", floor(col("value")).cast("long"))
+    val wIn = Window.partitionBy("b").orderBy("value")
+      .rowsBetween(Long.MinValue, -1)
+    val inBucket = pts.withColumn("rg", coalesce(sum(col("g")).over(wIn), lit(0L)))
+    val bucketTotals = pts.groupBy("b").agg(sum(col("g")).as("tg"))
+    val wOff = Window.orderBy("b").rowsBetween(Long.MinValue, -1)
+    val offsets = bucketTotals
+      .withColumn("og", coalesce(sum(col("tg")).over(wOff), lit(0L)))
+      .select("b", "og")
+    val ranked = inBucket.join(broadcast(offsets), "b")
+      .withColumn("ar2", lit(2L) * (col("og") + col("rg")) + col("g") + lit(1L))
+    val agg = ranked.agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum(col("c1").cast(DecimalType(38, 0)) * col("ar2")).cast("long").as("r1_2"),
+      sum(col("g") * col("g") * col("g") - col("g")).as("tie_units"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    agg
+      .withColumn("u1_2", col("r1_2") - col("n1") * (col("n1") + lit(1L)))
+      .withColumn("u2_2", lit(2L) * col("n1") * col("n2") - col("u1_2"))
+      .withColumn("z", round(
+        (d(col("u1_2")) - d(col("n1")) * d(col("n2"))) /
+          (lit(2.0) * sqrt(d(col("n1")) * d(col("n2")) / lit(12.0) *
+            (d(col("n1") + col("n2") + lit(1L)) -
+              d(col("tie_units")) / (d(col("n1") + col("n2")) *
+                d(col("n1") + col("n2") - lit(1L)))))), 6))
+      .withColumn("reject_05", abs(col("z")) > lit(1.96))
+      .select("n1", "n2", "u1_2", "u2_2", "tie_units", "z", "reject_05")
+  }
 }

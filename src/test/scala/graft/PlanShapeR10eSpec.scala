@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape audit of the round-10e operators: the shuffle/broadcast
+  * claims their scaladocs make must be visible in the executed plan
+  * (PlanShapeR7Spec discipline).
+  */
+class PlanShapeR10eSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String = {
+    val df = Queries.all(q).fn(spark, sf)
+    df.collect() // let AQE finalize the real joins
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("mann_whitney: bucket offsets broadcast; no cartesian") {
+    val p = planOf("mann_whitney")
+    assert(!p.contains("CartesianProduct"), s"mw plan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the bucket-offset table must broadcast:\n$p")
+  }
+
+  test("path_mining: the lead window is user-partitioned") {
+    val p = planOf("path_mining")
+    assert(!p.contains("CartesianProduct"), s"path plan:\n$p")
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+    assert(p.contains("partitionBy") || p.contains("user_id"),
+      s"the window must partition by user:\n$p")
+  }
+
+  test("ts_anomaly_seasonal: no window anywhere; the 24-row profile broadcasts") {
+    val p = planOf("ts_anomaly_seasonal")
+    assert(!p.contains("Window"), s"anomaly screen must not use a window:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the hour profile must broadcast:\n$p")
+  }
+
+  test("small_qty_revenue: brand-filtered part dim broadcasts; filter reaches the scan") {
+    val p = planOf("small_qty_revenue")
+    assert(!p.contains("CartesianProduct"), s"q17 plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the brand-filtered part dim must broadcast:\n$p")
+    assert(p.contains("Brand#1"), s"the brand filter must appear in the plan:\n$p")
+  }
+
+  test("graph_stress: two-pass ladder has no cartesian") {
+    val p = planOf("graph_stress")
+    assert(!p.contains("CartesianProduct"), s"stress plan:\n$p")
+  }
+}

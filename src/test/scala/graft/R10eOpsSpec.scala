@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the round-10e operators (mann_whitney, path_mining,
+  * ts_anomaly_seasonal). Oracle parity at sf0.01 is the correctness gate;
+  * these pin SEMANTICS on hand-built inputs where the expected values are
+  * recomputed by an independent plain-Scala reimplementation.
+  */
+class R10eOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent brute-force Mann–Whitney replay: pooled midranks in 2x
+    * units, tie term, tie-corrected normal z (same formula text as the
+    * engine, recomputed from scratch over raw samples).
+    */
+  private def bruteMw(a: Seq[Double], b: Seq[Double])
+      : (Long, Long, Long, Long, Long, Double) = {
+    val pooled = a ++ b
+    def midrank2(v: Double): Long =
+      2L * pooled.count(_ < v) + pooled.count(_ == v) + 1
+    val n1 = a.size.toLong; val n2 = b.size.toLong
+    val r1_2 = a.map(midrank2).sum
+    val u1_2 = r1_2 - n1 * (n1 + 1)
+    val u2_2 = 2 * n1 * n2 - u1_2
+    val tie = pooled.distinct.map { v =>
+      val g = pooled.count(_ == v).toLong; g * g * g - g
+    }.sum
+    val n = (n1 + n2).toDouble
+    val z = (u1_2.toDouble - n1.toDouble * n2) /
+      (2.0 * math.sqrt(n1.toDouble * n2 / 12.0 *
+        ((n + 1) - tie.toDouble / (n * (n - 1)))))
+    val z6 = BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (n1, n2, u1_2, u2_2, tie, z6)
+  }
+
+  test("mann_whitney matches a brute-force midrank replay (ties present)") {
+    // clicks low, purchases high, with cross-sample AND in-sample ties
+    val clicks = Seq(1.0, 2.0, 2.0, 3.5, 4.0, 5.0, 5.0, 6.5)
+    val purch = Seq(2.0, 5.0, 7.0, 7.0, 8.5, 9.0)
+    val ev = (clicks.map(("click", _)) ++ purch.map(("purchase", _)) ++
+      Seq(("view", 3.0), ("error", 100.0))) // other types must be ignored
+      .toDF("event_type", "value")
+    val got = graft.ops.Windows.mannWhitney(ev)
+      .select("n1", "n2", "u1_2", "u2_2", "tie_units", "z")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(bruteMw(clicks, purch)))
+  }
+
+  test("mann_whitney on identical samples: U1 = U2, z = 0, no rejection") {
+    val vs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val ev = (vs.map(("click", _)) ++ vs.map(("purchase", _)))
+      .toDF("event_type", "value")
+    val got = graft.ops.Windows.mannWhitney(ev)
+      .select("u1_2", "u2_2", "z", "reject_05")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    // U1 = U2 = n1*n2/2 → 2x units: n1*n2 = 25
+    assert(got == Seq((25L, 25L, 0.0, false)))
+  }
+
+  private def writeEvents(
+      rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10eev").toString
+    rows.map { case (id, ts, u, et, v) => (id, ts, u, et, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("path_mining counts per-user event-time trigrams") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // user 1: view click view click purchase; user 2: view click view
+    val seq1 = Seq("view", "click", "view", "click", "purchase")
+    val seq2 = Seq("view", "click", "view")
+    val rows = (seq1.zipWithIndex.map { case (e, i) =>
+      ((i + 1).toLong, at(i), 1L, e, 1.0)
+    }) ++ (seq2.zipWithIndex.map { case (e, i) =>
+      ((i + 10).toLong, at(i), 2L, e, 1.0)
+    })
+    val dir = writeEvents(rows)
+    val got = Queries.all("path_mining").fn(spark, dir)
+      .as[(String, String, String, Long)].collect().toSeq
+    // independent replay: sliding trigrams per user, top by (n desc, path)
+    val expected = (seq1.sliding(3).toSeq ++ seq2.sliding(3).toSeq)
+      .map(w => (w(0), w(1), w(2)))
+      .groupBy(identity).map { case (k, vs) => (k._1, k._2, k._3, vs.size.toLong) }
+      .toSeq
+      .sortBy { case (e0, e1, e2, n) => (-n, e0, e1, e2) }
+    assert(got == expected)
+    // view>click>view occurs in both users → count 2 leads
+    assert(got.head == ("view", "click", "view", 2L))
+  }
+
+  test("ts_anomaly_seasonal flags the spiked minute; zero-variance hours excluded") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    var id = 0L
+    // hour 0: ten minutes at 10 events, except minute 3 at 30 (the spike);
+    // hour 1: ten constant minutes (zero variance → must be excluded)
+    val rows = (for {
+      m <- 0 until 10
+      cnt = if (m == 3) 30 else 10
+      _ <- 0 until cnt
+    } yield {
+      id += 1
+      (id, new java.sql.Timestamp(t0.getTime + m * 60000L), 1L, "click", 1.0)
+    }) ++ (for {
+      m <- 60 until 70
+      _ <- 0 until 7
+    } yield {
+      id += 1
+      (id, new java.sql.Timestamp(t0.getTime + m * 60000L), 1L, "click", 1.0)
+    })
+    val dir = writeEvents(rows)
+    val got = Queries.all("ts_anomaly_seasonal").fn(spark, dir)
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect().toSeq
+    // hour 1 is constant → excluded entirely; hour 0 has 10 rows
+    assert(got.size == 10 && got.forall(_._2 == 0L))
+    // independent replay for hour 0: n=10, s=120, ss=1800
+    val nm = 10.0; val s = 120.0; val ss = 1800.0
+    def z(cnt: Long): Double = {
+      val v = (cnt - s / nm) / math.sqrt((nm * ss - s * s) / (nm * (nm - 1)))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val spike = got.head
+    assert(spike._3 == 30L && spike._4 == z(30L))
+    assert(spike._1 == new java.sql.Timestamp(t0.getTime + 3 * 60000L))
+    assert(got.tail.forall(r => r._3 == 10L && r._4 == z(10L)))
+    // the spike's |z| strictly dominates
+    assert(math.abs(spike._4) > math.abs(got(1)._4))
+  }
+
+  /** Independent brute-force stress centrality: enumerate ALL shortest
+    * paths from each seed to each target by BFS-layered DFS, count the
+    * paths in which each vertex appears as an INTERIOR vertex.
+    */
+  private def bruteStress(edges: Seq[(Long, Long)], seeds: Seq[Long])
+      : Map[Long, Long] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val verts = adj.keySet
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (s <- seeds) {
+      // BFS distances
+      val dist = scala.collection.mutable.Map(s -> 0)
+      var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(dist.contains)
+        next.foreach(v => dist(v) = dist(frontier.head) + 1)
+        frontier = next
+      }
+      // enumerate all shortest paths s→t along the BFS DAG
+      def paths(v: Long): Seq[List[Long]] =
+        if (v == s) Seq(List(s))
+        else adj(v).toSeq.filter(u => dist.get(u).contains(dist(v) - 1))
+          .flatMap(u => paths(u).map(p => p :+ v))
+      for (t <- verts if t != s && dist.contains(t); p <- paths(t);
+           v <- p.drop(1).dropRight(1))
+        counts(v) += 1L
+    }
+    counts.toMap
+  }
+
+  test("graph_stress matches brute-force shortest-path counting (diamond + tail)") {
+    // 1-2, 1-3, 2-4, 3-4 (diamond: two shortest 1→4 paths), 4-5 tail
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val und = (edges ++ edges.map(e => (e._2, e._1))).toDF("a", "b")
+    val got = graft.ops.GraphAnalytics
+      .stressCentralityDF(und, Seq(1L, 5L), 10)
+      .as[(Long, Long)].collect().toSeq
+    val brute = bruteStress(edges, Seq(1L, 5L))
+    val expected = Seq(1L, 2L, 3L, 4L, 5L)
+      .map(v => (v, brute.getOrElse(v, 0L)))
+      .sortBy { case (id, st) => (-st, id) }
+    assert(got == expected)
+    // the diamond's merge vertex carries the most paths
+    assert(got.head._1 == 4L)
+  }
+
+  test("graph_stress on a path graph: interior vertices count pass-through paths") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val und = (edges ++ edges.map(e => (e._2, e._1))).toDF("a", "b")
+    val got = graft.ops.GraphAnalytics
+      .stressCentralityDF(und, Seq(1L), 10)
+      .as[(Long, Long)].collect().toSeq
+    // from 1: paths to 3,4 pass 2 (2 paths); to 4 passes 3 (1 path)
+    assert(got == Seq((2L, 2L), (3L, 1L), (4L, 0L)))
+  }
+
+  test("small_qty_revenue: only below-20%-of-part-average quantities count") {
+    val dir = java.nio.file.Files.createTempDirectory("r10eq17").toString
+    Seq((1L, "p1", "Brand#1", "T", 5, 1.0), (2L, "p2", "Brand#9", "T", 5, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // part 1 (Brand#1): qtys 1,10,10,10 → sumq=31, cnt=4; 5·1·4=20<31 ✓,
+    // 5·10·4=200 ✗. part 2 (Brand#9): excluded by the brand filter.
+    val t0 = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    Seq(
+      (1L, 1L, 1L, 1, 1.0, 700.0, 0.0, 0.0, "N", "O", t0),
+      (2L, 1L, 1L, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", t0),
+      (3L, 1L, 1L, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", t0),
+      (4L, 1L, 1L, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", t0),
+      (5L, 2L, 1L, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", t0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Queries.all("small_qty_revenue").fn(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("Brand#1", 1L, 1L, 700.0 / 7.0)))
+  }
+}
