@@ -852,6 +852,35 @@ object QueriesLlm {
         |       ELSE round(sqrt(CAST(1000000 AS DOUBLE) * n / sum_sq), 6) END AS gain6
         |FROM sq ORDER BY doc_id""".stripMargin),
 
+    // Silence-run segmentation from the DECODED PCM bytes — the
+    // voice-activity-detection / dead-air screen (runs of |sample| < 256,
+    // ~12.5% of the synth amplitude range): run count, total quiet
+    // samples and longest run per clip. The run detection happens in ONE
+    // decoder pass with four counters — per-sample rows NEVER
+    // materialize (the explode+window alternative would shuffle 10⁴× the
+    // payload bytes at 100 TB). The oracle replays the synthesis formula
+    // and re-derives the runs with the gaps-and-islands idiom, so a
+    // decoder off-by-one in run boundaries fails the hash.
+    "multimodal_audio_silence" -> QueryDef(
+      (s, d) => Multimodal.silences(Multimodal.synthMedia(t(s, d, "documents")))
+        .toDF().orderBy("doc_id"),
+      """WITH a AS (SELECT doc_id AS id, 64 + doc_id % 193 AS n FROM documents
+        |           WHERE doc_id % 3 = 1),
+        |ks AS (SELECT id, n, unnest(range(0, n)) AS k FROM a),
+        |q AS (SELECT id, k,
+        |    k - row_number() OVER (PARTITION BY id ORDER BY k) AS grp
+        |  FROM ks WHERE abs((131 * id + 17 * k) % 4096 - 2048) < 256),
+        |r AS (SELECT id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        |      FROM q GROUP BY id, grp),
+        |g AS (SELECT id, CAST(SUM(len) AS BIGINT) AS n_quiet,
+        |    CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |    CAST(MAX(len) AS BIGINT) AS longest_run
+        |  FROM r GROUP BY id)
+        |SELECT a.id AS doc_id, CAST(a.n AS BIGINT) AS n_samples,
+        |  COALESCE(g.n_quiet, 0) AS n_quiet, COALESCE(g.n_runs, 0) AS n_runs,
+        |  COALESCE(g.longest_run, 0) AS longest_run
+        |FROM a LEFT JOIN g ON g.id = a.id ORDER BY a.id""".stripMargin),
+
     // Per-channel pixel statistics from the DECODED image bytes — the
     // exposure/color screen an image-curation pipeline gates on (a channel
     // stuck at 0/255 or a crushed range flags synthetic or corrupted
@@ -1367,6 +1396,48 @@ object QueriesLlm {
           .orderBy(col("est_cnt").desc, col("tok")).limit(20)
       },
       cmsTopkOracleSql),
+
+    // CMS heavy-CHANGE detection (Cormode & Muthukrishnan 2005 §4.2 /
+    // Krishnamurthy et al. IMC 2003 "sketch-based change detection"):
+    // which users' event counts shifted most between the first and
+    // second half of the time range — the traffic-anomaly screen run as
+    // two fixed-memory sketches where the exact answer would need a
+    // full per-key two-window groupBy. The split point clears the
+    // midpoint division (2·t ≤ lo+hi, exact micros). Estimates come
+    // from per-half sketches (d·w-bounded, broadcast); the exact halves
+    // ride along as calibration columns (the sketch_cms_topk
+    // discipline — at 100 TB the candidate set becomes each half's
+    // heavy-hitter union instead of the distinct-key table, same
+    // sketches). Deterministic (|est diff| desc, user_id) cut; the
+    // oracle replays both sketches bucket-for-bucket.
+    "sketch_heavy_change" -> QueryDef(
+      (s, d) => {
+        import graft.ops.Sketches
+        val ev = t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("tu"))
+        val rng = ev.agg(min(col("tu")).as("lo"), max(col("tu")).as("hi"))
+        val tagged = ev.crossJoin(broadcast(rng))
+          .withColumn("half",
+            when(lit(2L) * col("tu") <= col("lo") + col("hi"), lit(1L))
+              .otherwise(lit(2L)))
+        val s1 = Sketches.cmsSketch(
+          tagged.filter(col("half") === 1L).select(col("user_id")), "user_id")
+        val s2 = Sketches.cmsSketch(
+          tagged.filter(col("half") === 2L).select(col("user_id")), "user_id")
+        val exact = tagged.groupBy("user_id").agg(
+          sum(when(col("half") === 1L, 1L).otherwise(0L)).as("exact1"),
+          sum(when(col("half") === 2L, 1L).otherwise(0L)).as("exact2"))
+        val withE1 = Sketches.cmsEstimate(exact, s1, "user_id")
+          .withColumnRenamed("est_cnt", "est1")
+        Sketches.cmsEstimate(withE1, s2, "user_id")
+          .withColumnRenamed("est_cnt", "est2")
+          .select(col("user_id"), col("est1"), col("est2"),
+            (col("est1") - col("est2")).as("diff_est"),
+            col("exact1"), col("exact2"),
+            (col("exact1") - col("exact2")).as("diff_exact"))
+          .orderBy(abs(col("diff_est")).desc, col("user_id")).limit(20)
+      },
+      heavyChangeOracleSql),
 
     // Boolean keyword search over the inverted index — the retrieval
     // primitive RAG's dense path doesn't cover: find documents containing
@@ -2108,6 +2179,42 @@ object QueriesLlm {
        |        FROM pb JOIN cms USING (j, bucket) GROUP BY tok, exact_cnt)
        |SELECT tok, est_cnt, exact_cnt, est_cnt - exact_cnt AS overcount
        |FROM est ORDER BY est_cnt DESC, tok LIMIT 20""".stripMargin
+  }
+
+  /** sketch_heavy_change oracle: both half-sketches replayed
+    * bucket-for-bucket from the exact per-user half counts (weight-sum
+    * per bucket == occurrence-built sketch, the cmsTopkOracleSql
+    * identity), the same double-mod key fold, min-over-probes estimates,
+    * and the identical midpoint split with the division cleared.
+    */
+  private lazy val heavyChangeOracleSql: String = {
+    import graft.ops.Sketches
+    val pb = (0 until Sketches.CmsDepth).map(j =>
+      s"SELECT user_id, exact1, exact2, CAST($j AS BIGINT) AS j, ${Sketches.cmsBucketSql("x", j)} AS bucket FROM hv")
+      .mkString("\n UNION ALL ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+       |rng AS (SELECT MIN(tu) AS lo, MAX(tu) AS hi FROM ev),
+       |tg AS (SELECT user_id,
+       |    CASE WHEN 2 * tu <= lo + hi THEN 1 ELSE 2 END AS half
+       |  FROM ev CROSS JOIN rng),
+       |ex AS (SELECT user_id,
+       |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact1,
+       |    CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact2
+       |  FROM tg GROUP BY user_id),
+       |hv AS (SELECT user_id, exact1, exact2,
+       |    ((user_id % ${Sketches.P}) + ${Sketches.P}) % ${Sketches.P} AS x FROM ex),
+       |pb AS ($pb),
+       |cms1 AS (SELECT j, bucket, CAST(SUM(exact1) AS BIGINT) AS cnt
+       |         FROM pb GROUP BY j, bucket),
+       |cms2 AS (SELECT j, bucket, CAST(SUM(exact2) AS BIGINT) AS cnt
+       |         FROM pb GROUP BY j, bucket),
+       |est AS (SELECT user_id, exact1, exact2,
+       |    CAST(MIN(c1.cnt) AS BIGINT) AS est1, CAST(MIN(c2.cnt) AS BIGINT) AS est2
+       |  FROM pb JOIN cms1 c1 USING (j, bucket) JOIN cms2 c2 USING (j, bucket)
+       |  GROUP BY user_id, exact1, exact2)
+       |SELECT user_id, est1, est2, est1 - est2 AS diff_est,
+       |  exact1, exact2, exact1 - exact2 AS diff_exact
+       |FROM est ORDER BY abs(est1 - est2) DESC, user_id LIMIT 20""".stripMargin
   }
 
   /** The deterministic PII-bearing profile text, Spark side: every

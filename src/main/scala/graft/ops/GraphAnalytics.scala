@@ -996,26 +996,53 @@ object GraphAnalytics {
     import org.apache.spark.sql.types.DecimalType
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = edges.select(col("a"), col("b")).localCheckpoint()
+    // static relation right-sized ONCE (the eigenvectorDF discipline:
+    // an undirected union arrives as many narrow partitions and every
+    // round re-pays that width as join-stage tasks)
+    val undRaw = edges.select(col("a"), col("b")).localCheckpoint()
+    val undCount = undRaw.count()
+    val undTarget = math.max(
+      spark.sparkContext.defaultParallelism.toLong,
+      undCount / 4000000L + 1L).toInt
+    val und =
+      if (undRaw.rdd.getNumPartitions > undTarget) undRaw.coalesce(undTarget)
+      else undRaw
+    // per-round frontier/level frames are ≤|V|·L rows: keep them at a
+    // small static width (a checkpointed RDD keeps its width; 20 rounds
+    // × shuffle-partition-many near-empty partitions is pure task
+    // overhead — the iterateWidth lesson)
+    val w = 8
+    def narrow(df: DataFrame): DataFrame = {
+      val cut = df.localCheckpoint() // checkpoint FIRST: isEmpty must not
+      if (cut.rdd.getNumPartitions > w) cut.coalesce(w) else cut
+    } //                                re-execute the plan it just probed
     // forward: per landmark, level-synchronous frontier carrying σ
-    var frontier = seeds.map(s => (s, s, 1L)).toDF("lm", "id", "sigma")
-      .repartition(col("lm"), col("id")).localCheckpoint()
-    var visited = frontier.select("lm", "id").localCheckpoint()
+    var frontier = narrow(seeds.map(s => (s, s, 1L)).toDF("lm", "id", "sigma"))
     val levels = scala.collection.mutable.ArrayBuffer((0, frontier))
+    // the visited side is a union of CHECKPOINTED level frames — lineage
+    // stays shallow without re-materializing an O(|V|) frame every round
+    def visited = levels.map(_._2.select("lm", "id")).reduce(_ unionAll _)
+    // frontier/visited/h frames are ≤|V|·L rows — broadcast them so the
+    // BIG side (und) never re-shuffles: each round is then a map-side
+    // broadcast join + ONE combinable groupBy shuffle over the messages
+    // (the pageRankDF broadcast-hinted rank⋈edge discipline). On a graph
+    // past the broadcast ceiling (|V| bounded by the edge count; 50M
+    // rows ≈ 1.2 GB of (lm,id,σ) triples) the hint drops and the same
+    // plan runs as shuffle joins.
+    val hintSmall: DataFrame => DataFrame =
+      if (undCount <= 50000000L) broadcast(_) else identity
     var d = 0
     var exhausted = false
     while (d < maxDepth && !exhausted) {
       d += 1
-      val next = frontier.join(und, col("id") === col("a"))
+      val next = narrow(hintSmall(frontier).join(und, col("id") === col("a"))
         .groupBy(col("lm"), col("b"))
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("lm"), col("b").as("id"), col("sigma"))
-        .join(visited, Seq("lm", "id"), "left_anti")
-        .localCheckpoint()
+        .join(hintSmall(visited), Seq("lm", "id"), "left_anti"))
       if (next.isEmpty) exhausted = true
       else {
         frontier = next
-        visited = visited.unionAll(next.select("lm", "id")).localCheckpoint()
         levels += ((d, next))
       }
     }
@@ -1030,7 +1057,7 @@ object GraphAnalytics {
         // attribute lineage through the forward pass, and an lm==lm
         // condition would otherwise lean on self-join disambiguation
         val succ = und.join(
-            hPrev.select(col("lm").as("__slm"), col("id").as("__w"), col("h")),
+            hintSmall(hPrev.select(col("lm").as("__slm"), col("id").as("__w"), col("h"))),
             col("b") === col("__w"))
           .groupBy(col("__slm"), col("a"))
           .agg(sum(lit(1L) + col("h")).as("__hs"))
@@ -1039,7 +1066,7 @@ object GraphAnalytics {
           .select(col("lm"), col("id"), col("sigma"),
             coalesce(col("__hs"), lit(0L)).as("h"))
       }
-      val cut = withH.localCheckpoint()
+      val cut = narrow(withH)
       hPrev = cut
       cut
     }.toSeq

@@ -41,6 +41,11 @@ final case class ChannelStats(
     doc_id: Long, channel: Int, n_px: Long, ch_sum: Long, ch_min: Long,
     ch_max: Long)
 
+/** One audio clip's silence-run profile (runs of |sample| < threshold). */
+final case class AudioSilence(
+    doc_id: Long, n_samples: Long, n_quiet: Long, n_runs: Long,
+    longest_run: Long)
+
 /** One image perceptual hash (difference hash over the decoded pixels):
   * 63 brightness-comparison bits packed into a BIGINT.
   */
@@ -564,6 +569,52 @@ object Multimodal {
       else BigDecimal(math.sqrt(1000000.0 * n / sumsq))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     AudioGain(id, n.toLong, sumsq, rms6, gain6)
+  }
+
+  /** Silence-run profile of one clip: runs of consecutive samples with
+    * |s| < threshold — the voice-activity-detection / dead-air screen an
+    * audio pipeline gates on before feature extraction. Computed in ONE
+    * pass inside the decoder (counters only, no per-sample rows ever
+    * materialize — at 100 TB the per-sample explode+window alternative
+    * would shuffle 10⁴× the payload bytes).
+    */
+  def wavSilence(id: Long, b: Array[Byte], threshold: Int): AudioSilence = {
+    val d = parseWav(id, b)
+    if (!d.ok) return null
+    var off = 12
+    var dataOff = -1; var dataLen = -1
+    while (dataOff < 0) {
+      val cid = new String(b, off, 4, "US-ASCII")
+      val clen = u32(b, off + 4)
+      if (cid == "data") { dataOff = off + 8; dataLen = clen }
+      else off += 8 + clen + (clen & 1)
+    }
+    val n = dataLen / 2
+    var quiet = 0L; var runs = 0L; var longest = 0L; var cur = 0L
+    var k = 0
+    while (k < n) {
+      val s = s16(b, dataOff + k * 2)
+      if (math.abs(s) < threshold) {
+        if (cur == 0L) runs += 1
+        cur += 1; quiet += 1
+        if (cur > longest) longest = cur
+      } else cur = 0L
+      k += 1
+    }
+    AudioSilence(id, n.toLong, quiet, runs, longest)
+  }
+
+  /** Per-clip silence-run profiles (map-only; corrupt containers
+    * contribute zero rows).
+    */
+  def silences(media: DataFrame, threshold: Int = 256): Dataset[AudioSilence] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) => Option(wavSilence(id, bytes, threshold)) }
+      }
   }
 
   /** Per-clip RMS/gain of the audio payloads (map-only; corrupt

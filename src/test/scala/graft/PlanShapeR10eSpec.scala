@@ -47,4 +47,18 @@ class PlanShapeR10eSpec extends SparkSpec {
     val p = planOf("graph_stress")
     assert(!p.contains("CartesianProduct"), s"stress plan:\n$p")
   }
+
+  test("multimodal_audio_silence: decoder-pass only — no join, no hash shuffle") {
+    val p = planOf("multimodal_audio_silence")
+    assert(!p.contains("Join"), s"silence must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"silence must not hash-shuffle (runs are counted inside the decoder):\n$p")
+  }
+
+  test("sketch_heavy_change: 1-row range and d·w sketches broadcast; no cartesian") {
+    val p = planOf("sketch_heavy_change")
+    assert(!p.contains("CartesianProduct"), s"heavy-change plan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the sketches and the 1-row range must broadcast:\n$p")
+  }
 }

@@ -188,6 +188,60 @@ class R10eOpsSpec extends SparkSpec {
     assert(got == Seq((2L, 2L), (3L, 1L), (4L, 0L)))
   }
 
+  test("multimodal_audio_silence matches a plain-Scala run replay of the synth formula") {
+    import graft.ops.llm.Multimodal
+    for (id <- Seq(1L, 4L, 103L)) { // audio ids (id % 3 == 1)
+      val n = (64 + id % 193).toInt
+      val got = Multimodal.wavSilence(id, Multimodal.encodeWav(id, n, 8000), 256)
+      // independent replay straight from the synthesis formula
+      val quietFlags = (0 until n).map(k => math.abs((131 * id + 17 * k) % 4096 - 2048) < 256)
+      val runs = quietFlags.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(got == graft.ops.llm.AudioSilence(id, n.toLong,
+        quietFlags.count(identity).toLong, runs.size.toLong,
+        if (runs.isEmpty) 0L else runs.max.toLong))
+    }
+  }
+
+  test("multimodal_audio_silence: corrupt payload contributes no row; thresholds behave") {
+    import graft.ops.llm.Multimodal
+    assert(Multimodal.wavSilence(1L, Array[Byte](1, 2, 3), 256) == null)
+    // threshold 1 → only exact zeros count; threshold 5000 → everything quiet
+    val b = Multimodal.encodeWav(7L, 100, 8000)
+    val all = Multimodal.wavSilence(7L, b, 5000)
+    assert(all.n_quiet == 100L && all.n_runs == 1L && all.longest_run == 100L)
+  }
+
+  test("sketch_heavy_change: exact halves split correctly; CMS never undercounts") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // user 1: 8 events early, 1 late; user 2: 1 early, 5 late; user 3: 2/2
+    val rows =
+      (1 to 8).map(i => (i.toLong, at(i), 1L, "click", 1.0)) ++
+        Seq((9L, at(95), 1L, "click", 1.0)) ++
+        Seq((10L, at(2), 2L, "click", 1.0)) ++
+        (11 to 15).map(i => (i.toLong, at(90 + i - 10), 2L, "click", 1.0)) ++
+        Seq((16L, at(0), 3L, "click", 1.0), (17L, at(5), 3L, "click", 1.0),
+          (18L, at(98), 3L, "click", 1.0), (19L, at(100), 3L, "click", 1.0))
+    val dir = writeEvents(rows)
+    val got = Queries.all("sketch_heavy_change").fn(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val byUser = got.map(r => r._1 -> r).toMap
+    // time range [0, 100] min → midpoint 50 min; exact halves:
+    assert(byUser(1L)._5 == 8L && byUser(1L)._6 == 1L && byUser(1L)._7 == 7L)
+    assert(byUser(2L)._5 == 1L && byUser(2L)._6 == 5L && byUser(2L)._7 == -4L)
+    assert(byUser(3L)._5 == 2L && byUser(3L)._6 == 2L && byUser(3L)._7 == 0L)
+    // CMS one-sided error: estimates never undercount the exact halves
+    got.foreach { r => assert(r._2 >= r._5 && r._3 >= r._6, s"undercount: $r") }
+    // with 3 keys in a 4×1024 sketch there are no collisions → est == exact
+    got.foreach { r => assert(r._2 == r._5 && r._3 == r._6) }
+    // ordering: |diff_est| desc
+    assert(got.map(r => math.abs(r._4)) == got.map(r => math.abs(r._4)).sorted.reverse)
+  }
+
   test("small_qty_revenue: only below-20%-of-part-average quantities count") {
     val dir = java.nio.file.Files.createTempDirectory("r10eq17").toString
     Seq((1L, "p1", "Brand#1", "T", 5, 1.0), (2L, "p2", "Brand#9", "T", 5, 1.0))
