@@ -731,19 +731,13 @@ object QueriesWindows {
     // window partitions by user (partition-parallel, the
     // event_transitions discipline — no global window); trigram counting
     // is one combinable groupBy over the ≤|types|³ path table.
-    // Deterministic (n desc, e0, e1, e2) cut.
+    // Deterministic (n desc, e0, e1, e2) cut. NINTH streaming twin
+    // `Windows.PathView`: per-user 2-event-tail state, each trigram
+    // counted once in the batch its third event arrives (PathStreamSpec
+    // proves per-prefix equality incl. splits cutting a trigram across
+    // batches).
     "path_mining" -> QueryDef(
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        t(s, d, "events")
-          .withColumn("e1", lead(col("event_type"), 1).over(w))
-          .withColumn("e2", lead(col("event_type"), 2).over(w))
-          .filter(col("e2").isNotNull)
-          .groupBy(col("event_type").as("e0"), col("e1"), col("e2"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("e0"), col("e1"), col("e2"))
-          .limit(20)
-      },
+      (s, d) => Windows.pathTopk(t(s, d, "events")),
       """WITH p AS (SELECT event_type AS e0,
         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
         |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
@@ -802,6 +796,50 @@ object QueriesWindows {
         |ORDER BY abs(round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nm AS DOUBLE)) /
         |    sqrt(CAST(nm * ss - s * s AS DOUBLE) /
         |      (CAST(nm AS DOUBLE) * CAST(nm - 1 AS DOUBLE))), 6)) DESC, minute
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin),
+
+    // Seasonal-naive forecast backtest (Hyndman & Athanasopoulos, fpp3
+    // §5.2: the benchmark every real forecaster must beat): predict each
+    // hour's event count by the same hour one day earlier (snaive_24)
+    // and by the previous hour (naive_1), score both with MAE and bias —
+    // the capacity-planning "is traffic predictable day-over-day?"
+    // question, and the baseline row a model-evaluation pipeline joins
+    // its candidates against. The lag is an exact-micros JOIN, not a
+    // row-lag — a missing hour (zero events) must not slide the
+    // alignment. Errors are exact BIGINTs; the two metric divisions are
+    // the only IEEE steps, spelled identically both engines.
+    "ts_snaive_backtest" -> QueryDef(
+      (s, d) => {
+        val hoursDf = t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("hu", unix_micros(col("hour")))
+        def model(name: String, lagMicros: Long) = hoursDf.alias("a")
+          .join(hoursDf.select(col("hu").as("phu"), col("cnt").as("pred")),
+            col("hu") === col("phu") + lit(lagMicros))
+          .withColumn("err", col("cnt") - col("pred"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(abs(col("err"))).as("abs_err_sum"),
+            sum(col("err")).as("err_sum"))
+          .select(lit(name).as("model"), col("n_hours"), col("abs_err_sum"),
+            round(col("abs_err_sum").cast("double") / col("n_hours"), 6).as("mae"),
+            round(col("err_sum").cast("double") / col("n_hours"), 6).as("bias"))
+        model("naive_1", 3600000000L)
+          .unionByName(model("snaive_24", 86400000000L))
+          .orderBy("model")
+      },
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt, epoch_us(date_trunc('hour', ts)) AS hu
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT 'naive_1' AS model, a.cnt - p.cnt AS err
+        |      FROM h a JOIN h p ON a.hu = p.hu + 3600000000
+        |      UNION ALL
+        |      SELECT 'snaive_24', a.cnt - p.cnt
+        |      FROM h a JOIN h p ON a.hu = p.hu + 86400000000)
+        |SELECT model, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  CAST(SUM(abs(err)) AS BIGINT) AS abs_err_sum,
+        |  round(CAST(SUM(abs(err)) AS DOUBLE) / COUNT(*), 6) AS mae,
+        |  round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) AS bias
+        |FROM j GROUP BY model ORDER BY model""".stripMargin)
   )
 }

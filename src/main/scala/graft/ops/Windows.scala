@@ -526,6 +526,90 @@ object Windows {
     def stateSize: Long = state.count()
   }
 
+  /** Per-user event-type trigram counts in event-time order — the
+    * path-mining primitive shared by the `path_mining` batch query and
+    * [[PathView]] (one source of truth for what a "journey step" is).
+    * The lead window partitions by user (partition-parallel); the count
+    * table is ≤ |types|³ rows.
+    */
+  def pathTrigrams(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("e1", lead(col("event_type"), 1).over(w))
+      .withColumn("e2", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull)
+      .groupBy(col("event_type").as("e0"), col("e1"), col("e2"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Top-k journeys with the deterministic (n desc, path) cut. */
+  def pathTopk(events: DataFrame, k: Int = 20): DataFrame =
+    pathTrigrams(events)
+      .orderBy(col("n").desc, col("e0"), col("e1"), col("e2")).limit(k)
+
+  /** Incrementally-maintained journey trigram counts — the streaming
+    * twin of `path_mining` (NINTH streaming twin). A trigram is counted
+    * exactly ONCE: in the batch where its THIRD event arrives. Each fold
+    * sessionizes nothing and retains nothing event-sized — state is the
+    * per-user 2-event TAIL (the context the next batch's first trigrams
+    * need) plus the ≤|types|³ count table. The fold runs the SAME
+    * [[pathTrigrams]] window over (tail ∪ batch) and keeps only trigrams
+    * whose third element is new, so parity with the batch query over the
+    * folded prefix holds by construction under the [[SessionView]]
+    * contract (micro-batches split the stream in event-time order per
+    * user — the order Structured Streaming delivers under a watermark).
+    * PathStreamSpec proves per-prefix equality including splits that cut
+    * a user's trigram across batches.
+    */
+  final class PathView(spark: org.apache.spark.sql.SparkSession) {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    private val tailSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    private val accSchema = StructType(Seq(
+      StructField("e0", StringType), StructField("e1", StringType),
+      StructField("e2", StringType), StructField("n", LongType)))
+    private def empty(s: StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    private var tail: DataFrame = empty(tailSchema)
+    private var acc: DataFrame = empty(accSchema)
+
+    /** foreachBatch sink: `stream.writeStream.foreachBatch(view.sink)`. */
+    def sink(batch: DataFrame, batchId: Long): Unit = { processBatch(batch); () }
+
+    /** Fold one time-ordered micro-batch into the count state. */
+    def processBatch(batch: DataFrame): Unit = {
+      val b = batch.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__new", lit(true))
+      val comb = tail.withColumn("__new", lit(false)).unionByName(b)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tri = comb
+        .withColumn("e1", lead(col("event_type"), 1).over(w))
+        .withColumn("e2", lead(col("event_type"), 2).over(w))
+        .withColumn("__f2", lead(col("__new"), 2).over(w))
+        .filter(col("e2").isNotNull && col("__f2"))
+        .groupBy(col("event_type").as("e0"), col("e1"), col("e2"))
+        .agg(count(lit(1)).as("n"))
+      acc = acc.unionByName(tri).groupBy("e0", "e1", "e2")
+        .agg(sum(col("n")).as("n")).localCheckpoint()
+      val wLast = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      tail = comb.withColumn("__rk", row_number().over(wLast))
+        .filter(col("__rk") <= 2)
+        .select("user_id", "ts", "event_id", "event_type").localCheckpoint()
+    }
+
+    /** The maintained trigram counts — must equal [[pathTrigrams]] over
+      * the folded prefix (the parity check's left-hand side). */
+    def trigrams: DataFrame = acc
+
+    /** State size: ≤ 2 rows per user seen. */
+    def stateSize: Long = tail.count()
+  }
+
   /** Exact two-sample Mann–Whitney U rank-sum test (Mann & Whitney 1947)
     * between the `typeA` and `typeB` value distributions — the rank-based
     * companion to [[ksDrift]] (location shift rather than max-ECDF gap).

@@ -242,6 +242,29 @@ class R10eOpsSpec extends SparkSpec {
     assert(got.map(r => math.abs(r._4)) == got.map(r => math.abs(r._4)).sorted.reverse)
   }
 
+  test("ts_snaive_backtest: exact-micros join keeps gap hours out of the alignment") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    var id = 0L
+    def hourEvents(h: Int, cnt: Int): Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      (0 until cnt).map { i =>
+        id += 1
+        (id, new java.sql.Timestamp(t0.getTime + h * 3600000L + i * 1000L), 1L, "click", 1.0)
+      }
+    // hours 0,1,2 then a GAP at 3, hour 4, and day+1 hours 24,25
+    val rows = hourEvents(0, 10) ++ hourEvents(1, 12) ++ hourEvents(2, 9) ++
+      hourEvents(4, 7) ++ hourEvents(24, 11) ++ hourEvents(25, 13)
+    val dir = writeEvents(rows)
+    val got = Queries.all("ts_snaive_backtest").fn(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // naive_1 pairs: (1,0)=+2, (2,1)=-3, (25,24)=+2 — hour 4 has no hour 3,
+    // hour 24 has no hour 23 (a row-lag would have slid both into pairs)
+    // snaive_24 pairs: (24,0)=+1, (25,1)=+1
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      ("naive_1", 3L, 7L, r6(7.0 / 3), r6(1.0 / 3)),
+      ("snaive_24", 2L, 2L, 1.0, 1.0)))
+  }
+
   test("small_qty_revenue: only below-20%-of-part-average quantities count") {
     val dir = java.nio.file.Files.createTempDirectory("r10eq17").toString
     Seq((1L, "p1", "Brand#1", "T", 5, 1.0), (2L, "p2", "Brand#9", "T", 5, 1.0))
