@@ -1722,6 +1722,55 @@ object QueriesRelational {
          |  ${dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
          |FROM li JOIN th USING (l_partkey)
          |WHERE 5 * qty * cnt < sumq
-         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // TPC-H Q21-shaped double correlation: suppliers who were the SOLE
+    // late supplier on a finished multi-supplier order — the classic
+    // EXISTS (another supplier) + NOT EXISTS (another late supplier)
+    // pair over the same fact, decorrelated into ONE per-order
+    // aggregation: n_suppliers ≥ 2 ∧ n_late_suppliers = 1 is exactly
+    // the two correlated subqueries' conjunction, and the sole late
+    // supplier surfaces as max(late ? suppkey) under that guard.
+    // Lateness = shipped > 60 days after order date, exact timestamp
+    // arithmetic; all counts BIGINT; deterministic (numwait desc,
+    // suppkey) cut.
+    "late_sole_supplier" -> QueryDef(
+      (s, d) => {
+        val j = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+              .as("late"))
+        // collapse to (order, supplier) pairs FIRST — one combinable agg;
+        // a double countDistinct over the raw fact would run the
+        // two-phase distinct expansion twice over every line item
+        val pairs = j.groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("late")).as("late"))
+        val per = pairs.groupBy("l_orderkey").agg(
+          count(lit(1)).as("ns"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("nl"),
+          max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+        per.filter(col("ns") >= 2 && col("nl") === 1)
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("late_supp") === col("s_suppkey"))
+          .groupBy("s_suppkey", "s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey")).limit(20)
+      },
+      """WITH j AS (SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per AS (SELECT l_orderkey,
+        |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ns,
+        |    CAST(COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS BIGINT) AS nl,
+        |    MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+        |  FROM j GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM per JOIN supplier ON late_supp = s_suppkey
+        |WHERE ns >= 2 AND nl = 1
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin)
   )
 }

@@ -55,6 +55,13 @@ class PlanShapeR10eSpec extends SparkSpec {
       s"silence must not hash-shuffle (runs are counted inside the decoder):\n$p")
   }
 
+  test("late_sole_supplier: status filter reaches the orders scan; supplier dim broadcasts") {
+    val p = planOf("late_sole_supplier")
+    assert(!p.contains("CartesianProduct"), s"q21 plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
+    assert(p.contains("F"), s"the order-status filter must appear in the plan:\n$p")
+  }
+
   test("sketch_heavy_change: 1-row range and d·w sketches broadcast; no cartesian") {
     val p = planOf("sketch_heavy_change")
     assert(!p.contains("CartesianProduct"), s"heavy-change plan:\n$p")

@@ -242,6 +242,39 @@ class R10eOpsSpec extends SparkSpec {
     assert(got.map(r => math.abs(r._4)) == got.map(r => math.abs(r._4)).sorted.reverse)
   }
 
+  test("late_sole_supplier: both correlation arms and the status filter bite") {
+    val dir = java.nio.file.Files.createTempDirectory("r10eq21").toString
+    val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    def ship(days: Int) = new java.sql.Timestamp(d0.getTime + days * 86400000L)
+    Seq((1L, 1L, "F", 1.0, d0, "1"), (2L, 1L, "F", 1.0, d0, "1"),
+      (3L, 1L, "F", 1.0, d0, "1"), (4L, 1L, "O", 1.0, d0, "1"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, "S10"), (11L, "S11"))
+      .toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // order 1: supp 10 late, supp 11 on time → qualifies for supp 10
+    // order 2: both late → nl=2, excluded (NOT EXISTS arm)
+    // order 3: only supp 10, late → ns=1, excluded (EXISTS arm)
+    // order 4: like order 1 but status 'O' → excluded by the filter
+    Seq(
+      (1L, 1L, 10L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship(90)),
+      (1L, 1L, 11L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ship(10)),
+      (2L, 1L, 10L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship(90)),
+      (2L, 1L, 11L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ship(91)),
+      (3L, 1L, 10L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship(95)),
+      (4L, 1L, 10L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship(90)),
+      (4L, 1L, 11L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ship(10)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Queries.all("late_sole_supplier").fn(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((10L, "S10", 1L)))
+  }
+
   test("ts_snaive_backtest: exact-micros join keeps gap hours out of the alignment") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     var id = 0L
