@@ -1011,6 +1011,51 @@ object QueriesRelational {
          |WHERE abs(value - m) > 2 * sd
          |ORDER BY event_id""".stripMargin),
 
+    // Incremental view maintenance of a JOIN through the correctness
+    // gate — incremental_agg's sibling for the other big maintained-view
+    // class. Late-arriving batches ΔO (orderkey % 101 = 0) and ΔL
+    // (orderkey % 103 = 0) are folded into the materialized join via the
+    // standard disjoint delta decomposition
+    //   J(O', L') = J(O,L) ∪ (ΔO ⋈ L') ∪ (O ⋈ ΔL)
+    // (O' = O∪ΔO, L' = L∪ΔL; the ΔO term takes the PRIMED right side so
+    // the ΔO⋈ΔL corner lands exactly once), and the maintained result
+    // must hash-match the oracle's FULL RECOMPUTE over O'⋈L' — per-term
+    // row counts surface as columns so a missing/duplicated corner fails
+    // loudly. Refresh cost rides the delta: both delta terms broadcast
+    // their Δ side against the big table; only the base join is
+    // fact-sized, and in a real view it is the stored result, not
+    // recomputed. Revenue on the exact DECIMAL ladder.
+    "incremental_join" -> QueryDef(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val l = t(s, d, "lineitem")
+        val oB = o.filter(col("o_orderkey") % 101 =!= 0)
+        val oD = o.filter(col("o_orderkey") % 101 === 0)
+        val lB = l.filter(col("l_orderkey") % 103 =!= 0)
+        val lD = l.filter(col("l_orderkey") % 103 === 0)
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        def term(left: org.apache.spark.sql.DataFrame,
+            right: org.apache.spark.sql.DataFrame, tag: String) =
+          left.join(right, col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_orderpriority"), rev.as("rev"), lit(tag).as("tag"))
+        term(oB, lB, "base")
+          .unionByName(term(broadcast(oD), l, "delta"))
+          .unionByName(term(oB, broadcast(lD), "delta"))
+          .groupBy("o_orderpriority")
+          .agg(sum(when(col("tag") === "base", 1L).otherwise(0L)).as("n_base"),
+            sum(when(col("tag") === "delta", 1L).otherwise(0L)).as("n_delta"),
+            dsum(col("rev")).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      s"""SELECT o_orderpriority,
+         |  CAST(SUM(CASE WHEN o_orderkey % 101 <> 0 AND l_orderkey % 103 <> 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |  CAST(SUM(CASE WHEN o_orderkey % 101 = 0 OR l_orderkey % 103 = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Incremental view maintenance through the correctness gate: the
     // maintained aggregate (old snapshot's aggregate + SnapshotDiff delta
     // merged via ops.Incremental — added/removed/changed rows as signed

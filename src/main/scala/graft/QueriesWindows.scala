@@ -808,6 +808,86 @@ object QueriesWindows {
     // row-lag — a missing hour (zero events) must not slide the
     // alignment. Errors are exact BIGINTs; the two metric divisions are
     // the only IEEE steps, spelled identically both engines.
+    // Theil–Sen robust trend estimator over the hourly event counts
+    // (Theil 1950 / Sen 1968): the (lower weighted) median of all
+    // pairwise slopes — the outlier-immune answer to "is traffic
+    // growing?", where an OLS slope (regr_slope's ladder) chases one
+    // spike. Slopes are IEEE divisions of exact BIGINTs rounded to 1e-6
+    // resolution, then COLLAPSED by value so the median runs on the
+    // bounded slope DOMAIN via the weighted_median two-level prefix
+    // machinery. Work is bounded at ANY time range: hours are strided
+    // down to ≤2048 sample points first (deterministic ihr % stride
+    // filter, the SimQueryCap discipline), so the pair table never
+    // exceeds ~2M rows however many years the stream spans.
+    "ts_theil_sen" -> QueryDef(
+      (s, d) => {
+        val hoursDf = t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("ih", expr("unix_micros(hour) div 3600000000"))
+        val stats = hoursDf.agg(min(col("ih")).as("ih0"),
+          count(lit(1)).as("n_hours"))
+        val sampled = hoursDf.crossJoin(broadcast(stats))
+          .withColumn("ihr", col("ih") - col("ih0"))
+          .withColumn("stride", expr("(n_hours + 2047L) div 2048L"))
+          .filter(col("ihr") % col("stride") === 0)
+          .select(col("ihr"), col("cnt"), col("n_hours"), col("stride"))
+        val pairs = sampled.alias("a")
+          .join(sampled.select(col("ihr").as("jhr"), col("cnt").as("jcnt")),
+            col("jhr") > col("ihr"))
+          // the when-guard makes the division TOTAL: downstream joins on
+          // derived keys make Catalyst infer isnotnull constraints whose
+          // pushed evaluation can reorder ahead of the jhr > ihr join
+          // conjunct, and an unguarded ANSI division then throws
+          // DIVIDE_BY_ZERO on the very pairs the condition excludes
+          .select(col("n_hours"), col("stride"),
+            when(col("jhr") > col("ihr"),
+              round((col("jcnt") - col("cnt")).cast("double") /
+                (col("jhr") - col("ihr")).cast("double"), 6)).as("slope6"))
+        val base = pairs.groupBy("n_hours", "stride", "slope6")
+          .agg(count(lit(1)).as("w"))
+          .withColumn("b", floor(col("slope6")).cast("long"))
+        val wIn = Window.partitionBy("b").orderBy("slope6")
+          .rowsBetween(Long.MinValue, 0)
+        val inB = base.withColumn("r", sum(col("w")).over(wIn))
+        val bTot = base.groupBy("b").agg(sum(col("w")).as("t"))
+        val wOff = Window.orderBy("b").rowsBetween(Long.MinValue, -1)
+        val offs = bTot
+          .withColumn("o", coalesce(sum(col("t")).over(wOff), lit(0L)))
+          .select("b", "o")
+        val tot = base.agg(sum(col("w")).as("n_pairs"))
+        inB.join(broadcast(offs), "b").crossJoin(broadcast(tot))
+          .filter((col("o") + col("r")) * 2 >= col("n_pairs"))
+          .groupBy(col("n_hours"), col("stride"), col("n_pairs"))
+          .agg(min(col("slope6")).as("slope_per_hour"))
+          .select(col("n_hours"), col("stride"), col("n_pairs"),
+            col("slope_per_hour"),
+            round(col("slope_per_hour") * 24, 6).as("slope_per_day"))
+      },
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS ih
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT MIN(ih) AS ih0, CAST(COUNT(*) AS BIGINT) AS n_hours FROM h),
+        |sam AS (SELECT ih - ih0 AS ihr, cnt, n_hours,
+        |    (n_hours + 2047) // 2048 AS stride
+        |  FROM h CROSS JOIN st
+        |  WHERE (ih - ih0) % ((n_hours + 2047) // 2048) = 0),
+        |pr AS (SELECT a.n_hours, a.stride,
+        |    round(CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.ihr - a.ihr AS DOUBLE), 6) AS slope6
+        |  FROM sam a JOIN sam b ON b.ihr > a.ihr),
+        |base AS (SELECT n_hours, stride, slope6, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM pr GROUP BY 1, 2, 3),
+        |cum AS (SELECT n_hours, stride, slope6,
+        |    CAST(SUM(w) OVER (ORDER BY slope6
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |  FROM base),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS n_pairs FROM base)
+        |SELECT n_hours, stride, n_pairs, MIN(slope6) AS slope_per_hour,
+        |  round(MIN(slope6) * 24, 6) AS slope_per_day
+        |FROM cum CROSS JOIN tot WHERE 2 * cw >= n_pairs
+        |GROUP BY n_hours, stride, n_pairs""".stripMargin),
+
     "ts_snaive_backtest" -> QueryDef(
       (s, d) => {
         val hoursDf = t(s, d, "events")

@@ -62,6 +62,19 @@ class PlanShapeR10eSpec extends SparkSpec {
     assert(p.contains("F"), s"the order-status filter must appear in the plan:\n$p")
   }
 
+  test("ts_theil_sen: offsets and totals broadcast; pair table from the strided sample") {
+    val p = planOf("ts_theil_sen")
+    assert(p.contains("BroadcastExchange"),
+      s"stats/offsets/total must broadcast:\n$p")
+  }
+
+  test("incremental_join: both delta terms broadcast their delta side") {
+    val p = planOf("incremental_join")
+    assert(!p.contains("CartesianProduct"), s"ivm plan:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"both delta sides must broadcast, got $bhj BHJs:\n$p")
+  }
+
   test("sketch_heavy_change: 1-row range and d·w sketches broadcast; no cartesian") {
     val p = planOf("sketch_heavy_change")
     assert(!p.contains("CartesianProduct"), s"heavy-change plan:\n$p")

@@ -242,6 +242,51 @@ class R10eOpsSpec extends SparkSpec {
     assert(got.map(r => math.abs(r._4)) == got.map(r => math.abs(r._4)).sorted.reverse)
   }
 
+  test("incremental_join: delta decomposition covers every corner exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("r10eivm").toString
+    val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    // key 5: base/base; 101: ΔO; 103: ΔL; 10403 = 101·103: the ΔO⋈ΔL
+    // corner that must land exactly once (via the ΔO ⋈ L' term)
+    Seq((5L, 1L, "F", 1.0, d0, "P1"), (101L, 1L, "F", 1.0, d0, "P1"),
+      (103L, 1L, "F", 1.0, d0, "P1"), (10403L, 1L, "F", 1.0, d0, "P1"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val lis = Seq(5L -> 2, 101L -> 1, 103L -> 2, 10403L -> 3).flatMap {
+      case (k, n) => (1 to n).map(i =>
+        (k, 1L, 1L, i, 1.0, 100.0 * i, 0.0, 0.0, "N", "O", d0))
+    }
+    lis.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Queries.all("incremental_join").fn(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // base rows: key 5's two items; delta rows: 1 + 2 + 3; revenue = all
+    val revenue = lis.map(_._6).sum
+    assert(got == Seq(("P1", 2L, 6L, revenue)))
+  }
+
+  test("ts_theil_sen recovers a linear trend through a massive outlier hour") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    var id = 0L
+    // counts 10 + 2h for hours 0..9, except hour 5 spiked to 500: every
+    // non-outlier pair has slope exactly 2.0; the 9 outlier pairs sit at
+    // the extremes and must not move the median (OLS would be dragged)
+    val rows = for {
+      h <- 0 until 10
+      cnt = if (h == 5) 500 else 10 + 2 * h
+      _ <- 0 until cnt
+    } yield {
+      id += 1
+      (id, new java.sql.Timestamp(t0.getTime + h * 3600000L + (id % 3000) * 1000L), 1L, "click", 1.0)
+    }
+    val dir = writeEvents(rows)
+    val got = Queries.all("ts_theil_sen").fn(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((10L, 1L, 45L, 2.0, 48.0)))
+  }
+
   test("late_sole_supplier: both correlation arms and the status filter bite") {
     val dir = java.nio.file.Files.createTempDirectory("r10eq21").toString
     val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
