@@ -798,6 +798,42 @@ object QueriesWindows {
         |      (CAST(nm AS DOUBLE) * CAST(nm - 1 AS DOUBLE))), 6)) DESC, minute
         |LIMIT 20""".stripMargin),
 
+    // Approximate distinct users over a sliding 3-hour window via
+    // register-level HLL merge (Flajolet et al. 2007 §5: sketches of
+    // unions = elementwise register max) — the streaming-dashboard
+    // "unique visitors last 3 h, every hour" panel, where the exact
+    // answer re-scans three hours of keys per window and the sketch
+    // path merges three 256-register tables. Per-hour registers build
+    // once from the keys; each register row then fans out to the ≤3
+    // windows it serves (never the raw keys), windows anchored at hours
+    // that exist. The exact per-window distinct rides along as the
+    // calibration column (the sketch_cms_topk discipline — at 100 TB it
+    // is the harness, not the scale path). Estimates 4 dp from the same
+    // replayed constants as sketch_hll_replay.
+    "sketch_hll_sliding" -> QueryDef(
+      (s, d) => {
+        import graft.ops.Sketches
+        val win = 3
+        val ev = t(s, d, "events")
+          .select(expr("unix_micros(ts) div 3600000000").as("ih"), col("user_id"))
+        val hrs = ev.select(col("ih")).distinct()
+        def toWindows(df: org.apache.spark.sql.DataFrame, src: String) = df
+          .select(explode(array((0 until win).map(i =>
+            col(src) + lit(i.toLong)): _*)).as("w") +:
+            df.columns.filter(_ != src).map(col).toSeq: _*)
+          .join(broadcast(hrs.select(col("ih").as("w"))), "w")
+        val wreg = toWindows(Sketches.hllRegisters(ev, "ih", "user_id"), "grp")
+          .groupBy(col("w").as("grp"), col("b")).agg(max(col("r")).as("r"))
+        val exact = toWindows(ev.distinct(), "ih")
+          .groupBy("w").agg(countDistinct(col("user_id")).as("n_exact"))
+        Sketches.hllEstimate(wreg)
+          .join(exact, col("grp") === col("w"))
+          .select(col("grp").as("w_end"), col("n_exact"), col("v_zero"),
+            col("z_scaled"), col("est_hll"))
+          .orderBy("w_end")
+      },
+      graft.ops.Sketches.hllSlidingOracleSql(3)),
+
     // Seasonal-naive forecast backtest (Hyndman & Athanasopoulos, fpp3
     // §5.2: the benchmark every real forecaster must beat): predict each
     // hour's event count by the same hour one day earlier (snaive_24)

@@ -58,16 +58,28 @@ object Sketches {
     * `z_scaled` (exact Σ 2^(31−r) over all m registers, BIGINT), and
     * `est_hll` (raw HLL estimate, 4 dp).
     */
-  def hllReplayable(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+  def hllReplayable(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, keyCol))
+
+  /** The per-group register table `(grp, b, r)` [[hllReplayable]] reduces —
+    * split out because registers merge as a JOIN-SEMILATTICE (per-bucket
+    * max), which is what lets window/union consumers (sketch_hll_sliding)
+    * combine group sketches without touching raw keys.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val x = (col(keyCol).cast("long") % P + P) % P
     val h1 = (lit(A1) * x + lit(B1)) % P
     val q = (h1 * h1 + h1) % P
     val mask = (1L << HllRankBits) - 1
-    val reg = df.select(col(groupCol).as("grp"), q.as("q"))
+    df.select(col(groupCol).as("grp"), q.as("q"))
       .select(col("grp"),
         expr(s"shiftright(q, $HllRankBits)").as("b"),
         expr(s"least(${HllRankBits + 1}, bit_count(((q & $mask) & -(q & $mask)) - 1) + 1)").as("rk"))
       .groupBy("grp", "b").agg(max("rk").as("r"))
+  }
+
+  /** The HLL estimate over a prepared register table `(grp, b, r)`. */
+  def hllEstimate(reg: DataFrame): DataFrame =
     reg.groupBy("grp")
       .agg(
         (sum(expr("shiftleft(CAST(1 AS BIGINT), 31 - r)"))
@@ -76,7 +88,6 @@ object Sketches {
         (lit(HllBuckets.toLong) - count(lit(1))).as("v_zero"))
       .select(col("grp"), col("v_zero"), col("z_scaled"),
         round(alphaNumerator / col("z_scaled").cast("double"), 4).as("est_hll"))
-  }
 
   // ---------------------------------------------------------------------
   // Count-Min sketch (Cormode & Muthukrishnan, "An improved data stream
@@ -287,6 +298,43 @@ object Sketches {
        |    $roundScale) AS est_q
        |FROM cr JOIN cum ON cum.grp = cr.grp AND cum.bin = cr.bstar
        |ORDER BY $grpCol, p""".stripMargin
+  }
+
+  /** DuckDB replay of the sketch_hll_sliding pipeline: per-hour HLL
+    * registers over `keyExpr`, register-max merge into the trailing
+    * `winHours`-hour window ending at each EXISTING hour, the estimate
+    * formula, and the exact distinct count as the calibration column —
+    * all generated from the same constants as [[hllRegisters]].
+    */
+  def hllSlidingOracleSql(winHours: Int): String = {
+    val mask = (1L << HllRankBits) - 1
+    val ends = (0 until winHours).map(i => s"ih + $i").mkString("[", ", ", "]")
+    val endsG = (0 until winHours).map(i => s"grp + $i").mkString("[", ", ", "]")
+    s"""WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS ih, user_id FROM events),
+       |hrs AS (SELECT DISTINCT ih FROM ev),
+       |k AS (SELECT ih AS grp, ((CAST(user_id AS BIGINT) % $P) + $P) % $P AS x FROM ev),
+       |h0 AS (SELECT grp, ($A1 * x + $B1) % $P AS h1 FROM k),
+       |h AS (SELECT grp, (h1 * h1 + h1) % $P AS q FROM h0),
+       |rr AS (SELECT grp, q >> $HllRankBits AS b,
+       |        LEAST(${HllRankBits + 1}, bit_count(((q & $mask) & -(q & $mask)) - 1) + 1) AS rk FROM h),
+       |reg AS (SELECT grp, b, MAX(rk) AS r FROM rr GROUP BY grp, b),
+       |wr AS (SELECT w, b, MAX(r) AS r FROM (
+       |        SELECT unnest($endsG) AS w, b, r FROM reg)
+       |       WHERE w IN (SELECT ih FROM hrs) GROUP BY w, b),
+       |z AS (SELECT w,
+       |        CAST(SUM(CAST(1 AS BIGINT) << (31 - r))
+       |          + ($HllBuckets - COUNT(*)) * ${1L << 31} AS BIGINT) AS z_scaled,
+       |        CAST($HllBuckets - COUNT(*) AS BIGINT) AS v_zero
+       |      FROM wr GROUP BY w),
+       |ex AS (SELECT w, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM (
+       |        SELECT unnest($ends) AS w, user_id
+       |        FROM (SELECT DISTINCT ih, user_id FROM ev))
+       |       WHERE w IN (SELECT ih FROM hrs) GROUP BY w)
+       |SELECT z.w AS w_end, n_exact, v_zero, z_scaled,
+       |  round(CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+       |    * CAST(65536 AS DOUBLE) * CAST(2147483648 AS DOUBLE)
+       |    / CAST(z_scaled AS DOUBLE), 4) AS est_hll
+       |FROM z JOIN ex ON ex.w = z.w ORDER BY w_end""".stripMargin
   }
 
   /** DuckDB replay of [[hllReplayable]] over `keyExpr` grouped by

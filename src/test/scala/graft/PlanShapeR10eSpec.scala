@@ -75,6 +75,13 @@ class PlanShapeR10eSpec extends SparkSpec {
     assert(bhj >= 2, s"both delta sides must broadcast, got $bhj BHJs:\n$p")
   }
 
+  test("sketch_hll_sliding: hour anchor broadcasts; no cartesian") {
+    val p = planOf("sketch_hll_sliding")
+    assert(!p.contains("CartesianProduct"), s"hll sliding plan:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the existing-hours anchor must broadcast:\n$p")
+  }
+
   test("sketch_heavy_change: 1-row range and d·w sketches broadcast; no cartesian") {
     val p = planOf("sketch_heavy_change")
     assert(!p.contains("CartesianProduct"), s"heavy-change plan:\n$p")

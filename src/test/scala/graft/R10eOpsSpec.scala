@@ -242,6 +242,41 @@ class R10eOpsSpec extends SparkSpec {
     assert(got.map(r => math.abs(r._4)) == got.map(r => math.abs(r._4)).sorted.reverse)
   }
 
+  test("sketch_hll_sliding: register-max merge equals the sketch of the key union") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ih0 = t0.getTime / 3600000L // absolute epoch hour
+    var id = 0L
+    // hours 0,1,2 with overlapping user sets; hour 4 isolated (gap at 3)
+    val byHour = Seq(0 -> (1 to 40), 1 -> (21 to 60), 2 -> (41 to 80),
+      4 -> (1 to 10))
+    val rows = byHour.flatMap { case (h, users) =>
+      users.map { u =>
+        id += 1
+        (id, new java.sql.Timestamp(t0.getTime + h * 3600000L), u.toLong, "click", 1.0)
+      }
+    }
+    val dir = writeEvents(rows)
+    val got = Queries.all("sketch_hll_sliding").fn(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1 - ih0) -> r).toMap
+    // windows anchor ONLY at existing hours: the gap hour 3 has no row
+    assert(got.keySet == Set(0L, 1L, 2L, 4L))
+    // exact distincts: {1..40}, {1..60}, {1..80}, hours 2∪4 = {41..80}∪{1..10}
+    assert(got(0L)._2 == 40L && got(1L)._2 == 60L &&
+      got(2L)._2 == 80L && got(4L)._2 == 50L)
+    // the semilattice property: the merged window sketch must EQUAL the
+    // sketch built directly over the union of the window's keys
+    for ((w, hours) <- Seq(2L -> Seq(0, 1, 2), 4L -> Seq(2, 4))) {
+      val union = byHour.toMap.view.filterKeys(hours.contains).values
+        .flatten.toSeq.distinct
+      val direct = graft.ops.Sketches.hllReplayable(
+        union.map(u => (1L, u.toLong)).toDF("g", "user_id"), "g", "user_id")
+        .select("v_zero", "z_scaled", "est_hll")
+        .as[(Long, Long, Double)].collect().head
+      assert((got(w)._3, got(w)._4, got(w)._5) == direct, s"window $w")
+    }
+  }
+
   test("incremental_join: delta decomposition covers every corner exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("r10eivm").toString
     val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
