@@ -78,6 +78,53 @@ object QueriesWindows {
         |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL '${Windows.AttributionLookback}'
         |ORDER BY purchase_id, click_id""".stripMargin),
 
+    // Linear multi-touch attribution (Shao & Li, KDD 2011 survey the
+    // model zoo; linear = equal credit across the path) — last-touch's
+    // (stream_join_attribution) fairer sibling: every click in the 2 h
+    // lookback of a purchase shares the conversion EQUALLY, credit per
+    // campaign (props.k mod 10) in exact ppm units: each touch earns
+    // 1e6 div n_touches, so per-campaign sums are BIGINT-exact and
+    // order-independent; the only IEEE step is the display division.
+    // Campaign extraction reuses the json_extract path (get_json_object
+    // / ->> on the SAME props column).
+    "attribution_linear" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("ts_c"),
+            (get_json_object(col("props"), "$.k").cast("long") % 10)
+              .as("campaign"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("ts_p"))
+        val touches = p.join(c, Seq("user_id"))
+          .filter(col("ts_c") < col("ts_p") &&
+            col("ts_c") >= col("ts_p") - expr(s"INTERVAL ${Windows.AttributionLookback}"))
+          .select(col("purchase_id"), col("campaign"))
+        val per = touches.groupBy("purchase_id")
+          .agg(count(lit(1)).as("n_touches"))
+        touches.join(per, "purchase_id")
+          .withColumn("credit_ppm", expr("1000000L div n_touches"))
+          .groupBy("campaign")
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("credit_ppm")).as("credit_ppm"))
+          .select(col("campaign"), col("n_touches"), col("credit_ppm"),
+            round(col("credit_ppm").cast("double") / lit(1e6), 6)
+              .as("credited_purchases"))
+          .orderBy("campaign")
+      },
+      s"""WITH tch AS (SELECT p.event_id AS purchase_id,
+         |    CAST(c.props ->> 'k' AS BIGINT) % 10 AS campaign
+         |  FROM events p JOIN events c ON p.user_id = c.user_id
+         |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         |    AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL '${Windows.AttributionLookback}'),
+         |per AS (SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n FROM tch GROUP BY 1)
+         |SELECT campaign, CAST(COUNT(*) AS BIGINT) AS n_touches,
+         |  CAST(SUM(1000000 // n) AS BIGINT) AS credit_ppm,
+         |  round(CAST(SUM(1000000 // n) AS DOUBLE) / 1e6, 6) AS credited_purchases
+         |FROM tch JOIN per USING (purchase_id)
+         |GROUP BY campaign ORDER BY campaign""".stripMargin),
+
     // Exact INTERPOLATED quantiles (percentile_cont semantics) per event
     // type at p ∈ {0.25, 0.5, 0.9}: rank the values once, compute the
     // fractional position (n−1)·p, and interpolate lo + (hi−lo)·frac with

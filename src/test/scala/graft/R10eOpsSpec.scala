@@ -277,6 +277,34 @@ class R10eOpsSpec extends SparkSpec {
     }
   }
 
+  test("attribution_linear: equal split in ppm, lookback excludes stale clicks") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("r10eattr").toString
+    import spark.implicits._
+    // u1: clicks k=1,k=2 then purchase → 500000 ppm each to campaigns 1,2
+    // u2: clicks k=1,k=11(→1),k=2 then purchase → 333333 ppm each
+    // u3: click 3h before purchase → outside the 2h lookback, no credit
+    Seq(
+      (1L, at(0), 1L, "click", 1.0, """{"k": 1}"""),
+      (2L, at(5), 1L, "click", 1.0, """{"k": 2}"""),
+      (3L, at(10), 1L, "purchase", 9.0, """{"k": 0}"""),
+      (4L, at(0), 2L, "click", 1.0, """{"k": 1}"""),
+      (5L, at(2), 2L, "click", 1.0, """{"k": 11}"""),
+      (6L, at(4), 2L, "click", 1.0, """{"k": 2}"""),
+      (7L, at(20), 2L, "purchase", 9.0, """{"k": 0}"""),
+      (8L, at(0), 3L, "click", 1.0, """{"k": 5}"""),
+      (9L, at(180), 3L, "purchase", 9.0, """{"k": 0}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.all("attribution_linear").fn(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // campaign 1: u1 500000 + u2 2×333333; campaign 2: 500000 + 333333
+    assert(got == Seq(
+      (1L, 3L, 500000L + 2 * 333333L, 1.166666),
+      (2L, 2L, 500000L + 333333L, 0.833333)))
+  }
+
   test("incremental_join: delta decomposition covers every corner exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("r10eivm").toString
     val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
