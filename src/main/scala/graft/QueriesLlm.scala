@@ -66,6 +66,22 @@ object QueriesLlm {
     * docs each — so the closure stays tiny). GraphX CC labels components
     * with the minimum member id; MIN(reachable id) reproduces it exactly.
     */
+  /** Shared CTE prefix of the lang_id classifier (token profiles, votes,
+    * per-doc ranking) — one source of truth for the lang_id oracle and
+    * the lang_confusion matrix over its predictions.
+    */
+  private lazy val langIdCte: String =
+    """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |prof AS (SELECT lang AS p_lang, tok, 31 - rk AS weight FROM (
+      |    SELECT lang, tok, CAST(row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS BIGINT) AS rk
+      |    FROM cnt) WHERE rk <= 30),
+      |votes AS (SELECT t.doc_id, t.lang, p.p_lang, SUM(p.weight) AS score
+      |          FROM toks t JOIN prof p ON t.tok = p.tok GROUP BY 1, 2, 3),
+      |r AS (SELECT doc_id, lang, p_lang,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rk
+      |      FROM votes)""".stripMargin
+
   private lazy val clustersOracleSql: String =
     s"""WITH RECURSIVE $minhashCte,
        |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -430,6 +446,41 @@ object QueriesLlm {
         .orderBy("doc_id"),
       clustersOracleSql),
 
+    // Cross-source duplication matrix — which sources copy which: the
+    // MinHash candidate pairs rolled up per canonical source pair (the
+    // "is crawl-B just crawl-A re-hosted?" screen a mixture designer
+    // reads before weighting sources; within-source pairs = internal
+    // boilerplate, cross-source pairs = contamination between corpora).
+    // Reuses the SAME banded-bucket pair generation as dedup_clusters
+    // (never all-pairs); source lookup is two broadcast joins of the
+    // ≤|docs| (id, source) dim; least/greatest canonicalization is
+    // byte-identical on both engines.
+    "dedup_cross_source" -> QueryDef(
+      (s, d) => {
+        val srcDim = t(s, d, "documents").select(col("doc_id"), col("source"))
+        Dedup.minhashCandidatePairs(Dedup.minhashBuckets(t(s, d, "documents")))
+          .join(srcDim.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+          .join(srcDim.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+          .groupBy(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("a_id")).as("n_left_docs"),
+            countDistinct(col("b_id")).as("n_right_docs"))
+          .orderBy("src_a", "src_b")
+      },
+      s"""WITH $minhashCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |          FROM bkts a JOIN bkts b
+         |            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |j AS (SELECT least(da.source, db.source) AS src_a,
+         |             greatest(da.source, db.source) AS src_b, a_id, b_id
+         |      FROM pairs JOIN documents da ON da.doc_id = a_id
+         |                 JOIN documents db ON db.doc_id = b_id)
+         |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_left_docs,
+         |  CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_right_docs
+         |FROM j GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin),
+
     // 60-bit SimHash fingerprints — full value oracle (same replayable
     // token hash; one conditional-sum bit term per SimhashBits below).
     "dedup_simhash" -> QueryDef(
@@ -665,18 +716,39 @@ object QueriesLlm {
     // SQL-expressible, so it gets a full oracle.
     "lang_id" -> QueryDef(
       (s, d) => TextAnalysis.langId(t(s, d, "documents")).orderBy("doc_id"),
-      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |cnt AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
-        |prof AS (SELECT lang AS p_lang, tok, 31 - rk AS weight FROM (
-        |    SELECT lang, tok, CAST(row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS BIGINT) AS rk
-        |    FROM cnt) WHERE rk <= 30),
-        |votes AS (SELECT t.doc_id, t.lang, p.p_lang, SUM(p.weight) AS score
-        |          FROM toks t JOIN prof p ON t.tok = p.tok GROUP BY 1, 2, 3),
-        |r AS (SELECT doc_id, lang, p_lang,
-        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rk
-        |      FROM votes)
+      s"""$langIdCte
         |SELECT doc_id, p_lang AS pred_lang, p_lang = lang AS correct
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin),
+
+    // Language-ID confusion matrix — the evaluation view over lang_id's
+    // predictions against the declared label: per (true, predicted)
+    // pair the count and the row-normalized rate ("which languages does
+    // the n-gram heuristic confuse?") — what a curation pipeline reads
+    // before trusting a language filter at 100 TB. Rates are IEEE
+    // divisions of exact BIGINTs; the oracle reuses the IDENTICAL
+    // generated CTE prefix as lang_id (one source of truth for the
+    // classifier).
+    "lang_confusion" -> QueryDef(
+      (s, d) => {
+        val preds = TextAnalysis.langId(t(s, d, "documents"))
+        val m = preds
+          .join(t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        val rt = m.groupBy("lang").agg(sum(col("n")).as("row_n"))
+        m.join(broadcast(rt), "lang")
+          .select(col("lang"), col("pred_lang"), col("n"),
+            round(col("n").cast("double") / col("row_n"), 6).as("rate"))
+          .orderBy("lang", "pred_lang")
+      },
+      s"""$langIdCte,
+        |m AS (SELECT lang, p_lang AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM r WHERE rk = 1 GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS row_n FROM m GROUP BY 1)
+        |SELECT m.lang, pred_lang, n,
+        |  round(CAST(n AS DOUBLE) / row_n, 6) AS rate
+        |FROM m JOIN rt ON rt.lang = m.lang
+        |ORDER BY m.lang, pred_lang""".stripMargin),
 
     // Winnowing fingerprints — polynomial shingle hash, so DuckDB replays
     // the identical fold and the full winnowing pipeline is oracle-checked

@@ -277,6 +277,47 @@ class R10eOpsSpec extends SparkSpec {
     }
   }
 
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10edocs").toString
+    rows.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("lang_confusion: matrix rows partition the corpus; rates row-normalize") {
+    // two "languages" with disjoint vocabularies plus one doc written in
+    // the OTHER language's vocabulary (must land off-diagonal)
+    val aa = (1 to 5).map(i => (i.toLong, "alpha beta gamma delta", "aa", "s1"))
+    val bb = (6 to 9).map(i => (i.toLong, "uno dos tres quatro", "bb", "s1"))
+    val crossed = Seq((10L, "alpha beta gamma delta", "bb", "s1"))
+    val dir = writeDocs(aa ++ bb ++ crossed)
+    val got = Queries.all("lang_confusion").fn(spark, dir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m == Map(("aa", "aa") -> 5L, ("bb", "bb") -> 4L, ("bb", "aa") -> 1L))
+    // rates row-normalize: bb row = 0.8 / 0.2
+    val rates = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(rates(("bb", "bb")) == 0.8 && rates(("bb", "aa")) == 0.2 &&
+      rates(("aa", "aa")) == 1.0)
+  }
+
+  test("dedup_cross_source: near-identical docs across sources surface as a cross pair") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, shared, "aa", "crawlA"),
+      (2L, shared, "aa", "crawlB"),           // cross-source duplicate
+      (3L, shared + " tail", "aa", "crawlA"), // near-dup within A (likely bucket-mate)
+      (4L, (20 to 40).map(i => s"zz$i").mkString(" "), "aa", "crawlB"))) // unrelated
+    val got = Queries.all("dedup_cross_source").fn(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val cross = got.find(r => r._1 == "crawlA" && r._2 == "crawlB")
+    assert(cross.nonEmpty && cross.get._3 >= 1L, s"missing cross pair: $got")
+    // the unrelated doc shares no bucket: no pair row may involve it —
+    // total pair count stays within the 3 dup docs' possible pairs
+    assert(got.map(_._3).sum <= 3L)
+  }
+
   test("attribution_linear: equal split in ppm, lookback excludes stale clicks") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
     def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
