@@ -750,6 +750,63 @@ object QueriesLlm {
         |FROM m JOIN rt ON rt.lang = m.lang
         |ORDER BY m.lang, pred_lang""".stripMargin),
 
+    // RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010):
+    // candidate phrases are maximal stopword-free token runs; word
+    // score = degree/frequency (degree = Σ length of the phrases the
+    // word occurs in, self included); phrase score = Σ member word
+    // scores — the unsupervised keyword primitive next to tfidf_topk's
+    // corpus-weighted ranking. Scores kept EXACT in ppm units
+    // (1e6·deg div freq per word, BIGINT sums; deg ≤ Σ phrase lengths —
+    // the DECIMAL ladder takes over past 10¹² tokens), identical text →
+    // identical score by construction. Top-20 with the deterministic
+    // (score desc, phrase) cut; the shared TextAnalysis.stopwords list
+    // is the one quality scoring uses.
+    "text_rake_keyphrases" -> QueryDef(
+      (s, d) => {
+        val stop = graft.ops.llm.TextAnalysis.stopwords
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val wSeg = Window.partitionBy("doc_id").orderBy("pos")
+        val mem = toks.filter(!col("tok").isin(stop: _*))
+          .withColumn("grp", col("pos") - row_number().over(wSeg))
+          .withColumn("len", count(lit(1))
+            .over(Window.partitionBy("doc_id", "grp")))
+        val sc = mem.groupBy("tok")
+          .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+          .withColumn("score_ppm", expr("1000000L * deg div freq"))
+          .select("tok", "score_ppm")
+        val ph = mem.join(sc, "tok")
+          .groupBy("doc_id", "grp")
+          .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+            .as("phrase"),
+            sum(col("score_ppm")).as("p_ppm"))
+        ph.groupBy("phrase", "p_ppm").agg(count(lit(1)).as("n"))
+          .select(col("phrase"), col("p_ppm"), col("n"),
+            round(col("p_ppm").cast("double") / lit(1e6), 6).as("score"))
+          .orderBy(col("p_ppm").desc, col("phrase")).limit(20)
+      },
+      {
+        val stopList = graft.ops.llm.TextAnalysis.stopwords
+          .map(s => s"'$s'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |tk AS (SELECT doc_id, pos, ts[pos] AS tok FROM (
+           |    SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS pos FROM t)),
+           |ns AS (SELECT doc_id, pos, tok,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |  FROM tk WHERE tok NOT IN ($stopList)),
+           |mem AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS len
+           |        FROM ns),
+           |sc AS (SELECT tok, 1000000 * CAST(SUM(len) AS BIGINT) // COUNT(*) AS score_ppm
+           |       FROM mem GROUP BY tok),
+           |ph AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+           |    CAST(SUM(score_ppm) AS BIGINT) AS p_ppm
+           |  FROM mem JOIN sc USING (tok) GROUP BY doc_id, grp)
+           |SELECT phrase, p_ppm, CAST(COUNT(*) AS BIGINT) AS n,
+           |  round(CAST(p_ppm AS DOUBLE) / 1e6, 6) AS score
+           |FROM ph GROUP BY phrase, p_ppm
+           |ORDER BY p_ppm DESC, phrase LIMIT 20""".stripMargin
+      }),
+
     // Winnowing fingerprints — polynomial shingle hash, so DuckDB replays
     // the identical fold and the full winnowing pipeline is oracle-checked
     // (shingleLen=3, winnow=4, min-length filter = 3+4-1 = 6 tokens).

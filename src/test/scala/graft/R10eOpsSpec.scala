@@ -285,6 +285,45 @@ class R10eOpsSpec extends SparkSpec {
     dir
   }
 
+  /** Independent plain-Scala RAKE replay over raw texts. */
+  private def bruteRake(texts: Seq[String]): Seq[(String, Long, Long)] = {
+    val stop = graft.ops.llm.TextAnalysis.stopwords.toSet
+    def phrasesOf(t: String): Seq[Seq[String]] = {
+      val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = List.empty[String]
+      for (tok <- t.split(" ")) {
+        if (stop(tok)) { if (cur.nonEmpty) out += cur.reverse; cur = Nil }
+        else cur = tok :: cur
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out.toSeq
+    }
+    val allPh = texts.flatMap(phrasesOf)
+    val occ = allPh.flatMap(p => p.map(w => (w, p.length.toLong)))
+    val score = occ.groupBy(_._1).map { case (w, os) =>
+      w -> 1000000L * os.map(_._2).sum / os.size
+    }
+    allPh.map(p => (p.mkString(" "), p.map(score).sum))
+      .groupBy(identity).map { case ((ph, ppm), vs) => (ph, ppm, vs.size.toLong) }
+      .toSeq.sortBy { case (ph, ppm, _) => (-ppm, ph) }.take(20)
+  }
+
+  test("text_rake_keyphrases matches a plain-Scala RAKE replay") {
+    val texts = Seq(
+      "learning the deep learning stack",
+      "deep models of deep learning and the stack",
+      "a stack")
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, t, "aa", "s1")
+    })
+    val got = Queries.all("text_rake_keyphrases").fn(spark, dir)
+      .select("phrase", "p_ppm", "n")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == bruteRake(texts), s"got $got\nexpected ${bruteRake(texts)}")
+    // multi-word phrases outrank the bare stopword-adjacent singletons
+    assert(got.head._1.split(" ").length >= 2)
+  }
+
   test("lang_confusion: matrix rows partition the corpus; rates row-normalize") {
     // two "languages" with disjoint vocabularies plus one doc written in
     // the OTHER language's vocabulary (must land off-diagonal)
