@@ -1769,6 +1769,32 @@ object QueriesRelational {
          |WHERE 5 * qty * cnt < sumq
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
 
+    // TPC-H Q13-shaped customer distribution: how many customers placed
+    // exactly k orders, INCLUDING the zero-order customers — the shape
+    // whose whole point is the LEFT OUTER join feeding a double
+    // aggregation (an inner join silently drops the k=0 bucket, the
+    // largest one in any real funnel). Priority filter on the orders
+    // side (inside the outer join, not a post-filter — semantics
+    // differ); all counts BIGINT; deterministic (custdist desc, k desc)
+    // order.
+    "cust_order_dist" -> QueryDef(
+      (s, d) => {
+        val per = t(s, d, "customer")
+          .join(t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+        per.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      """WITH per AS (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM per GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
     // TPC-H Q21-shaped double correlation: suppliers who were the SOLE
     // late supplier on a finished multi-supplier order — the classic
     // EXISTS (another supplier) + NOT EXISTS (another late supplier)

@@ -881,6 +881,55 @@ object QueriesWindows {
       },
       graft.ops.Sketches.hllSlidingOracleSql(3)),
 
+    // Cross-correlation function between the hourly click and purchase
+    // rates at lags −2..+2 (Box & Jenkins 1970 §11: the CCF — "do
+    // clicks LEAD purchases?" — ts_autocorr's two-series sibling; the
+    // lag with peak r is the action-to-conversion delay a forecaster
+    // regresses on). Series align by an exact hour-index JOIN (gap
+    // hours drop out of the pair, never slide it — the
+    // ts_snaive_backtest discipline); Pearson r from exact BIGINT power
+    // sums in one IEEE expression (the graph_assortativity ladder).
+    "ts_cross_corr" -> QueryDef(
+      (s, d) => {
+        val hs = t(s, d, "events")
+          .groupBy(expr("unix_micros(ts) div 3600000000").as("ih"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+        val lags = hs.withColumn("lag",
+          explode(array((-2 to 2).map(l => lit(l.toLong)): _*)))
+        val joined = lags.join(
+          hs.select(col("ih").as("jh"), col("p").as("pj")),
+          col("jh") === col("ih") + col("lag"))
+        val d8 = (c: org.apache.spark.sql.Column) => c.cast("double")
+        joined.groupBy("lag")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+            sum(col("pj")).as("sp"), sum(col("c") * col("pj")).as("scp"),
+            sum(col("c") * col("c")).as("sc2"),
+            sum(col("pj") * col("pj")).as("sp2"))
+          .select(col("lag"), col("n"),
+            round((d8(col("n")) * d8(col("scp")) - d8(col("sc")) * d8(col("sp"))) /
+              (sqrt(d8(col("n")) * d8(col("sc2")) - d8(col("sc")) * d8(col("sc"))) *
+                sqrt(d8(col("n")) * d8(col("sp2")) - d8(col("sp")) * d8(col("sp")))), 6)
+              .as("r"))
+          .orderBy("lag")
+      },
+      """WITH hs AS (SELECT epoch_us(ts) // 3600000000 AS ih,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM events GROUP BY 1),
+        |lg AS (SELECT ih, c, CAST(unnest([-2, -1, 0, 1, 2]) AS BIGINT) AS lag FROM hs),
+        |j AS (SELECT lag, a.c, b.p AS pj FROM lg a JOIN hs b ON b.ih = a.ih + a.lag),
+        |agg AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(pj) AS BIGINT) AS sp,
+        |    CAST(SUM(c * pj) AS BIGINT) AS scp,
+        |    CAST(SUM(c * c) AS BIGINT) AS sc2, CAST(SUM(pj * pj) AS BIGINT) AS sp2
+        |  FROM j GROUP BY lag)
+        |SELECT lag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(scp AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sp AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(sp2 AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS r
+        |FROM agg ORDER BY lag""".stripMargin),
+
     // Seasonal-naive forecast backtest (Hyndman & Athanasopoulos, fpp3
     // §5.2: the benchmark every real forecaster must beat): predict each
     // hour's event count by the same hour one day earlier (snaive_24)

@@ -385,6 +385,47 @@ class R10eOpsSpec extends SparkSpec {
       (2L, 2L, 500000L + 333333L, 0.833333)))
   }
 
+  test("ts_cross_corr: a one-hour lead shows up as r = 1 at lag +1") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    var id = 0L
+    def ev(h: Int, typ: String, n: Int) = (0 until n).map { _ =>
+      id += 1
+      (id, new java.sql.Timestamp(t0.getTime + h * 3600000L), 1L, typ, 1.0)
+    }
+    val clicks = Seq(10, 20, 10, 30, 10, 20)
+    val rows = clicks.zipWithIndex.flatMap { case (c, h) => ev(h, "click", c) } ++
+      clicks.zipWithIndex.flatMap { case (c, h) => ev(h + 1, "purchase", c) }
+    val dir = writeEvents(rows)
+    val got = Queries.all("ts_cross_corr").fn(spark, dir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // purchases replay clicks one hour later: perfect correlation at +1
+    assert(got(1L)._2 == 1.0, s"lag+1 must be 1.0: $got")
+    // pair counts shrink with |lag| (7 hours present: 0..6)
+    assert(got(0L)._1 == 7L && got(1L)._1 == 6L && got(2L)._1 == 5L)
+    assert(math.abs(got(0L)._2) < 1.0 && math.abs(got(-1L)._2) < 1.0)
+  }
+
+  test("cust_order_dist: zero-order customers and the ON-clause filter are preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("r10eq13").toString
+    val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    Seq((1L, "c1", 0L, "B", 0.0), (2L, "c2", 0L, "B", 0.0),
+      (3L, "c3", 0L, "B", 0.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // c1: two counted orders; c2: only an URGENT order (filtered inside
+    // the join → still a k=0 row); c3: no orders at all (k=0)
+    Seq((10L, 1L, "F", 1.0, d0, "5-LOW"), (11L, 1L, "F", 1.0, d0, "2-HIGH"),
+      (12L, 2L, "F", 1.0, d0, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.all("cust_order_dist").fn(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    // k=0: two customers (c2, c3); k=2: one customer — an inner join
+    // would have produced only the k=2 row
+    assert(got == Seq((0L, 2L), (2L, 1L)))
+  }
+
   test("incremental_join: delta decomposition covers every corner exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("r10eivm").toString
     val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
