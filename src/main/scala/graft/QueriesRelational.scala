@@ -114,6 +114,52 @@ object QueriesRelational {
        |ORDER BY o_orderkey""".stripMargin
   }
 
+  /** The two-version SCD2 history over orders shared by `scd2_upsert`
+    * and `scd2_point_in_time` (v1 drops %7 keys, v2 drops %5 keys and
+    * patches %11 prices / %13 priorities) — one builder, one generated
+    * CTE, so the upsert result and the PIT join can never disagree on
+    * what the history IS.
+    */
+  private def scd2History(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val orders = t(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val a = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val b = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(10.0))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 13 === 0, lit("9-SYNTH"))
+          .otherwise(col("o_orderpriority")))
+    graft.ops.Scd2.fromSnapshots(Seq(a -> 1L, b -> 2L), Seq("o_orderkey"))
+  }
+
+  /** DuckDB mirror of [[scd2History]], ending in a `hist` CTE. */
+  private lazy val scd2HistCte: String =
+    """WITH a AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |b AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN '9-SYNTH' ELSE o_orderpriority END AS o_orderpriority,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 <> 0),
+      |closed AS (
+      |  SELECT a.o_orderkey, a.o_orderpriority, a.o_totalprice,
+      |    CAST(1 AS BIGINT) AS valid_from,
+      |    CASE WHEN b.o_orderkey IS NULL
+      |           OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+      |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+      |         THEN CAST(2 AS BIGINT) END AS valid_to
+      |  FROM a LEFT JOIN b ON a.o_orderkey = b.o_orderkey),
+      |opened AS (
+      |  SELECT b.o_orderkey, b.o_orderpriority, b.o_totalprice,
+      |    CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+      |  FROM b LEFT JOIN a ON a.o_orderkey = b.o_orderkey
+      |  WHERE a.o_orderkey IS NULL
+      |     OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+      |     OR a.o_totalprice IS DISTINCT FROM b.o_totalprice),
+      |hist AS (SELECT * FROM closed UNION ALL SELECT * FROM opened)""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // search_vertex's projection-free scan, done right: column-pruned
@@ -1101,46 +1147,46 @@ object QueriesRelational {
     // left-joined against B for change/absence; opened = B rows new or
     // changed vs A) — the interval algebra must agree row for row.
     "scd2_upsert" -> QueryDef(
-      (s, d) => {
-        val orders = t(s, d, "orders")
-          .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        val a = orders.filter(col("o_orderkey") % 7 =!= 0)
-        val b = orders.filter(col("o_orderkey") % 5 =!= 0)
-          .withColumn("o_totalprice",
-            when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(10.0))
-              .otherwise(col("o_totalprice")))
-          .withColumn("o_orderpriority",
-            when(col("o_orderkey") % 13 === 0, lit("9-SYNTH"))
-              .otherwise(col("o_orderpriority")))
-        graft.ops.Scd2.fromSnapshots(Seq(a -> 1L, b -> 2L), Seq("o_orderkey"))
-          .withColumn("is_current", col("valid_to").isNull)
-          .orderBy("o_orderkey", "valid_from")
-      },
-      """WITH a AS (SELECT o_orderkey, o_orderpriority, o_totalprice
-        |  FROM orders WHERE o_orderkey % 7 <> 0),
-        |b AS (SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 13 = 0 THEN '9-SYNTH' ELSE o_orderpriority END AS o_orderpriority,
-        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 5 <> 0),
-        |closed AS (
-        |  SELECT a.o_orderkey, a.o_orderpriority, a.o_totalprice,
-        |    CAST(1 AS BIGINT) AS valid_from,
-        |    CASE WHEN b.o_orderkey IS NULL
-        |           OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
-        |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
-        |         THEN CAST(2 AS BIGINT) END AS valid_to
-        |  FROM a LEFT JOIN b ON a.o_orderkey = b.o_orderkey),
-        |opened AS (
-        |  SELECT b.o_orderkey, b.o_orderpriority, b.o_totalprice,
-        |    CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
-        |  FROM b LEFT JOIN a ON a.o_orderkey = b.o_orderkey
-        |  WHERE a.o_orderkey IS NULL
-        |     OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
-        |     OR a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+      (s, d) => scd2History(s, d)
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("o_orderkey", "valid_from"),
+      s"""$scd2HistCte
         |SELECT o_orderkey, o_orderpriority, o_totalprice, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
-        |FROM (SELECT * FROM closed UNION ALL SELECT * FROM opened)
-        |ORDER BY o_orderkey, valid_from""".stripMargin),
+        |FROM hist ORDER BY o_orderkey, valid_from""".stripMargin),
+
+    // Point-in-time (PIT) join against the SCD2 dimension — THE
+    // warehouse temporal primitive: each fact resolves the dimension row
+    // that was valid AT ITS OWN as-of version (here 1 + linenumber % 2,
+    // a deterministic mix of both versions), via
+    // valid_from ≤ v < coalesce(valid_to, ∞) on top of the key equi-join.
+    // asof_join's event-stream sibling on validity INTERVALS instead of
+    // nearest timestamps. Inner semantics: a fact whose key has no valid
+    // row at its version (inserted later / deleted earlier) drops — the
+    // "no fact without a dimension" contract; the per-version counts
+    // make those drops visible. Shares one scd2History builder (and one
+    // generated CTE) with scd2_upsert.
+    "scd2_point_in_time" -> QueryDef(
+      (s, d) => {
+        val facts = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            expr("CAST(1 + l_linenumber % 2 AS BIGINT)").as("asof_v"))
+        facts.join(scd2History(s, d),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("valid_from") <= col("asof_v") &&
+              (col("valid_to").isNull || col("asof_v") < col("valid_to")))
+          .groupBy("o_orderpriority", "asof_v")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("o_orderpriority", "asof_v")
+      },
+      s"""$scd2HistCte,
+        |f AS (SELECT l_orderkey, l_extendedprice,
+        |    CAST(1 + l_linenumber % 2 AS BIGINT) AS asof_v FROM lineitem)
+        |SELECT o_orderpriority, asof_v, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ${dsumSql("l_extendedprice")} AS revenue
+        |FROM f JOIN hist ON o_orderkey = l_orderkey
+        |  AND valid_from <= asof_v AND (valid_to IS NULL OR asof_v < valid_to)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // Schema-evolution merge: two "file versions" of the orders table —
     // v1 lacking a later-added column, v2 having dropped an old one —

@@ -385,6 +385,35 @@ class R10eOpsSpec extends SparkSpec {
       (2L, 2L, 500000L + 333333L, 0.833333)))
   }
 
+  test("scd2_point_in_time: each fact resolves exactly the dim row valid at its version") {
+    val dir = java.nio.file.Files.createTempDirectory("r10epit").toString
+    val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    // key 3: unchanged across versions; 7: v2-only insert (%7 drop in v1);
+    // 5: deleted at v2 (%5); 11: price patched (%11); 13: priority → 9-SYNTH (%13)
+    Seq(3L -> "P3", 7L -> "P7", 5L -> "P5", 11L -> "P11", 13L -> "P13")
+      .map { case (k, p) => (k, 1L, "F", 10.0 * k, d0, p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // per key: linenumber 1 → as-of v2 (price 10k+1), linenumber 2 → v1 (10k+2)
+    Seq(3L, 7L, 5L, 11L, 13L).flatMap(k => Seq(
+      (k, 1L, 1L, 1, 1.0, 10.0 * k + 1, 0.0, 0.0, "N", "O", d0),
+      (k, 1L, 1L, 2, 1.0, 10.0 * k + 2, 0.0, 0.0, "N", "O", d0)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Queries.all("scd2_point_in_time").fn(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("9-SYNTH", 2L, 1L, 131.0), // key 13 at v2 sees the patched priority
+      ("P11", 1L, 1L, 112.0), ("P11", 2L, 1L, 111.0), // one row per version
+      ("P13", 1L, 1L, 132.0),     // key 13 at v1 sees the original
+      ("P3", 1L, 1L, 32.0), ("P3", 2L, 1L, 31.0), // open row serves both
+      ("P5", 1L, 1L, 52.0),       // deleted at v2: the v2 fact drops
+      ("P7", 2L, 1L, 71.0)))      // inserted at v2: the v1 fact drops
+  }
+
   test("ts_cross_corr: a one-hour lead shows up as r = 1 at lag +1") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     var id = 0L
