@@ -926,6 +926,73 @@ object QueriesLlm {
         |  round(CAST(dist2_units AS DOUBLE) / 1e6, 6) AS dist2
         |FROM rk WHERE rk <= 5 ORDER BY label, rk""".stripMargin),
 
+    // Centroid silhouette score per label (Rousseeuw 1987, the medoid
+    // pass simplified to centroids — the standard at-scale variant):
+    // s = (b − a)/max(a, b) with a = distance² to the own-label
+    // centroid, b = the nearest OTHER centroid — the cluster-quality
+    // audit run before trusting labels for contrastive sampling or an
+    // IVF layout (negative s = the vector sits closer to another
+    // label's centroid: likely mislabeled — surfaced as n_misassigned).
+    // Exactness: distances on embedding_outliers' micro-unit ladder
+    // (exact BIGINT sums); s is ONE IEEE division of exact ints rounded
+    // to 6 dp, then summed EXACTLY as DECIMAL(18,6) (the chi2
+    // discipline) so the per-label mean is accumulation-order-
+    // independent. An integer-ppm form was rejected: (b−a) is signed
+    // and Spark's `div` truncates while DuckDB's `//` floors.
+    "embedding_silhouette" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val ex = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(expr("transform(embedding, x -> cast(x as double))"))
+              .as(Seq("i", "x")))
+        val means = ex.groupBy(col("label").as("m_label"), col("i"))
+          .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") /
+            count(lit(1))).as("m"))
+        val d2 = ex.join(broadcast(means), Seq("i"))
+          .select(col("vec_id"), col("label"), col("m_label"),
+            floor((col("x") - col("m")) * (col("x") - col("m")) * lit(1e6) +
+              lit(0.5)).cast("long").as("u"))
+          .groupBy("vec_id", "label", "m_label").agg(sum(col("u")).as("d2"))
+        val ab = d2.groupBy("vec_id", "label").agg(
+          max(when(col("m_label") === col("label"), col("d2"))).as("a"),
+          min(when(col("m_label") =!= col("label"), col("d2"))).as("b"))
+        val sil = ab.withColumn("s6",
+          when(greatest(col("a"), col("b")) > 0,
+            round((col("b") - col("a")).cast("double") /
+              greatest(col("a"), col("b")).cast("double"), 6))
+            .otherwise(lit(0.0)).cast(DecimalType(18, 6)))
+        sil.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("s6") < 0, 1L).otherwise(0L)).as("n_misassigned"),
+            round(sum(col("s6")).cast("double") / count(lit(1)), 6)
+              .as("mean_silhouette"))
+          .orderBy("label")
+      },
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex0 AS (SELECT vec_id, label, v,
+        |          unnest(generate_series(1, len(v))) AS i FROM e),
+        |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[CAST(i AS INT)] AS x FROM ex0),
+        |mn AS (SELECT label AS m_label, i,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+        |       FROM ex GROUP BY label, i),
+        |d2 AS (SELECT vec_id, ex.label, m_label,
+        |         CAST(SUM(CAST(floor((x - m) * (x - m) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS d2
+        |       FROM ex JOIN mn ON mn.i = ex.i GROUP BY vec_id, ex.label, m_label),
+        |ab AS (SELECT vec_id, label,
+        |         MAX(CASE WHEN m_label = label THEN d2 END) AS a,
+        |         MIN(CASE WHEN m_label <> label THEN d2 END) AS b
+        |       FROM d2 GROUP BY vec_id, label),
+        |sil AS (SELECT vec_id, label,
+        |         CAST(CASE WHEN greatest(a, b) > 0
+        |              THEN round(CAST(b - a AS DOUBLE) / CAST(greatest(a, b) AS DOUBLE), 6)
+        |              ELSE 0.0 END AS DECIMAL(18,6)) AS s6
+        |       FROM ab)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN s6 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned,
+        |  round(CAST(SUM(s6) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin),
+
     // Per-document OOV rate against the top-20 corpus vocabulary — the
     // tokenizer-coverage gate run before committing a vocab: documents
     // whose mass falls outside the vocab fragment into long byte-level

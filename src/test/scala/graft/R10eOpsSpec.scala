@@ -385,6 +385,49 @@ class R10eOpsSpec extends SparkSpec {
       (2L, 2L, 500000L + 333333L, 0.833333)))
   }
 
+  test("embedding_silhouette flags the mislabeled vector and matches a plain replay") {
+    val dir = java.nio.file.Files.createTempDirectory("r10esil").toString
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 1), (2L, Array(1.0f, 0.1f), 1),
+      (3L, Array(0.0f, 1.0f), 2), (4L, Array(0.0f, 0.9f), 2),
+      (5L, Array(0.0f, 1.0f), 1)) // mislabeled: sits in cluster 2
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Queries.all("embedding_silhouette").fn(spark, dir)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // independent replay of the exact ladder
+    val byLabel = vecs.groupBy(_._3)
+    val centroids = byLabel.map { case (l, vs) =>
+      l -> (0 until 2).map { i =>
+        val s = vs.map(v => BigDecimal(v._2(i).toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+        s.toDouble / vs.size
+      }
+    }
+    def d2(v: Array[Float], l: Int): Long =
+      (0 until 2).map { i =>
+        val dx = v(i).toDouble - centroids(l)(i)
+        math.floor(dx * dx * 1e6 + 0.5).toLong
+      }.sum
+    val sil = vecs.map { case (_, v, l) =>
+      val a = d2(v, l)
+      val b = centroids.keys.filter(_ != l).map(d2(v, _)).min
+      val s = if (math.max(a, b) > 0)
+        BigDecimal((b - a).toDouble / math.max(a, b).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      else BigDecimal(0)
+      (l, s)
+    }
+    val expected = sil.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, ss) =>
+      (l, ss.size.toLong, ss.count(_._2 < 0).toLong,
+        BigDecimal(ss.map(_._2).sum.toDouble / ss.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the mislabeled vector drives label 1's misassignment count
+    assert(got.find(_._1 == 1).get._3 == 1L)
+    assert(got.find(_._1 == 2).get._3 == 0L)
+  }
+
   test("scd2_point_in_time: each fact resolves exactly the dim row valid at its version") {
     val dir = java.nio.file.Files.createTempDirectory("r10epit").toString
     val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
