@@ -75,6 +75,22 @@ class PlanShapeR10eSpec extends SparkSpec {
     assert(bhj >= 2, s"both delta sides must broadcast, got $bhj BHJs:\n$p")
   }
 
+  test("bucket_join_colocated: the join itself is shuffle-free — scans deliver the partitioning") {
+    val p = planOf("bucket_join_colocated")
+    // at fixture scale AQE may broadcast the small side instead of the
+    // bucketed SMJ — both are shuffle-free; the pinned claim is that NO
+    // exchange ever feeds the join (only the final 5-row aggregate may)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"expected a join over the bucketed scans:\n$p")
+    assert(p.contains("Bucketed: true"), s"scans must read as bucketed:\n$p")
+    // executedPlan prints the AQE final plan followed by the initial
+    // plan — count exchanges only in the plan that actually ran
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges <= 1,
+      s"only the final 5-row aggregate may shuffle, got $exchanges exchanges:\n$p")
+  }
+
   test("sketch_hll_sliding: hour anchor broadcasts; no cartesian") {
     val p = planOf("sketch_hll_sliding")
     assert(!p.contains("CartesianProduct"), s"hll sliding plan:\n$p")
