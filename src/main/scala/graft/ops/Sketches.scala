@@ -361,6 +361,60 @@ object Sketches {
        |FROM z ORDER BY grp""".stripMargin
 }
 
+/** Incrementally-maintained sliding-window HLL — the streaming twin of
+  * `sketch_hll_sliding` (TENTH streaming twin), with the strongest
+  * contract class (RateView/DriftView): per-(hour, bucket) registers
+  * merge by MAX — a join-semilattice, idempotent AND commutative — so
+  * the fold is order-independent, duplicate-tolerant (a replayed event
+  * cannot move a register), and parity with the batch query holds under
+  * ANY split of the input into batches, no watermark needed. State is
+  * ≤ hours×256 register rows, lineage cut per batch.
+  */
+final class SlidingHllView(spark: org.apache.spark.sql.SparkSession,
+    winHours: Int = 3) {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.functions._
+  private var reg: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("grp", LongType), StructField("b", LongType),
+      StructField("r", IntegerType))))
+
+  /** foreachBatch sink: `stream.writeStream.foreachBatch(view.sink)`. */
+  def sink(batch: DataFrame, batchId: Long): Unit = { processBatch(batch); () }
+
+  /** Fold one micro-batch of raw events into the register state. */
+  def processBatch(batch: DataFrame): Unit = {
+    val b = Sketches.hllRegisters(
+      batch.select(expr("unix_micros(ts) div 3600000000").as("ih"),
+        col("user_id")), "ih", "user_id")
+    reg = reg.unionByName(b.select(col("grp"), col("b"),
+        col("r").cast(IntegerType).as("r")))
+      .groupBy("grp", "b").agg(max(col("r")).as("r"))
+      .localCheckpoint()
+  }
+
+  /** Per-window estimates over everything folded so far — identical to
+    * the batch sketch pipeline on the union of all batches, by the
+    * semilattice merge. (Estimate only — the batch query's exact
+    * calibration column needs the raw keys a sketch view cannot keep.)
+    */
+  def windows: DataFrame = {
+    val hrs = reg.select(col("grp").as("w")).distinct()
+    val wreg = reg
+      .select(explode(array((0 until winHours).map(i =>
+        col("grp") + lit(i.toLong)): _*)).as("w"), col("b"), col("r"))
+      .join(broadcast(hrs), "w")
+      .groupBy(col("w").as("grp"), col("b")).agg(max(col("r")).as("r"))
+    Sketches.hllEstimate(wreg)
+      .select(col("grp").as("w_end"), col("v_zero"), col("z_scaled"),
+        col("est_hll"))
+  }
+
+  /** Current state size (register rows ≤ hours×256). */
+  def stateSize: Long = reg.count()
+}
+
 /** Handle to a continuously-maintained Count-Min sketch — see
   * [[Sketches.maintainedCms]]. Mirrors [[MaintainedView]]: `current` is
   * safe to read between batches; batches fold under a lock (micro-batches
