@@ -881,6 +881,82 @@ object QueriesWindows {
       },
       graft.ops.Sketches.hllSlidingOracleSql(3)),
 
+    // Inter-purchase cadence: the distribution of days between a
+    // customer's consecutive orders — the replenishment-cycle curve
+    // behind "when is a customer overdue?" (the classic BTYD/CLV input).
+    // Per-customer gaps from a customer-partitioned lead window
+    // (partition-parallel, the event_transitions discipline); the
+    // distribution collapses to the bounded gap-day DOMAIN before the
+    // one cumulative window (the ks_drift argument: day gaps ride the
+    // calendar, not the order decade); CDF is one IEEE division of
+    // exact BIGINTs. Deterministic by gap.
+    "purchase_cadence" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val gaps = t(s, d, "orders")
+          .withColumn("nxt", lead(col("o_orderdate"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(datediff(col("nxt"), col("o_orderdate")).cast("long").as("gap_days"))
+          .groupBy("gap_days").agg(count(lit(1)).as("n"))
+        val tot = gaps.agg(sum(col("n")).as("total"))
+        val wc = Window.orderBy("gap_days").rowsBetween(Long.MinValue, 0)
+        gaps.withColumn("cum", sum(col("n")).over(wc))
+          .crossJoin(broadcast(tot))
+          .select(col("gap_days"), col("n"),
+            round(col("cum").cast("double") / col("total"), 6).as("cdf"))
+          .orderBy("gap_days")
+      },
+      """WITH g AS (SELECT CAST(date_diff('day', o_orderdate,
+        |      lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey)) AS BIGINT) AS gap_days
+        |  FROM orders),
+        |h AS (SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS n FROM g
+        |      WHERE gap_days IS NOT NULL GROUP BY gap_days),
+        |c AS (SELECT gap_days, n,
+        |    CAST(SUM(n) OVER (ORDER BY gap_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM h),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h)
+        |SELECT gap_days, n, round(CAST(cum AS DOUBLE) / total, 6) AS cdf
+        |FROM c CROSS JOIN t ORDER BY gap_days""".stripMargin),
+
+    // Rolling N-day retention: of the users active on day d, the share
+    // active again within the next 7 days — the day-over-day engagement
+    // curve (retention_cohort's signup-anchored matrix answers "how do
+    // cohorts age", this answers "is stickiness drifting this week").
+    // Activity collapses to the distinct (day, user) table FIRST; the
+    // retained check is ONE self-join on user with a 1..7-day gap
+    // window, collapsed to per-day counts; rate is one IEEE division of
+    // exact BIGINTs. Deterministic by day.
+    "rolling_retention" -> QueryDef(
+      (s, d) => {
+        val du = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val ret = du.join(
+            du.select(col("user_id"), col("day").as("day2")), "user_id")
+          .filter(datediff(col("day2"), col("day")).between(1, 7))
+          .select(col("user_id"), col("day")).distinct()
+          .groupBy("day").agg(count(lit(1)).as("n_retained"))
+        du.groupBy("day").agg(count(lit(1)).as("n_active"))
+          .join(ret, Seq("day"), "left")
+          .select(col("day"), col("n_active"),
+            coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+            round(coalesce(col("n_retained"), lit(0L)).cast("double") /
+              col("n_active"), 6).as("retention_7d"))
+          .orderBy("day")
+      },
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |ret AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_retained FROM (
+        |    SELECT DISTINCT a.user_id, a.day
+        |    FROM du a JOIN du b ON a.user_id = b.user_id
+        |    WHERE date_diff('day', a.day, b.day) BETWEEN 1 AND 7)
+        |  GROUP BY day),
+        |act AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active FROM du GROUP BY day)
+        |SELECT act.day, n_active, COALESCE(n_retained, 0) AS n_retained,
+        |  round(CAST(COALESCE(n_retained, 0) AS DOUBLE) / n_active, 6) AS retention_7d
+        |FROM act LEFT JOIN ret ON ret.day = act.day
+        |ORDER BY act.day""".stripMargin),
+
     // Cross-correlation function between the hourly click and purchase
     // rates at lags −2..+2 (Box & Jenkins 1970 §11: the CCF — "do
     // clicks LEAD purchases?" — ts_autocorr's two-series sibling; the

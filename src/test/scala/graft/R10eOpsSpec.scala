@@ -385,6 +385,38 @@ class R10eOpsSpec extends SparkSpec {
       (2L, 2L, 500000L + 333333L, 0.833333)))
   }
 
+  test("rolling_retention: 7-day window boundaries and zero-retention days") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def onDay(dy: Int, id: Long, u: Long) =
+      (id, new java.sql.Timestamp(t0.getTime + dy * 86400000L), u, "click", 1.0)
+    // u1: days 0, 7 (exactly at the boundary → retained), 20
+    // u2: day 0 only; two events same day must not double-count
+    val dir = writeEvents(Seq(
+      onDay(0, 1L, 1L), onDay(7, 2L, 1L), onDay(20, 3L, 1L),
+      onDay(0, 4L, 2L), onDay(0, 5L, 2L)))
+    val got = Queries.all("rolling_retention").fn(spark, dir)
+      .select("n_active", "n_retained", "retention_7d")
+      .as[(Long, Long, Double)].collect().toSeq
+    // day 0: active {u1,u2}, retained {u1} (day 7 is within BETWEEN 1 AND 7)
+    // day 7: active {u1}, day 20 is 13 days out → 0; day 20: 0
+    assert(got == Seq((2L, 1L, 0.5), (1L, 0L, 0.0), (1L, 0L, 0.0)))
+  }
+
+  test("purchase_cadence: per-customer gaps and the exact CDF") {
+    val dir = java.nio.file.Files.createTempDirectory("r10ecad").toString
+    val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    def at(dy: Int) = new java.sql.Timestamp(d0.getTime + dy * 86400000L)
+    // c1 orders at days 0, 10, 15 → gaps 10, 5; c2 single order → no gap
+    Seq((1L, 1L, at(0)), (2L, 1L, at(10)), (3L, 1L, at(15)), (4L, 2L, at(3)))
+      .map { case (k, c, dt) => (k, c, "F", 1.0, dt, "1") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.all("purchase_cadence").fn(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((5L, 1L, 0.5), (10L, 1L, 1.0)))
+  }
+
   test("embedding_silhouette flags the mislabeled vector and matches a plain replay") {
     val dir = java.nio.file.Files.createTempDirectory("r10esil").toString
     val vecs = Seq(
