@@ -183,6 +183,21 @@ object QueriesRelational {
       (ot, lt)
     }
 
+  /** Date-partitioned events copy per (session, SF dir) — the partition-
+    * pruning sibling of [[bucketedTables]]: one write, every later
+    * day-ranged query prunes directories instead of scanning the year.
+    */
+  private val partCache = new graft.model.SessionCache[String, String]
+  private def partitionedEvents(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    partCache.getOrElseUpdate(s, d) {
+      val path = java.nio.file.Files.createTempDirectory("graft_evpart").toString
+      t(s, d, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(path)
+      path
+    }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // search_vertex's projection-free scan, done right: column-pruned
@@ -1837,6 +1852,70 @@ object QueriesRelational {
          |FROM li JOIN th USING (l_partkey)
          |WHERE 5 * qty * cnt < sumq
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // TPC-H Q2-shaped correlated-MIN decorrelation: for each small part,
+    // the suppliers who quoted its minimum observed price — the
+    // "= (SELECT MIN ...)" correlated-equality shape, decorrelated into
+    // a per-part MIN joined back with an equality filter (ties all
+    // qualify, each supplier counted once per part via the pair
+    // distinct). Completes the decorrelation trio: threshold-vs-average
+    // (Q17), double EXISTS (Q21), correlated equality (this).
+    // Deterministic (wins desc, suppkey) cut; price equality compares
+    // the STORED doubles — no arithmetic, no boundary.
+    "cheapest_supplier" -> QueryDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part")
+            .filter(col("p_size") <= 5).select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        val mn = li.groupBy("l_partkey").agg(min(col("l_extendedprice")).as("mn"))
+        li.join(mn, "l_partkey")
+          .filter(col("l_extendedprice") === col("mn"))
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+          .groupBy("l_suppkey").agg(count(lit(1)).as("wins"))
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("wins"))
+          .orderBy(col("wins").desc, col("s_suppkey")).limit(20)
+      },
+      """WITH li AS (SELECT l_partkey, l_suppkey, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 5),
+        |mn AS (SELECT l_partkey, MIN(l_extendedprice) AS mn FROM li GROUP BY 1),
+        |w AS (SELECT DISTINCT li.l_partkey, l_suppkey
+        |      FROM li JOIN mn ON mn.l_partkey = li.l_partkey
+        |      WHERE l_extendedprice = mn),
+        |c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS wins FROM w GROUP BY 1)
+        |SELECT s_suppkey, s_name, wins
+        |FROM c JOIN supplier ON s_suppkey = l_suppkey
+        |ORDER BY wins DESC, s_suppkey LIMIT 20""".stripMargin),
+
+    // Partition-pruned scan over a DATE-PARTITIONED copy of events — the
+    // other half of the storage-layout story next to
+    // bucket_join_colocated: at 100 TB, partition pruning is how a
+    // one-day query skips 99% of the table before a single row is read.
+    // The events copy is written partitioned by event date once per
+    // (session, SF dir); the query filters one calendar week and the
+    // plan pin asserts the filter lands in PartitionFilters (directory
+    // pruning), not as a post-scan predicate over every file. Values
+    // equal the plain filtered aggregate; the oracle computes from the
+    // base table.
+    "partition_pruned_scan" -> QueryDef(
+      (s, d) => {
+        val pt = partitionedEvents(s, d)
+        s.read.parquet(pt)
+          .filter(col("event_date").between("2024-01-08", "2024-01-14"))
+          .groupBy("event_date", "event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_date", "event_type")
+      },
+      s"""SELECT CAST(ts AS DATE) AS event_date, event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // Co-located fact⋈fact join over BUCKETED tables — the 100 TB answer
     // to "this join shuffles both sides every night": both tables are

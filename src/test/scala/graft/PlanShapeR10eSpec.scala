@@ -91,6 +91,18 @@ class PlanShapeR10eSpec extends SparkSpec {
       s"only the final 5-row aggregate may shuffle, got $exchanges exchanges:\n$p")
   }
 
+  test("partition_pruned_scan: the date filter prunes directories, not rows") {
+    val p = planOf("partition_pruned_scan")
+    assert(p.contains("PartitionFilters: ["), s"expected partition filters:\n$p")
+    // the date predicate must appear INSIDE PartitionFilters …
+    val pf = p.split("PartitionFilters: \\[")(1).split("]")(0)
+    assert(pf.contains("event_date"),
+      s"the date filter must land in PartitionFilters, got [$pf]:\n$p")
+    // … and the scan must not re-check it as a data filter over rows
+    assert(!p.contains("PushedFilters: [IsNotNull(event_date)"),
+      s"date must not degrade to a row-level filter:\n$p")
+  }
+
   test("sketch_hll_sliding: hour anchor broadcasts; no cartesian") {
     val p = planOf("sketch_hll_sliding")
     assert(!p.contains("CartesianProduct"), s"hll sliding plan:\n$p")

@@ -385,6 +385,32 @@ class R10eOpsSpec extends SparkSpec {
       (2L, 2L, 500000L + 333333L, 0.833333)))
   }
 
+  test("cheapest_supplier: ties all win once; the size filter excludes big parts") {
+    val dir = java.nio.file.Files.createTempDirectory("r10eq2").toString
+    val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    Seq((1L, "p1", "Brand#1", "T", 3, 1.0), (2L, "p2", "Brand#1", "T", 9, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((10L, "S10"), (11L, "S11"), (12L, "S12"))
+      .toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // part 1 (size 3): suppliers 10 and 11 tie at 50.0 (11 twice — must
+    // count once), supplier 12 quotes 60; part 2 (size 9): excluded
+    Seq(
+      (1L, 1L, 10L, 1, 1.0, 50.0), (2L, 1L, 11L, 1, 1.0, 50.0),
+      (3L, 1L, 11L, 1, 1.0, 50.0), (4L, 1L, 12L, 1, 1.0, 60.0),
+      (5L, 2L, 12L, 1, 1.0, 1.0))
+      .map { case (ok, pk, sk, ln, q, pr) =>
+        (ok, pk, sk, ln, q, pr, 0.0, 0.0, "N", "O", d0) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Queries.all("cheapest_supplier").fn(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((10L, "S10", 1L), (11L, "S11", 1L)))
+  }
+
   test("rolling_retention: 7-day window boundaries and zero-retention days") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def onDay(dy: Int, id: Long, u: Long) =
