@@ -446,6 +446,55 @@ object QueriesLlm {
         .orderBy("doc_id"),
       clustersOracleSql),
 
+    // Pairwise total-variation distance between source unigram
+    // distributions — "which corpora speak the same language?", the
+    // distribution-level mixing lens next to dedup_cross_source's
+    // copy detection (JS divergence is the textbook choice but needs
+    // logs, which no exact cross-engine replay survives; TV = ½Σ|p−q|
+    // is the log-free f-divergence and stays in integers after
+    // clearing denominators). Only tokens common to a pair are ever
+    // joined: for tokens in one source only, Σ c_a·N_b is recovered
+    // from the totals — tv_units = Σ_common(|c_aN_b − c_bN_a| − c_aN_b
+    // − c_bN_a) + 2·N_aN_b, all BIGINT-exact (DECIMAL ladder past 10⁹
+    // token corpora); one IEEE display division.
+    "source_tv_distance" -> QueryDef(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val vc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val nt = vc.groupBy("source").agg(sum(col("c")).as("n"))
+        val common = vc.select(col("source").as("src_a"), col("tok"), col("c").as("ca"))
+          .join(vc.select(col("source").as("src_b"), col("tok"), col("c").as("cb")), "tok")
+          .filter(col("src_a") < col("src_b"))
+          .join(broadcast(nt.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+          .join(broadcast(nt.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+          .groupBy("src_a", "src_b", "na", "nb")
+          .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na"))
+            - col("ca") * col("nb") - col("cb") * col("na")).as("s1"),
+            count(lit(1)).as("n_common"))
+        common
+          .select(col("src_a"), col("src_b"), col("n_common"),
+            (col("s1") + lit(2L) * col("na") * col("nb")).as("tv_units"),
+            round((col("s1") + lit(2L) * col("na") * col("nb")).cast("double") /
+              (lit(2.0) * col("na").cast("double") * col("nb").cast("double")), 6)
+              .as("tv"))
+          .orderBy("src_a", "src_b")
+      },
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+        |nt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY 1),
+        |cm AS (SELECT a.source AS src_a, b.source AS src_b, na.n AS na, nb.n AS nb,
+        |    CAST(SUM(abs(a.c * nb.n - b.c * na.n) - a.c * nb.n - b.c * na.n) AS BIGINT) AS s1,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM vc a JOIN vc b ON a.tok = b.tok AND a.source < b.source
+        |  JOIN nt na ON na.source = a.source
+        |  JOIN nt nb ON nb.source = b.source
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT src_a, src_b, n_common,
+        |  s1 + 2 * na * nb AS tv_units,
+        |  round(CAST(s1 + 2 * na * nb AS DOUBLE) / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS tv
+        |FROM cm ORDER BY src_a, src_b""".stripMargin),
+
     // Cross-source duplication matrix — which sources copy which: the
     // MinHash candidate pairs rolled up per canonical source pair (the
     // "is crawl-B just crawl-A re-hosted?" screen a mixture designer

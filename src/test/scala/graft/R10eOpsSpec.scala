@@ -385,6 +385,29 @@ class R10eOpsSpec extends SparkSpec {
       (2L, 2L, 500000L + 333333L, 0.833333)))
   }
 
+  test("source_tv_distance matches the direct union-vocabulary TV formula") {
+    // s1: a a b ; s2: a c c c (token 'b' only left, 'c' only right);
+    // s3 == s1's distribution exactly (tv(s1,s3) must be 0)
+    val dir = writeDocs(Seq(
+      (1L, "a a b", "s1", "xx"), (2L, "a c c c", "s2", "xx"),
+      (3L, "a a b", "s3", "xx"))
+      .map { case (id, txt, src, _) => (id, txt, "aa", src) })
+    val got = Queries.all("source_tv_distance").fn(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+      .map(r => (r._1, r._2) -> (r._3, r._5)).toMap
+    // direct formula over the union vocabulary:
+    def tv(p: Map[String, Long], q: Map[String, Long]): Double = {
+      val np = p.values.sum.toDouble; val nq = q.values.sum.toDouble
+      val u = (p.keySet ++ q.keySet).toSeq
+      val t = u.map(k => math.abs(p.getOrElse(k, 0L) / np - q.getOrElse(k, 0L) / nq)).sum / 2
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val s1 = Map("a" -> 2L, "b" -> 1L); val s2 = Map("a" -> 1L, "c" -> 3L)
+    assert(got(("s1", "s2"))._2 == tv(s1, s2))
+    assert(got(("s1", "s3")) == ((2L, 0.0))) // identical distributions
+    assert(got(("s2", "s3"))._2 == tv(s2, s1))
+  }
+
   test("cheapest_supplier: ties all win once; the size filter excludes big parts") {
     val dir = java.nio.file.Files.createTempDirectory("r10eq2").toString
     val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
