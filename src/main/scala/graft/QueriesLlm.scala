@@ -66,6 +66,24 @@ object QueriesLlm {
     * docs each — so the closure stays tiny). GraphX CC labels components
     * with the minimum member id; MIN(reachable id) reproduces it exactly.
     */
+  /** Shared CTE prefix replaying the image dHash from the pixel synthesis
+    * formula — one source of truth for the multimodal_phash oracle and
+    * the near-dup pair oracle over the same hashes.
+    */
+  private lazy val phashCte: String = {
+    def g(p: String) = s"(((31*id + 7*(3*($p))) % 256) + " +
+      s"((31*id + 7*(3*($p)+1)) % 256) + ((31*id + 7*(3*($p)+2)) % 256))"
+    s"""WITH im AS (SELECT doc_id AS id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+       |    CAST(3 + doc_id % 7 AS BIGINT) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |ph AS (SELECT id, w, h,
+       |  CAST(list_sum(list_transform(range(0, 63), t ->
+       |    CASE WHEN ${g("(t*(w*h-1))//64")} > ${g("((t+1)*(w*h-1))//64")}
+       |    THEN (CAST(1 AS BIGINT) << t) ELSE CAST(0 AS BIGINT) END))
+       |    AS BIGINT) AS phash
+       |  FROM im)""".stripMargin
+  }
+
   /** Shared CTE prefix of the lang_id classifier (token profiles, votes,
     * per-doc ranking) — one source of truth for the lang_id oracle and
     * the lang_confusion matrix over its predictions.
@@ -2072,24 +2090,50 @@ object QueriesLlm {
             col("n_same"), (col("n_same") > 1).as("is_dup"))
           .orderBy("doc_id")
       },
-      {
-        def g(p: String) = s"(((31*id + 7*(3*($p))) % 256) + " +
-          s"((31*id + 7*(3*($p)+1)) % 256) + ((31*id + 7*(3*($p)+2)) % 256))"
-        s"""WITH im AS (SELECT doc_id AS id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
-           |    CAST(3 + doc_id % 7 AS BIGINT) AS h
-           |  FROM documents WHERE doc_id % 3 = 0),
-           |ph AS (SELECT id, w, h,
-           |  CAST(list_sum(list_transform(range(0, 63), t ->
-           |    CASE WHEN ${g("(t*(w*h-1))//64")} > ${g("((t+1)*(w*h-1))//64")}
-           |    THEN (CAST(1 AS BIGINT) << t) ELSE CAST(0 AS BIGINT) END))
-           |    AS BIGINT) AS phash
-           |  FROM im)
-           |SELECT id AS doc_id, CAST(w AS INTEGER) AS width,
-           |  CAST(h AS INTEGER) AS height, phash,
-           |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same,
-           |  (COUNT(*) OVER (PARTITION BY phash)) > 1 AS is_dup
-           |FROM ph ORDER BY doc_id""".stripMargin
-      }),
+      s"""$phashCte
+         |SELECT id AS doc_id, CAST(w AS INTEGER) AS width,
+         |  CAST(h AS INTEGER) AS height, phash,
+         |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same,
+         |  (COUNT(*) OVER (PARTITION BY phash)) > 1 AS is_dup
+         |FROM ph ORDER BY doc_id""".stripMargin),
+
+    // Image NEAR-dup pairs by pHash Hamming distance ≤ 3 — the tolerant
+    // sibling of multimodal_phash's identical-hash buckets (a re-encoded
+    // or slightly-corrupted image flips a few comparison bits, not
+    // zero). The scale path is simhash-style BANDING: the 63-bit hash
+    // splits into 4 × 16-bit bands, ≤3 differing bits leave at least one
+    // band intact (pigeonhole), so candidates come from band-bucket
+    // joins — never all-pairs — and the exact Hamming check runs on
+    // candidates only. The ORACLE is the brute-force all-pairs scan, so
+    // the gate also proves the banding COMPLETE (the
+    // similarity_join_exact discipline).
+    "multimodal_image_neardup" -> QueryDef(
+      (s, d) => {
+        val ph = Multimodal.phashes(Multimodal.synthMedia(t(s, d, "documents")))
+          .toDF().filter(col("ok")).select(col("doc_id"), col("phash"))
+        val bands = ph.select(col("doc_id"), col("phash"),
+          explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+            shiftright(col("phash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+              .as("band"))): _*)).as("s"))
+          .select(col("doc_id"), col("phash"), col("s.j"), col("s.band"))
+        val cands = bands
+          .select(col("j"), col("band"), col("doc_id").as("a_id"), col("phash").as("ah"))
+          .join(bands.select(col("j"), col("band"), col("doc_id").as("b_id"),
+            col("phash").as("bh")), Seq("j", "band"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "ah", "bh").distinct()
+        cands
+          .withColumn("hamming", expr("bit_count(ah ^ bh)").cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("a_id", "b_id", "hamming")
+          .orderBy("a_id", "b_id")
+      },
+      s"""$phashCte
+         |SELECT a.id AS a_id, b.id AS b_id,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b ON a.id < b.id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin),
 
     // Shot-boundary (scene-cut) detection over the decoded video frames —
     // the standard frame-differencing detector (|Δ brightness| over a

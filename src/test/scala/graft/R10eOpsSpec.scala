@@ -385,6 +385,24 @@ class R10eOpsSpec extends SparkSpec {
       (2L, 2L, 500000L + 333333L, 0.833333)))
   }
 
+  test("multimodal_image_neardup: banded candidates are COMPLETE vs brute-force Hamming") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Queries.all("multimodal_image_neardup").fn(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    // independent brute force over the decoder's own hashes
+    val hs = graft.ops.llm.Multimodal.phashes(
+      graft.ops.llm.Multimodal.synthMedia(graft.model.Tables(spark, sf, "documents")))
+      .toDF().filter(col("ok")).select("doc_id", "phash")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val brute = for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      h = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2).toLong
+      if h <= 3
+    } yield (hs(i)._1, hs(j)._1, h)
+    assert(got.toSet == brute.toSet, s"banding dropped pairs or invented them")
+    assert(got.nonEmpty, "fixture must actually contain near-dup images")
+  }
+
   test("source_tv_distance matches the direct union-vocabulary TV formula") {
     // s1: a a b ; s2: a c c c (token 'b' only left, 'c' only right);
     // s3 == s1's distribution exactly (tv(s1,s3) must be 0)
