@@ -881,6 +881,59 @@ object QueriesWindows {
       },
       graft.ops.Sketches.hllSlidingOracleSql(3)),
 
+    // Maximum drawdown of the revenue-vs-run-rate curve (Magdon-Ismail
+    // & Atiya 2004's statistic applied where it is non-trivial: raw
+    // cumulative revenue is monotone, so its drawdown is identically 0
+    // — the series that can FALL is the cumulative DEVIATION from the
+    // overall daily run-rate, the "how far behind plan did we get, at
+    // worst?" monitoring question). Exactness: the mean's denominator
+    // is CLEARED (the ts_changepoint trick) — dev·N = cents·N − total,
+    // an integer series summing to exactly 0 — and cumulative sum,
+    // running peak and their difference stay BIGINT; only the display
+    // division (units → dollars) is IEEE. Windows run over the bounded
+    // DAY table, never order rows. Deterministic (drawdown desc, day)
+    // trough pick.
+    "ts_max_drawdown" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val daily = t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          // the rfm cents ladder: exact DECIMAL sum, THEN ×100 — a
+          // per-row double×100 cast truncates in Spark but rounds in
+          // DuckDB
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast("long").as("cents"))
+        val tot = daily.agg(sum(col("cents")).as("total"),
+          count(lit(1)).as("n_days"))
+        val w = Window.orderBy("day").rowsBetween(Long.MinValue, 0)
+        daily.crossJoin(broadcast(tot))
+          .withColumn("dev_units", col("cents") * col("n_days") - col("total"))
+          .withColumn("cum", sum(col("dev_units")).over(w))
+          .withColumn("peak", max(col("cum")).over(w))
+          .withColumn("dd_units", col("peak") - col("cum"))
+          .orderBy(col("dd_units").desc, col("day"))
+          .limit(1)
+          .select(col("day").as("trough_day"), col("n_days"), col("dd_units"),
+            round(col("dd_units").cast("double") /
+              (lit(100.0) * col("n_days").cast("double")), 2).as("drawdown"))
+      },
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(cents) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |c AS (SELECT day, n_days,
+        |    CAST(SUM(cents * n_days - total) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM daily CROSS JOIN tt),
+        |p AS (SELECT day, n_days, cum,
+        |    CAST(MAX(cum) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+        |  FROM c)
+        |SELECT day AS trough_day, n_days, peak - cum AS dd_units,
+        |  round(CAST(peak - cum AS DOUBLE) / (100.0 * CAST(n_days AS DOUBLE)), 2) AS drawdown
+        |FROM p ORDER BY dd_units DESC, day LIMIT 1""".stripMargin),
+
     // Inter-purchase cadence: the distribution of days between a
     // customer's consecutive orders — the replenishment-cycle curve
     // behind "when is a customer overdue?" (the classic BTYD/CLV input).

@@ -385,6 +385,22 @@ class R10eOpsSpec extends SparkSpec {
       (2L, 2L, 500000L + 333333L, 0.833333)))
   }
 
+  test("ts_max_drawdown: deepest under-run vs run-rate in cleared-denominator units") {
+    val dir = java.nio.file.Files.createTempDirectory("r10edd").toString
+    val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    // daily cents 100,100,40,40,120 → mean 80; dev·5 = 100,100,-200,-200,200
+    // cum = 100,200,0,-200,0; peak-cum maxes at 400 units on day 4
+    Seq(1.00, 1.00, 0.40, 0.40, 1.20).zipWithIndex.map { case (p, i) =>
+      ((i + 1).toLong, 1L, "F", p,
+        new java.sql.Timestamp(d0.getTime + i * 86400000L), "1")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.all("ts_max_drawdown").fn(spark, dir)
+      .as[(java.sql.Date, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((java.sql.Date.valueOf("1995-01-04"), 5L, 400L, 0.8)))
+  }
+
   test("multimodal_image_neardup: banded candidates are COMPLETE vs brute-force Hamming") {
     val sf = "/root/testdata/sf0.001"
     val got = Queries.all("multimodal_image_neardup").fn(spark, sf)
