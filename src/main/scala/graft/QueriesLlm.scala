@@ -474,7 +474,12 @@ object QueriesLlm {
     // joined: for tokens in one source only, Σ c_a·N_b is recovered
     // from the totals — tv_units = Σ_common(|c_aN_b − c_bN_a| − c_aN_b
     // − c_bN_a) + 2·N_aN_b, all BIGINT-exact (DECIMAL ladder past 10⁹
-    // token corpora); one IEEE display division.
+    // token corpora); one IEEE display division. The pair UNIVERSE
+    // comes from the per-source totals table (nt self-join, src_a <
+    // src_b), never the common-token join: a pair with zero shared
+    // vocabulary — the maximally distant case — still emits its row
+    // (n_common = 0, tv = 1) via the LEFT JOIN with s1/n_common
+    // coalesced to 0, on both engines.
     "source_tv_distance" -> QueryDef(
       (s, d) => {
         val toks = t(s, d, "documents")
@@ -486,14 +491,20 @@ object QueriesLlm {
           .filter(col("src_a") < col("src_b"))
           .join(broadcast(nt.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
           .join(broadcast(nt.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
-          .groupBy("src_a", "src_b", "na", "nb")
+          .groupBy("src_a", "src_b")
           .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na"))
             - col("ca") * col("nb") - col("cb") * col("na")).as("s1"),
             count(lit(1)).as("n_common"))
-        common
-          .select(col("src_a"), col("src_b"), col("n_common"),
-            (col("s1") + lit(2L) * col("na") * col("nb")).as("tv_units"),
-            round((col("s1") + lit(2L) * col("na") * col("nb")).cast("double") /
+        val univ = nt.select(col("source").as("src_a"), col("n").as("na"))
+          .join(nt.select(col("source").as("src_b"), col("n").as("nb")),
+            col("src_a") < col("src_b"))
+        univ.join(common, Seq("src_a", "src_b"), "left")
+          .select(col("src_a"), col("src_b"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            (coalesce(col("s1"), lit(0L)) + lit(2L) * col("na") * col("nb"))
+              .as("tv_units"),
+            round((coalesce(col("s1"), lit(0L)) + lit(2L) * col("na") * col("nb"))
+              .cast("double") /
               (lit(2.0) * col("na").cast("double") * col("nb").cast("double")), 6)
               .as("tv"))
           .orderBy("src_a", "src_b")
@@ -501,17 +512,22 @@ object QueriesLlm {
       """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
         |vc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
         |nt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY 1),
-        |cm AS (SELECT a.source AS src_a, b.source AS src_b, na.n AS na, nb.n AS nb,
+        |cm AS (SELECT a.source AS src_a, b.source AS src_b,
         |    CAST(SUM(abs(a.c * nb.n - b.c * na.n) - a.c * nb.n - b.c * na.n) AS BIGINT) AS s1,
         |    CAST(COUNT(*) AS BIGINT) AS n_common
         |  FROM vc a JOIN vc b ON a.tok = b.tok AND a.source < b.source
         |  JOIN nt na ON na.source = a.source
         |  JOIN nt nb ON nb.source = b.source
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT src_a, src_b, n_common,
-        |  s1 + 2 * na * nb AS tv_units,
-        |  round(CAST(s1 + 2 * na * nb AS DOUBLE) / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS tv
-        |FROM cm ORDER BY src_a, src_b""".stripMargin),
+        |  GROUP BY 1, 2),
+        |univ AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS na, b.n AS nb
+        |  FROM nt a JOIN nt b ON a.source < b.source)
+        |SELECT u.src_a, u.src_b,
+        |  COALESCE(cm.n_common, CAST(0 AS BIGINT)) AS n_common,
+        |  COALESCE(cm.s1, CAST(0 AS BIGINT)) + 2 * u.na * u.nb AS tv_units,
+        |  round(CAST(COALESCE(cm.s1, CAST(0 AS BIGINT)) + 2 * u.na * u.nb AS DOUBLE)
+        |    / (2.0 * CAST(u.na AS DOUBLE) * CAST(u.nb AS DOUBLE)), 6) AS tv
+        |FROM univ u LEFT JOIN cm ON u.src_a = cm.src_a AND u.src_b = cm.src_b
+        |ORDER BY u.src_a, u.src_b""".stripMargin),
 
     // Cross-source duplication matrix — which sources copy which: the
     // MinHash candidate pairs rolled up per canonical source pair (the

@@ -271,6 +271,23 @@ object Multimodal {
     DecodedMedia(id, "audio", 0, 0, 1, 1, rate, n.toLong, sum, wsum, ok = true)
   }
 
+  /** Locate the `data` chunk of a RIFF/WAVE buffer that [[parseWav]] has
+    * ALREADY validated (ok = true): returns (dataOff, dataLen). The
+    * walk's termination and bounds were proven by parseWav — this helper
+    * is the one place that post-validation assumption lives, shared by
+    * [[parseWavWindows]], [[wavGain]] and [[wavSilence]].
+    */
+  private def dataChunk(b: Array[Byte]): (Int, Int) = {
+    var off = 12
+    while (true) {
+      val cid = new String(b, off, 4, "US-ASCII")
+      val clen = u32(b, off + 4)
+      if (cid == "data") return (off + 8, clen)
+      off += 8 + clen + (clen & 1)
+    }
+    throw new IllegalStateException("unreachable: parseWav validated a data chunk")
+  }
+
   /** Parse one PNM ASCII integer starting at `off`, skipping whitespace
     * and `#` comments (legal in PNM headers). Returns (value, nextOffset)
     * or null on malformed input.
@@ -328,15 +345,7 @@ object Multimodal {
   def parseWavWindows(id: Long, b: Array[Byte], win: Int): Array[AudioWindow] = {
     val d = parseWav(id, b)
     if (!d.ok) return null
-    // re-locate the data chunk (parseWav validated the walk)
-    var off = 12
-    var dataOff = -1; var dataLen = -1
-    while (dataOff < 0) {
-      val cid = new String(b, off, 4, "US-ASCII")
-      val clen = u32(b, off + 4)
-      if (cid == "data") { dataOff = off + 8; dataLen = clen }
-      else off += 8 + clen + (clen & 1)
-    }
+    val (dataOff, dataLen) = dataChunk(b)
     val n = dataLen / 2
     val out = Array.newBuilder[AudioWindow]
     var w = 0
@@ -544,14 +553,7 @@ object Multimodal {
   def wavGain(id: Long, b: Array[Byte]): AudioGain = {
     val d = parseWav(id, b)
     if (!d.ok) return null
-    var off = 12
-    var dataOff = -1; var dataLen = -1
-    while (dataOff < 0) {
-      val cid = new String(b, off, 4, "US-ASCII")
-      val clen = u32(b, off + 4)
-      if (cid == "data") { dataOff = off + 8; dataLen = clen }
-      else off += 8 + clen + (clen & 1)
-    }
+    val (dataOff, dataLen) = dataChunk(b)
     val n = dataLen / 2
     var sumsq = 0L
     var k = 0
@@ -581,14 +583,7 @@ object Multimodal {
   def wavSilence(id: Long, b: Array[Byte], threshold: Int): AudioSilence = {
     val d = parseWav(id, b)
     if (!d.ok) return null
-    var off = 12
-    var dataOff = -1; var dataLen = -1
-    while (dataOff < 0) {
-      val cid = new String(b, off, 4, "US-ASCII")
-      val clen = u32(b, off + 4)
-      if (cid == "data") { dataOff = off + 8; dataLen = clen }
-      else off += 8 + clen + (clen & 1)
-    }
+    val (dataOff, dataLen) = dataChunk(b)
     val n = dataLen / 2
     var quiet = 0L; var runs = 0L; var longest = 0L; var cur = 0L
     var k = 0

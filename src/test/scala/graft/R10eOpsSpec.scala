@@ -421,10 +421,12 @@ class R10eOpsSpec extends SparkSpec {
 
   test("source_tv_distance matches the direct union-vocabulary TV formula") {
     // s1: a a b ; s2: a c c c (token 'b' only left, 'c' only right);
-    // s3 == s1's distribution exactly (tv(s1,s3) must be 0)
+    // s3 == s1's distribution exactly (tv(s1,s3) must be 0);
+    // s4: z z — ZERO shared vocabulary with every other source: the
+    // maximally distant pairs must still emit rows (n_common=0, tv=1)
     val dir = writeDocs(Seq(
       (1L, "a a b", "s1", "xx"), (2L, "a c c c", "s2", "xx"),
-      (3L, "a a b", "s3", "xx"))
+      (3L, "a a b", "s3", "xx"), (4L, "z z", "s4", "xx"))
       .map { case (id, txt, src, _) => (id, txt, "aa", src) })
     val got = Queries.all("source_tv_distance").fn(spark, dir)
       .as[(String, String, Long, Long, Double)].collect().toSeq
@@ -440,6 +442,11 @@ class R10eOpsSpec extends SparkSpec {
     assert(got(("s1", "s2"))._2 == tv(s1, s2))
     assert(got(("s1", "s3")) == ((2L, 0.0))) // identical distributions
     assert(got(("s2", "s3"))._2 == tv(s2, s1))
+    // disjoint-vocabulary pairs exist in the output at tv = 1
+    assert(got.size == 6, s"all C(4,2) pairs must emit a row, got $got")
+    assert(got(("s1", "s4")) == ((0L, 1.0)))
+    assert(got(("s2", "s4")) == ((0L, 1.0)))
+    assert(got(("s3", "s4")) == ((0L, 1.0)))
   }
 
   test("cheapest_supplier: ties all win once; the size filter excludes big parts") {
