@@ -121,19 +121,24 @@ object QueriesRelational {
     * what the history IS.
     */
   private def scd2History(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val orders = t(s, d, "orders")
-      .select("o_orderkey", "o_orderpriority", "o_totalprice")
-    val a = orders.filter(col("o_orderkey") % 7 =!= 0)
-    val b = orders.filter(col("o_orderkey") % 5 =!= 0)
-      .withColumn("o_totalprice",
-        when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(10.0))
-          .otherwise(col("o_totalprice")))
-      .withColumn("o_orderpriority",
-        when(col("o_orderkey") % 13 === 0, lit("9-SYNTH"))
-          .otherwise(col("o_orderpriority")))
-    graft.ops.Scd2.fromSnapshots(Seq(a -> 1L, b -> 2L), Seq("o_orderkey"))
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    // fingerprint-validated disk cache (VERDICT r11 #3): the two-snapshot
+    // diff join is a one-time build per SF dir; a fresh session's first
+    // SCD2 query reads the committed history parquet instead of repaying
+    // it (sf1 cold was ~47 s).
+    graft.model.CacheDirs.cachedParquet(s, "scd2", d, "hist") {
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val a = orders.filter(col("o_orderkey") % 7 =!= 0)
+      val b = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(10.0))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 13 === 0, lit("9-SYNTH"))
+            .otherwise(col("o_orderpriority")))
+      graft.ops.Scd2.fromSnapshots(Seq(a -> 1L, b -> 2L), Seq("o_orderkey"))
+    }
 
   /** DuckDB mirror of [[scd2History]], ending in a `hist` CTE. */
   private lazy val scd2HistCte: String =
@@ -160,21 +165,14 @@ object QueriesRelational {
       |     OR a.o_totalprice IS DISTINCT FROM b.o_totalprice),
       |hist AS (SELECT * FROM closed UNION ALL SELECT * FROM opened)""".stripMargin
 
-  /** One well-known REUSABLE cache root per (kind, SF dir) under the
-    * system temp dir. Every write into it is SaveMode.Overwrite, so
-    * repeated Verify/Bench sessions overwrite in place instead of
-    * accumulating one fresh `createTempDirectory` copy per session —
-    * disk use stays bounded at one derived copy per SF dir. (Concurrent
-    * same-SF-dir sessions would race on the path; the harness never
-    * runs two, and a torn write is repaired by the next overwrite.)
+  /** Persistent cache-root discipline — see [[graft.model.CacheDirs]]
+    * (collision-resistant per-SF-dir tags, per-user root, fingerprint-
+    * validated cross-session reuse). These forwarders keep the historic
+    * call sites/specs in this file.
     */
-  private def cacheRoot(kind: String, d: String): String = {
-    val tag = (d.hashCode.toLong & 0xffffffffL).toString
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_cache", s"${kind}_$tag")
-    java.nio.file.Files.createDirectories(p)
-    p.toString
-  }
+  private[graft] def dirTag(d: String): String = graft.model.CacheDirs.dirTag(d)
+  private[graft] def cacheRoot(kind: String, d: String): String =
+    graft.model.CacheDirs.root(kind, d)
 
   /** Bucketed orders/lineitem copies (bucketed+sorted on the join key)
     * per (session, SF dir) — the Tables/DerivedGraph convention: built
@@ -185,7 +183,7 @@ object QueriesRelational {
   private def bucketedTables(s: org.apache.spark.sql.SparkSession,
       d: String): (String, String) =
     bucketCache.getOrElseUpdate(s, d) {
-      val tag = (d.hashCode.toLong & 0xffffffffL).toString
+      val tag = dirTag(d)
       val base = cacheRoot("buckets", d)
       val ot = s"graft_bk_orders_$tag"
       val lt = s"graft_bk_lineitem_$tag"

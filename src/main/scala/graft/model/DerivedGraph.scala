@@ -79,17 +79,26 @@ object DerivedGraph {
     val custNation = edge(t("customer"), CustomerBase, "c_custkey", NationBase, "c_nationkey", "in_nation")
     val suppNation = edge(t("supplier"), SupplierBase, "s_suppkey", NationBase, "s_nationkey", "in_nation")
     val nationRegion = edge(t("nation"), NationBase, "n_nationkey", RegionBase, "n_regionkey", "in_region")
-    // customer —ordered→ part, via orders ⋈ lineitem; dedup on (src,dst,label)
-    val ordered = t("orders").join(t("lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select((lit(CustomerBase) + col("o_custkey")).as("src"),
-        (lit(PartBase) + col("l_partkey")).as("dst"), lit("ordered").as("label"))
-      .distinct()
-    val supplies = t("lineitem")
-      .select((lit(SupplierBase) + col("l_suppkey")).as("src"),
-        (lit(PartBase) + col("l_partkey")).as("dst"), lit("supplies").as("label"))
-      .distinct()
+    // The two fact-derived edge sets (the only expensive part of the build:
+    // an orders⋈lineitem join + two lineitem-sized distinct shuffles) go
+    // through the fingerprint-validated disk cache — the FIRST graph query
+    // of a fresh session reads one pre-deduped parquet instead of repaying
+    // the build (VERDICT r11 #3: sf1 first-graph-query cold was paying
+    // ~18 s of this). Dimension edges are plain column-pruned scans and
+    // stay live.
+    val factEdges = CacheDirs.cachedParquet(spark, "graph", sfDir, "fact_edges") {
+      // customer —ordered→ part, via orders ⋈ lineitem; dedup on (src,dst,label)
+      t("orders").join(t("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((lit(CustomerBase) + col("o_custkey")).as("src"),
+          (lit(PartBase) + col("l_partkey")).as("dst"), lit("ordered").as("label"))
+        .distinct()
+        .union(t("lineitem")
+          .select((lit(SupplierBase) + col("l_suppkey")).as("src"),
+            (lit(PartBase) + col("l_partkey")).as("dst"), lit("supplies").as("label"))
+          .distinct())
+    }
 
-    val edges = custNation.union(suppNation).union(nationRegion).union(ordered).union(supplies)
+    val edges = custNation.union(suppNation).union(nationRegion).union(factEdges)
 
     val g = G(
       vertices.persist(StorageLevel.MEMORY_AND_DISK),
