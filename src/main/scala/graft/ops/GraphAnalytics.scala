@@ -32,6 +32,14 @@ object GraphAnalytics {
     */
   final val MaxBroadcastFringe = 500000L
 
+  /** Fringe size below which a k-truss peel round skips ALL bulk-frame
+    * materialization and runs as lazy broadcast-probe chains (see the
+    * round body in [[kTrussDF]]). Small enough that the accumulated dec
+    * broadcasts stay trivially in memory, large enough to catch the whole
+    * convergence tail one decade up.
+    */
+  final val MaxLazyFringe = 20000L
+
   /** Build a GraphX graph with (label, name) vertex attributes,
     * EdgePartition2D-partitioned.
     *
@@ -677,11 +685,24 @@ object GraphAnalytics {
     // current edge COUNT is the only whole-edge-set state the loop needs
     // (survivor rows live in sup) — tracking it as a long avoids a
     // |E|-row materialization per round
-    var nEdges = canonicalEdges.count()
+    // Constant-depth tail state: once the fringe is tiny (≤ MaxLazyFringe),
+    // rounds stop writing |T|/|E|-row checkpoints. Instead tri/sup become
+    // LAZY views of the last CHECKPOINTED bases plus two cumulative tiny
+    // broadcast deltas (removed edges; per-edge support charges). The view
+    // depth is CONSTANT (≤3 broadcast probes) no matter how many tail
+    // rounds run — the naive alternative (chaining each round's lazy
+    // frames) re-executes the whole chain per round and measured 2.4×
+    // SLOWER than the checkpoint-per-round form it replaced.
+    var triBase = tri
+    var supBase = sup
+    var cumRemoved: Option[DataFrame] = None // (a,b) — all tail fringes
+    var cumDec: Option[DataFrame] = None // (a,b,__dec) — summed charges
     var r = 0
     var converged = false
+    val dbg = sys.env.contains("GRAFT_KTRUSS_DEBUG")
     while (r < rounds && !converged) {
       r += 1
+      val t0 = System.nanoTime()
       // zero-triangle edges never enter sup, so the survivor projection
       // drops them with the low-support rows — and being triangle-less
       // their removal charges nothing. keptSup stays LAZY (a cheap filter
@@ -691,23 +712,20 @@ object GraphAnalytics {
       // broadcast builds each rescanned the full |E|-row sup to re-filter
       // `removed` — ~7 s of the 13 s sf0.1 wall across the peel).
       val keptSup = sup.filter(col("support") >= k - 2)
-      val Array(nKept, nRemoved) = {
-        val row = sup.agg(
-          sum(when(col("support") >= k - 2, 1L).otherwise(0L)),
-          sum(when(col("support") < k - 2, 1L).otherwise(0L))).head()
-        Array(if (row.isNullAt(0)) 0L else row.getLong(0),
-          if (row.isNullAt(1)) 0L else row.getLong(1))
-      }
-      if (nKept == nEdges) converged = true
+      // ONE |E| scan per round: materialize the fringe first (tiny after
+      // round 1 — the whole sf0.1 peel removes ~90k of 1.2M edges) and
+      // read both round counts off its free checkpoint count. An empty
+      // fringe IS the fixpoint: no removal → no triangle dies → no charge
+      // — identical to the old nKept==nEdges check one no-op round later,
+      // minus a redundant aggregate scan per round.
+      val removed0 = sup.filter(col("support") < k - 2).select("a", "b")
+        .localCheckpoint()
+      val nRemoved = removed0.count()
+      if (nRemoved == 0L) converged = true
       else {
-        // materialize the fringe ONCE (it is tiny after round 1 — the
-        // whole sf0.1 peel removes ~90k of 1.2M edges) so the three
-        // fringe joins read a small checkpoint, not three re-filters of
-        // sup; hint broadcast only when the measured row count proves it
-        // fits (scale-safe: a pathological first-round mass removal falls
-        // back to a shuffle join under AQE).
-        val removed0 = sup.filter(col("support") < k - 2).select("a", "b")
-          .localCheckpoint()
+        // hint broadcast only when the measured row count proves it fits
+        // (scale-safe: a pathological first-round mass removal falls back
+        // to a shuffle join under AQE).
         val fringeBroadcast = nRemoved <= MaxBroadcastFringe
         val removed: DataFrame =
           if (fringeBroadcast) broadcast(removed0) else removed0
@@ -718,17 +736,27 @@ object GraphAnalytics {
             .withColumn("__r2", lit(1)), Seq("x", "z"), "left")
           .join(removed.select(col("a").as("y"), col("b").as("z"))
             .withColumn("__r3", lit(1)), Seq("y", "z"), "left")
-        // one materialization of the flagged frame serves BOTH consumers
-        // (the dec charge and the survivor projection) — an A/B against
-        // the lazy form that re-runs the three kill joins per consumer
-        // measured the single checkpoint faster even with a broadcast
-        // fringe (the probes over |T| rows dominate the extra write)
-        val flagged = flagged0.localCheckpoint()
+        // Materialization strategy is fringe-size-gated (the convergence
+        // tail was paying ~1-2 s/round of |T|-row checkpoint writes to
+        // remove a handful of edges — rounds 3-7 at sf0.1 remove
+        // 1681/658/81/21/4 edges yet cost as much as round 2):
+        //  - BIG fringe (early rounds): checkpoint the flagged frame once;
+        //    it serves both consumers (the dec charge and the survivor
+        //    projection). An A/B against re-running the three kill joins
+        //    per consumer measured the checkpoint faster here — at this
+        //    size the probes over |T| rows dominate the extra write.
+        //  - SMALL fringe (tail rounds): no |T|/|E|-row write. dec is
+        //    extracted in one |T| scan (tiny result, checkpointed), folded
+        //    into the cumulative deltas, and tri/sup are rebuilt as
+        //    constant-depth lazy views over tri/supBase — per-round cost
+        //    drops to two bulk SCANS (sup agg + dec) instead of two bulk
+        //    WRITES.
+        val lazyTail = nRemoved <= MaxLazyFringe && fringeBroadcast
         val survives = col("__r1").isNull && col("__r2").isNull &&
           col("__r3").isNull
         // each lost triangle charges ONLY its surviving edges (a null
         // element survives the array and is dropped after the explode)
-        val dec = flagged.filter(!survives)
+        def decOf(flagged: DataFrame): DataFrame = flagged.filter(!survives)
           .select(explode(array(
             when(col("__r1").isNull, edgeOf(col("x"), col("y"))),
             when(col("__r2").isNull, edgeOf(col("x"), col("z"))),
@@ -736,15 +764,49 @@ object GraphAnalytics {
           .filter(col("e").isNotNull)
           .select(col("e.a").as("a"), col("e.b").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("__dec"))
-        // tri stays a lazy filter over the just-checkpointed flagged
-        tri = flagged.filter(survives).select("x", "y", "z")
-        sup = keptSup.join(dec, Seq("a", "b"), "left")
-          .select(col("a"), col("b"),
-            (col("support") - coalesce(col("__dec"), lit(0L))).as("support"))
-          .filter(col("support") > 0)
-          .localCheckpoint()
+        if (!lazyTail) {
+          val flagged = flagged0.localCheckpoint()
+          tri = flagged.filter(survives).select("x", "y", "z")
+          sup = keptSup.join(decOf(flagged), Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("support") - coalesce(col("__dec"), lit(0L))).as("support"))
+            .filter(col("support") > 0)
+            .localCheckpoint()
+          // reset the tail bases to the fresh checkpoints
+          triBase = tri; supBase = sup; cumRemoved = None; cumDec = None
+        } else {
+          // one |T| scan through broadcast probes; the result is ≤3 rows
+          // per lost triangle
+          val dec = decOf(flagged0).localCheckpoint()
+          cumRemoved = Some(cumRemoved.map(_.unionAll(removed0))
+            .getOrElse(removed0).localCheckpoint())
+          cumDec = Some(cumDec.map(_.unionAll(dec)).getOrElse(dec)
+            .groupBy("a", "b").agg(sum(col("__dec")).as("__dec"))
+            .localCheckpoint())
+          val rem = broadcast(cumRemoved.get)
+          tri = triBase
+            .join(rem.select(col("a").as("x"), col("b").as("y"))
+              .withColumn("__k1", lit(1)), Seq("x", "y"), "left")
+            .join(rem.select(col("a").as("x"), col("b").as("z"))
+              .withColumn("__k2", lit(1)), Seq("x", "z"), "left")
+            .join(rem.select(col("a").as("y"), col("b").as("z"))
+              .withColumn("__k3", lit(1)), Seq("y", "z"), "left")
+            .filter(col("__k1").isNull && col("__k2").isNull &&
+              col("__k3").isNull)
+            .select("x", "y", "z")
+          // removed edges receive no charges after their triangles die, so
+          // subtracting the cumulative charges and anti-joining the
+          // cumulative fringe reproduces the incremental sequence exactly
+          sup = supBase
+            .join(broadcast(cumDec.get), Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("support") - coalesce(col("__dec"), lit(0L))).as("support"))
+            .join(rem, Seq("a", "b"), "left_anti")
+            .filter(col("support") > 0)
+        }
       }
-      nEdges = nKept
+      if (dbg) println(f"[ktruss] round $r nRemoved=$nRemoved " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // support-0 rows never exist at a fixpoint; the filter above also
     // matches the oracle's final-pass convention (triangle-less edges
