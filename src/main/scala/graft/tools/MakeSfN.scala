@@ -76,10 +76,17 @@ object MakeSfN {
       .withColumn("n_chars", length(col("text")).cast("long"))
     write(docs, "documents")
 
+    // Copies 64+ would land on an already-used dimension (7c mod 64 has
+    // period 64), making copy c and c+64 EXACT duplicates — fabricated
+    // cross-copy dup pairs that would distort the similarity/dedup scale
+    // trend at copies>64 (the sf10 build). The sign flip for the second
+    // lap keeps those same-dimension copies far apart (cosine ~0.7, below
+    // every near-dup threshold) while copies <64 are byte-identical to
+    // the historical sf1 builds.
     val emb = expand(spark.read.parquet(s"$inDir/embeddings.parquet"), Seq("vec_id"))
       .withColumn("embedding", when(col("__c") === 0, col("embedding")).otherwise(
         expr(s"transform(embedding, (x, j) -> CAST(x + IF(j = CAST(__c * 7 % 64 AS INT), " +
-          "CAST(0.35 AS FLOAT), CAST(0.0 AS FLOAT)) AS FLOAT))")))
+          "CAST(IF(__c < 64, 0.35, -0.35) AS FLOAT), CAST(0.0 AS FLOAT)) AS FLOAT))")))
     write(emb, "embeddings")
 
     spark.stop()
