@@ -21,6 +21,11 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", parts)
+      // MakeSfN writes few large parquet files; at sf10 a 128 MB split
+      // leaves scans on a handful of tasks. A cluster would have many
+      // files — emulate that scan parallelism with a smaller split.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
