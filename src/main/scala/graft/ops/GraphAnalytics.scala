@@ -32,13 +32,27 @@ object GraphAnalytics {
     */
   final val MaxBroadcastFringe = 500000L
 
-  /** Fringe size below which a k-truss peel round skips ALL bulk-frame
+  /** Fringe size below which a k-truss peel round ALWAYS skips bulk-frame
     * materialization and runs as lazy broadcast-probe chains (see the
-    * round body in [[kTrussDF]]). Small enough that the accumulated dec
-    * broadcasts stay trivially in memory, large enough to catch the whole
-    * convergence tail one decade up.
+    * round body in [[kTrussDF]]). The effective lazy gate is RELATIVE —
+    * `max(MaxLazyFringe, |E|/20)` — because an absolute cut reclassifies
+    * rounds as the graph scales: at sf10 (120M canonical edges, 110M
+    * triangles) rounds removing 168k/66k edges fell off a 20k gate and
+    * each paid a |T|-row checkpoint write, turning the measured decade
+    * ratio from ~10x into 14.7x. Relative to |E| the same rounds are the
+    * same tail on every decade.
     */
   final val MaxLazyFringe = 20000L
+
+  /** Ceiling (rows) on the CUMULATIVE lazy-tail broadcast state in
+    * [[kTrussDF]] — both the folded removed-edge set and the folded
+    * support-charge table are re-broadcast every lazy round, so a long
+    * mid-size tail must eventually re-base to fresh checkpoints instead
+    * of growing the broadcasts without bound. 2M (a,b[,dec]) rows ≈
+    * 50 MB — an intentional factor above [[MaxBroadcastFringe]] since
+    * these accumulate across rounds.
+    */
+  final val MaxCumLazyRows = 2000000L
 
   /** Build a GraphX graph with (label, name) vertex attributes,
     * EdgePartition2D-partitioned.
@@ -682,6 +696,9 @@ object GraphAnalytics {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("support"))
       .localCheckpoint()
+    // one cheap aggregate over the fresh checkpoint: the RELATIVE lazy
+    // gate below needs the surviving triangle-edge count per round
+    var nEdges = sup.count()
     // current edge COUNT is the only whole-edge-set state the loop needs
     // (survivor rows live in sup) — tracking it as a long avoids a
     // |E|-row materialization per round
@@ -697,6 +714,8 @@ object GraphAnalytics {
     var supBase = sup
     var cumRemoved: Option[DataFrame] = None // (a,b) — all tail fringes
     var cumDec: Option[DataFrame] = None // (a,b,__dec) — summed charges
+    var cumRemovedRows = 0L // broadcast-state row counts: once either
+    var cumDecRows = 0L //     crosses MaxCumLazyRows the next round re-bases
     var r = 0
     var converged = false
     val dbg = sys.env.contains("GRAFT_KTRUSS_DEBUG")
@@ -723,6 +742,7 @@ object GraphAnalytics {
       val nRemoved = removed0.count()
       if (nRemoved == 0L) converged = true
       else {
+        nEdges -= nRemoved // surviving triangle-edge rows, for the gate
         // hint broadcast only when the measured row count proves it fits
         // (scale-safe: a pathological first-round mass removal falls back
         // to a shuffle join under AQE).
@@ -751,7 +771,10 @@ object GraphAnalytics {
         //    constant-depth lazy views over tri/supBase — per-round cost
         //    drops to two bulk SCANS (sup agg + dec) instead of two bulk
         //    WRITES.
-        val lazyTail = nRemoved <= MaxLazyFringe && fringeBroadcast
+        val lazyTail = fringeBroadcast &&
+          nRemoved <= math.max(MaxLazyFringe, nEdges / 20L) &&
+          cumRemovedRows + nRemoved <= MaxCumLazyRows &&
+          cumDecRows <= MaxCumLazyRows
         val survives = col("__r1").isNull && col("__r2").isNull &&
           col("__r3").isNull
         // each lost triangle charges ONLY its surviving edges (a null
@@ -774,6 +797,7 @@ object GraphAnalytics {
             .localCheckpoint()
           // reset the tail bases to the fresh checkpoints
           triBase = tri; supBase = sup; cumRemoved = None; cumDec = None
+          cumRemovedRows = 0L; cumDecRows = 0L
         } else {
           // one |T| scan through broadcast probes; the result is ≤3 rows
           // per lost triangle
@@ -783,6 +807,8 @@ object GraphAnalytics {
           cumDec = Some(cumDec.map(_.unionAll(dec)).getOrElse(dec)
             .groupBy("a", "b").agg(sum(col("__dec")).as("__dec"))
             .localCheckpoint())
+          cumRemovedRows += nRemoved
+          cumDecRows = cumDec.get.count() // cheap: fresh checkpoint
           val rem = broadcast(cumRemoved.get)
           tri = triBase
             .join(rem.select(col("a").as("x"), col("b").as("y"))
@@ -1090,7 +1116,14 @@ object GraphAnalytics {
     // (the pageRankDF broadcast-hinted rank⋈edge discipline). On a graph
     // past the broadcast ceiling (|V| bounded by the edge count; 50M
     // rows ≈ 1.2 GB of (lm,id,σ) triples) the hint drops and the same
-    // plan runs as shuffle joins.
+    // plan runs as shuffle joins. r12 measured that regime one decade up
+    // (120M edges) at 12.0× per 10× data, flat across partition widths,
+    // and REJECTED two pre-partitioned-edge-copy variants on numbers
+    // (BENCHNOTES r12 stress ladder): keyed+sorted serialized copies per
+    // join key read aged 260 s vs this form's 246 s with cold 918 s vs
+    // 500 s — the per-round message groupBy, not the edge exchange,
+    // bounds the round, so the upfront copies only add build cost (and a
+    // three-deserialized-copy variant OOM'd a 100g heap).
     val hintSmall: DataFrame => DataFrame =
       if (undCount <= 50000000L) broadcast(_) else identity
     var d = 0
