@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JVM clock pinned to the session timezone: `Timestamp.valueOf` in
+  // tests and the engine's watermark rendering must read the SAME wall
+  // clock, or event-time literals shift on a non-UTC host.
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -26,9 +26,15 @@ object QueriesGraphX {
 
   private def sharedBfs(s: org.apache.spark.sql.SparkSession, d: String) =
     bfsCache.getOrElseUpdate(s, d) {
-      GraphAnalytics.multiSourceBfs(
-        GraphAnalytics.derivedGraphX(s, d), spLandmarks, 10)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // disk-cached across sessions (the fact_edges/scd2 CacheDirs
+      // discipline, VERDICT r12 #2): a fresh session with a valid cache
+      // reads |V|·L parquet rows instead of re-running the Pregel
+      // traversal. All-long columns — the parquet round-trip is exact, so
+      // the cached frame is value-identical to the build.
+      graft.model.CacheDirs.cachedParquet(s, "graph", d, "landmark_bfs") {
+        GraphAnalytics.multiSourceBfs(
+          GraphAnalytics.derivedGraphX(s, d), spLandmarks, 10)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Materialize the persisted BFS frame — the bench warmup hook, owned
@@ -51,11 +57,19 @@ object QueriesGraphX {
 
   private def sharedTriangles(s: org.apache.spark.sql.SparkSession, d: String) =
     triCache.getOrElseUpdate(s, d) {
-      GraphAnalytics.triangleListDF(
-        GraphAnalytics.coOrderPartEdges(s, d)
-          .select(col("src").as("a"), col("dst").as("b")),
-        broadcastSides = true)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // disk-cached across sessions (VERDICT r12 #2): the enumeration is
+      // the dominant fixed cost of a fresh session's first triangle query
+      // (~4-5 s of ktruss cold at sf0.1, ~260 s at sf10); with a valid
+      // cache the session pays a |T|-row parquet scan instead. Three
+      // BIGINT columns — exact round-trip, and the peel consumes the
+      // parquet-backed frame exactly like the session-persisted one
+      // (materialization-stable either way).
+      graft.model.CacheDirs.cachedParquet(s, "graph", d, "triangles") {
+        GraphAnalytics.triangleListDF(
+          GraphAnalytics.coOrderPartEdges(s, d)
+            .select(col("src").as("a"), col("dst").as("b")),
+          broadcastSides = true)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Materialize the persisted triangle list — the bench warmup hook. */

@@ -905,11 +905,19 @@ object QueriesWindows {
             .cast("long").as("cents"))
         val tot = daily.agg(sum(col("cents")).as("total"),
           count(lit(1)).as("n_days"))
-        val w = Window.orderBy("day").rowsBetween(Long.MinValue, 0)
-        daily.crossJoin(broadcast(tot))
+        // cum and peak ride the two-level prefix discipline (VERDICT r12
+        // #4): the day table grows with the time span, so neither running
+        // aggregate may serialize it through one window task — the only
+        // global windows are the ≤1025-row bucket-offset frames. The
+        // epoch-day long is the range-bucketable order key (same order as
+        // `day`).
+        val dev = daily.crossJoin(broadcast(tot))
           .withColumn("dev_units", col("cents") * col("n_days") - col("total"))
-          .withColumn("cum", sum(col("dev_units")).over(w))
-          .withColumn("peak", max(col("cum")).over(w))
+          .withColumn("__ud", expr("CAST(unix_date(day) AS BIGINT)"))
+        Windows.twoLevelPrefixMax(
+          Windows.twoLevelPrefixSum(dev, "__ud", "dev_units", "cum"),
+          "__ud", "cum", "peak")
+          .drop("__ud")
           .withColumn("dd_units", col("peak") - col("cum"))
           .orderBy(col("dd_units").desc, col("day"))
           .limit(1)

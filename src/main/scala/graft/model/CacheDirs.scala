@@ -23,8 +23,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    is deleted before writing, re-stamped only after the parquet commit),
   *    so it repairs itself on the next call.
   *
-  * Concurrent same-SF-dir same-user sessions would race on a path; the
-  * harness never runs two, and a torn write is repaired by the next call.
+  * Concurrent same-SF-dir same-user sessions serialize on a per-entry
+  * LOCK FILE ([[cachedParquet]]'s build section runs under an atomic
+  * create-on-acquire `<name>.lock`): the loser waits for the winner's
+  * commit and then reads the freshly-stamped copy instead of interleaving
+  * an overwrite with a read. A lock older than [[LockStaleMs]] is treated
+  * as a dead owner (crashed JVM) and taken over; the fingerprint marker
+  * discipline still repairs any torn write the dead owner left.
   */
 object CacheDirs {
 
@@ -68,11 +73,42 @@ object CacheDirs {
       .digest(sb.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 
+  /** Age past which a lock file is presumed to belong to a crashed JVM
+    * and may be taken over. Far above any single cache build (the largest,
+    * the sf10 triangle list, is minutes); far below a harness round.
+    */
+  val LockStaleMs: Long = 30 * 60 * 1000L
+
+  /** Run `f` holding the per-entry build lock: atomic create-on-acquire
+    * (`Files.createFile` — atomic on POSIX and across JVMs), 100 ms poll
+    * while held elsewhere, stale-owner takeover past [[LockStaleMs]].
+    */
+  private def withEntryLock[T](rootDir: String, name: String)(f: => T): T = {
+    val lock = java.nio.file.Paths.get(rootDir, s"$name.lock")
+    var acquired = false
+    while (!acquired) {
+      try { java.nio.file.Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try {
+            System.currentTimeMillis() -
+              java.nio.file.Files.getLastModifiedTime(lock).toMillis
+          } catch { case _: java.io.IOException => 0L } // vanished: retry now
+          if (age > LockStaleMs) java.nio.file.Files.deleteIfExists(lock)
+          else Thread.sleep(100)
+      }
+    }
+    try f finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
   /** Read-through parquet cache for an expensive derived frame: if a cached
     * copy exists whose stamped fingerprint matches the CURRENT source data
     * (and whose parquet commit marker is present), read it; otherwise build,
-    * write, stamp, read. The returned frame is always parquet-backed, so
-    * downstream scans get column pruning/pushdown against the derived copy.
+    * write, stamp, read — under the per-entry lock, with a second validity
+    * check after acquisition (the winner of a concurrent race builds; the
+    * loser wakes to a valid marker and skips straight to the read). The
+    * returned frame is always parquet-backed, so downstream scans get
+    * column pruning/pushdown against the derived copy.
     */
   def cachedParquet(spark: SparkSession, kind: String, d: String,
       name: String)(build: => DataFrame): DataFrame = {
@@ -80,13 +116,15 @@ object CacheDirs {
     val dataPath = java.nio.file.Paths.get(rootDir, name)
     val marker = java.nio.file.Paths.get(rootDir, s"$name.fp")
     val fp = fingerprint(d)
-    val valid = java.nio.file.Files.exists(marker) &&
+    def valid = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp &&
       java.nio.file.Files.exists(dataPath.resolve("_SUCCESS"))
-    if (!valid) {
-      java.nio.file.Files.deleteIfExists(marker)
-      build.write.mode("overwrite").parquet(dataPath.toString)
-      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+    if (!valid) withEntryLock(rootDir, name) {
+      if (!valid) {
+        java.nio.file.Files.deleteIfExists(marker)
+        build.write.mode("overwrite").parquet(dataPath.toString)
+        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+      }
     }
     spark.read.parquet(dataPath.toString)
   }

@@ -787,21 +787,38 @@ object GraphAnalytics {
           .filter(col("e").isNotNull)
           .select(col("e.a").as("a"), col("e.b").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("__dec"))
-        if (!lazyTail) {
+        // A lazy-candidate round extracts dec FIRST so the round's OWN
+        // charge volume can veto the lazy path: the cumDecRows gate above
+        // is retrospective (last round's folded count), and the first lazy
+        // round after a re-base starts from 0 — a near-MaxBroadcastFringe
+        // fringe losing ~3 charge rows per triangle could otherwise fold a
+        // cumDec broadcast far above the MaxCumLazyRows ceiling in that
+        // same round. The count is free on the fresh checkpoint, and a
+        // vetoed round reuses the extracted charges in the re-base below.
+        val lazyDec: Option[DataFrame] =
+          if (!lazyTail) None else Some(decOf(flagged0).localCheckpoint())
+        val lazyOk = lazyDec.exists(d => cumDecRows + d.count() <= MaxCumLazyRows)
+        if (!lazyOk) {
           val flagged = flagged0.localCheckpoint()
           tri = flagged.filter(survives).select("x", "y", "z")
-          sup = keptSup.join(decOf(flagged), Seq("a", "b"), "left")
+          sup = keptSup.join(lazyDec.getOrElse(decOf(flagged)), Seq("a", "b"), "left")
             .select(col("a"), col("b"),
               (col("support") - coalesce(col("__dec"), lit(0L))).as("support"))
             .filter(col("support") > 0)
             .localCheckpoint()
+          // re-sync the surviving-edge count from the fresh checkpoint:
+          // the running `nEdges -= nRemoved` decrement misses edges the
+          // support>0 filter drops via charges alone, so across many
+          // rounds nEdges would overstate |E| and widen the relative lazy
+          // gate beyond the documented |E|/20 policy. Free on a checkpoint.
+          nEdges = sup.count()
           // reset the tail bases to the fresh checkpoints
           triBase = tri; supBase = sup; cumRemoved = None; cumDec = None
           cumRemovedRows = 0L; cumDecRows = 0L
         } else {
           // one |T| scan through broadcast probes; the result is ≤3 rows
           // per lost triangle
-          val dec = decOf(flagged0).localCheckpoint()
+          val dec = lazyDec.get
           cumRemoved = Some(cumRemoved.map(_.unionAll(removed0))
             .getOrElse(removed0).localCheckpoint())
           cumDec = Some(cumDec.map(_.unionAll(dec)).getOrElse(dec)

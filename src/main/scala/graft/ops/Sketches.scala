@@ -383,6 +383,11 @@ final class SlidingHllView(spark: org.apache.spark.sql.SparkSession,
   /** foreachBatch sink: `stream.writeStream.foreachBatch(view.sink)`. */
   def sink(batch: DataFrame, batchId: Long): Unit = { processBatch(batch); () }
 
+  // event-time high-water mark across folded batches (max unix_micros(ts)
+  // seen): the watermark base for [[finalizedWindows]]. One 1-row driver
+  // read per micro-batch, off the same batch scan the fold pays anyway.
+  private var maxEventMicros: Option[Long] = None
+
   /** Fold one micro-batch of raw events into the register state. */
   def processBatch(batch: DataFrame): Unit = {
     val b = Sketches.hllRegisters(
@@ -392,6 +397,10 @@ final class SlidingHllView(spark: org.apache.spark.sql.SparkSession,
         col("r").cast(IntegerType).as("r")))
       .groupBy("grp", "b").agg(max(col("r")).as("r"))
       .localCheckpoint()
+    val bm = batch.agg(max(expr("unix_micros(ts)"))).head()
+    if (!bm.isNullAt(0))
+      maxEventMicros = Some(maxEventMicros.fold(bm.getLong(0))(
+        math.max(_, bm.getLong(0))))
   }
 
   /** Per-window estimates over everything folded so far — identical to
@@ -410,6 +419,30 @@ final class SlidingHllView(spark: org.apache.spark.sql.SparkSession,
       .select(col("grp").as("w_end"), col("v_zero"), col("z_scaled"),
         col("est_hll"))
   }
+
+  /** The event-time watermark after the folded batches: max event time
+    * seen minus `delayMicros` — the standard bounded-lateness contract
+    * (no admissible late event is older than the watermark). None before
+    * the first non-empty batch.
+    */
+  def watermarkMicros(delayMicros: Long): Option[Long] =
+    maxEventMicros.map(_ - delayMicros)
+
+  /** Watermark-driven FINAL windows: a sliding window ending at hour `w`
+    * covers hours (w−winHours, w], so it is final exactly when hour `w`
+    * is closed under the watermark — `(w+1)·3600s ≤ watermark`, i.e.
+    * `w < watermarkHour` — because no admissible event can still land in
+    * any hour it covers. Emission is monotone exactly-once: a window
+    * enters this frame when the watermark passes its end hour and never
+    * leaves or changes afterwards (the registers feeding a closed hour
+    * are frozen by the same contract).
+    */
+  def finalizedWindows(delayMicros: Long): DataFrame =
+    watermarkMicros(delayMicros) match {
+      case None => windows.limit(0)
+      case Some(wm) =>
+        windows.filter(col("w_end") < lit(Math.floorDiv(wm, 3600000000L)))
+    }
 
   /** Current state size (register rows ≤ hours×256). */
   def stateSize: Long = reg.count()

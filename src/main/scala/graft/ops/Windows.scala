@@ -358,20 +358,83 @@ object Windows {
     events.groupBy(expr("unix_micros(ts) div 60000000").as("b"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Order-preserving range bucketing of a distinct LONG order column
+    * into ≤ `buckets`+1 buckets: one combinable min/max scan, then
+    * `__bk = (key − lo) div step`. The companion of
+    * `Shuffle.globalRowNumber` for order keys that are not pre-bounded
+    * (minute indices, epoch days): the running-aggregate helpers below
+    * keep their per-row windows partition-parallel on `__bk`, and the
+    * only unpartitioned window touches the bucket-totals table — a frame
+    * whose size is the FIXED bucket count, not the series length.
+    */
+  private def withRangeBucket(df: DataFrame, orderCol: String,
+      buckets: Int): DataFrame = {
+    val mm = df.agg(min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("__bk",
+        expr(s"($orderCol - __lo) div (((__hi - __lo) div $buckets) + 1)"))
+      .drop("__lo", "__hi")
+  }
+
+  /** Global running SUM of `valueCol` in `orderCol` order (ROWS UNBOUNDED
+    * PRECEDING..CURRENT) WITHOUT an unpartitioned per-row window — the
+    * two-level prefix-sum discipline (Shuffle.globalRowNumber lifted from
+    * counts to sums): per-bucket partial sums, a running offset over the
+    * tiny bucket table, broadcast back, per-bucket windows. `orderCol`
+    * must be a distinct long per row (both call sites are groupBy keys).
+    */
+  def twoLevelPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, buckets: Int = 1024): DataFrame = {
+    val b = withRangeBucket(df, orderCol, buckets)
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy("__bk").rowsBetween(Long.MinValue, -1)
+    val offs = b.groupBy("__bk").agg(sum(col(valueCol)).as("__ps"))
+      .withColumn("__off", coalesce(sum(col("__ps")).over(wB), lit(0L)))
+      .select("__bk", "__off")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bk").orderBy(orderCol).rowsBetween(Long.MinValue, 0)
+    b.join(broadcast(offs), "__bk")
+      .withColumn(outCol, col("__off") + sum(col(valueCol)).over(wIn))
+      .drop("__bk", "__off")
+  }
+
+  /** Global running MAX of `valueCol` in `orderCol` order, same two-level
+    * discipline (max is associative exactly like sum): per-bucket maxima,
+    * an EXCLUSIVE prefix-max over the tiny bucket table, then
+    * greatest(previous-bucket max, within-bucket running max) — Spark's
+    * `greatest` skips the null the first bucket's missing predecessor
+    * yields.
+    */
+  def twoLevelPrefixMax(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, buckets: Int = 1024): DataFrame = {
+    val b = withRangeBucket(df, orderCol, buckets)
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy("__bk").rowsBetween(Long.MinValue, -1)
+    val offs = b.groupBy("__bk").agg(max(col(valueCol)).as("__pm"))
+      .withColumn("__prev", max(col("__pm")).over(wB))
+      .select("__bk", "__prev")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bk").orderBy(orderCol).rowsBetween(Long.MinValue, 0)
+    b.join(broadcast(offs), "__bk")
+      .withColumn(outCol, greatest(max(col(valueCol)).over(wIn), col("__prev")))
+      .drop("__bk", "__prev")
+  }
+
   /** CUSUM changepoint over a `(b, cnt)` rate series (Page 1954), exact
     * integer arithmetic (dev·T = T·cnt − S so the mean never divides):
     * the single row where |cusum| peaks, min-b tie-break. One source of
     * truth for the batch query AND the streaming view — the
-    * batch/streaming unification discipline. The window runs on the
-    * minute table (one row per minute of history), never on events.
+    * batch/streaming unification discipline. The running sum rides
+    * [[twoLevelPrefixSum]] (VERDICT r12 #4): the minute table is bounded
+    * by the time span, not the data size, so a multi-year corpus must not
+    * serialize it through one window task — the only global window here
+    * is the ≤1025-row bucket-offset frame.
     */
   def cusumChangepoint(bk: DataFrame): DataFrame = {
     val st = bk.agg(count(lit(1)).as("t"), sum(col("cnt")).as("s"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("b").rowsBetween(Long.MinValue, 0)
-    bk.crossJoin(broadcast(st))
+    val dev = bk.crossJoin(broadcast(st))
       .withColumn("dev_t", col("t") * col("cnt") - col("s"))
-      .withColumn("cusum_t", sum(col("dev_t")).over(w))
+    twoLevelPrefixSum(dev, "b", "dev_t", "cusum_t")
       .select(col("b").as("cp_bucket"), col("t").as("n_buckets"),
         col("s").as("total_events"), abs(col("cusum_t")).as("max_abs_cusum_t"))
       .orderBy(abs(col("cusum_t")).desc, col("b")).limit(1)

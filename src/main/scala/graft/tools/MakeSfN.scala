@@ -79,14 +79,21 @@ object MakeSfN {
     // Copies 64+ would land on an already-used dimension (7c mod 64 has
     // period 64), making copy c and c+64 EXACT duplicates — fabricated
     // cross-copy dup pairs that would distort the similarity/dedup scale
-    // trend at copies>64 (the sf10 build). The sign flip for the second
-    // lap keeps those same-dimension copies far apart (cosine ~0.7, below
-    // every near-dup threshold) while copies <64 are byte-identical to
-    // the historical sf1 builds.
+    // trend at copies>64 (the sf10 build). The perturbation is therefore
+    // LAP-dependent (lap = c div 64): sign alternates with lap parity and
+    // magnitude grows 0.35 per sign cycle, so every lap writes a DISTINCT
+    // value into its shared dimension — lap 0 +0.35, lap 1 −0.35, lap 2
+    // +0.70, lap 3 −0.70, … — and no two copies at ANY copy count can
+    // alias (the r12 fixed sign flip re-aliased at lap 2, i.e. the sf100
+    // build). Laps 0-1 are byte-identical to the historical sf1/sf10
+    // builds; same-dimension cross-lap copies stay at cosine ~0.7, below
+    // every near-dup threshold.
     val emb = expand(spark.read.parquet(s"$inDir/embeddings.parquet"), Seq("vec_id"))
       .withColumn("embedding", when(col("__c") === 0, col("embedding")).otherwise(
         expr(s"transform(embedding, (x, j) -> CAST(x + IF(j = CAST(__c * 7 % 64 AS INT), " +
-          "CAST(IF(__c < 64, 0.35, -0.35) AS FLOAT), CAST(0.0 AS FLOAT)) AS FLOAT))")))
+          "CAST((0.35 + 0.35 * CAST(__c DIV 128 AS INT)) * " +
+          "IF((__c DIV 64) % 2 = 0, 1.0, -1.0) AS FLOAT), " +
+          "CAST(0.0 AS FLOAT)) AS FLOAT))")))
     write(emb, "embeddings")
 
     spark.stop()

@@ -64,4 +64,44 @@ class CacheDirsSpec extends SparkSpec {
     CacheDirs.cachedParquet(spark, "spec", src.toString, "w")(build()).count()
     assert(builds == 2)
   }
+
+  test("concurrent same-entry callers serialize on the lock: one build, no torn read") {
+    val src = mkSourceDir()
+    writeSource(src, "v1")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build() = {
+      builds.incrementAndGet()
+      Thread.sleep(500) // hold the build window open so the race is real
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            CacheDirs.cachedParquet(spark, "spec", src.toString, "race")(
+              build()).count()
+        })
+      }
+      // both callers read the COMPLETE committed copy (a torn read would
+      // throw or count short), and the loser waited instead of rebuilding
+      assert(tasks.map(_.get()) == Seq(3L, 3L))
+      assert(builds.get() == 1, s"expected one build, got ${builds.get()}")
+    } finally pool.shutdown()
+  }
+
+  test("stale lock from a dead owner is taken over, not waited on forever") {
+    val src = mkSourceDir()
+    writeSource(src, "v1")
+    val lock = java.nio.file.Paths.get(
+      CacheDirs.root("spec", src.toString), "dead.lock")
+    java.nio.file.Files.createFile(lock)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - CacheDirs.LockStaleMs - 60000L))
+    val got = CacheDirs.cachedParquet(spark, "spec", src.toString, "dead")(
+      Seq((1L, "a")).toDF("id", "v"))
+    assert(got.count() == 1)
+    assert(!java.nio.file.Files.exists(lock)) // takeover released it
+  }
 }

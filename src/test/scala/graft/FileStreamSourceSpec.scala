@@ -43,16 +43,21 @@ class FileStreamSourceSpec extends SparkSpec {
   test("file-source streamingTumbling over real events equals the batch answer") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/events.parquet").exists())
-    val ev = graft.model.Tables(spark, sf, "events")
-      .select("ts", "event_type", "value").localCheckpoint()
-    // three files split by event time — the landing-directory shape
-    val ranked = ev.withColumn("__rn", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+    val evFull = graft.model.Tables(spark, sf, "events")
+      .select("event_id", "ts", "event_type", "value").localCheckpoint()
+    val ev = evFull.drop("event_id")
+    // three files split by event time — the landing-directory shape.
+    // The split rank orders by (ts, event_id): a TOTAL order, so the three
+    // lazy chunk filters (each a fresh evaluation of this plan) partition
+    // the rows exactly — duplicate-ts rows under a ts-only order could
+    // land in two chunks or none across recomputations.
+    val ranked = evFull.withColumn("__rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
     val n = ranked.count()
     val chunks = Seq(
       ranked.filter(col("__rn") <= n / 3),
       ranked.filter(col("__rn") > n / 3 && col("__rn") <= 2 * n / 3),
-      ranked.filter(col("__rn") > 2 * n / 3)).map(_.drop("__rn"))
+      ranked.filter(col("__rn") > 2 * n / 3)).map(_.drop("__rn", "event_id"))
     val watch = java.nio.file.Files.createTempDirectory("graft-fss-ev").toFile
     writeChunks(watch, chunks)
 
@@ -104,6 +109,63 @@ class FileStreamSourceSpec extends SparkSpec {
       assert(q.recentProgress.exists(p =>
         Option(p.eventTime.get("watermark")).exists(_ > "2024-01-01T00:40:00")),
         q.recentProgress.map(_.eventTime).mkString("\n"))
+    } finally q.stop()
+  }
+
+  test("file-source SlidingHllView: per-file batches fold the sketch; watermark finalizes windows") {
+    // stateful SKETCH twin through the real file path (VERDICT r12 #6):
+    // file 1 carries hours 0-2, file 2 (landing LATER in the watched dir)
+    // carries hour 6 — its batch advances the watermark past hours 1-2,
+    // so their windows become FINAL only once that batch runs.
+    def ev(h: Int, users: Range) = users.map(u =>
+      (h * 1000L + u, new Timestamp(ts("2024-01-01 00:00:00").getTime + h * 3600000L),
+        u.toLong, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val f1 = ev(0, 1 to 20).unionAll(ev(1, 1 to 30)).unionAll(ev(2, 1 to 10))
+    val f2 = ev(6, 1 to 5)
+    val t0h = ts("2024-01-01 00:00:00").getTime / 3600000L // unix hour
+    val delayUs = 30L * 60 * 1000000
+    val watch = java.nio.file.Files.createTempDirectory("graft-fss-hll").toFile
+    writeChunks(watch, Seq(f1))
+
+    val view = new graft.ops.SlidingHllView(spark)
+    val stream = spark.readStream
+      .schema(f1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString)
+    val q = stream.writeStream.foreachBatch(view.sink _).start()
+    try {
+      q.processAllAvailable()
+      // watermark = hour-2 max event − 30 min → only hour 0's window final
+      def finals() = view.finalizedWindows(delayUs)
+        .select("w_end").collect().map(_.getLong(0)).toSet
+      assert(finals() == Set(t0h))
+      // the second file ARRIVES in the watched dir after the query started
+      // — the landing-directory shape — and runs as its own micro-batch
+      val stage = java.nio.file.Files.createTempDirectory("graft-hll-f2").toFile
+      f2.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watch, "chunk-001.parquet").toPath)
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+      // watermark-driven emission: hour 6's batch finalized hours 1-2;
+      // hour 6's own window stays open (monotone, exactly-once entry)
+      assert(finals() == Set(t0h, t0h + 1, t0h + 2))
+      // parity: the folded view equals the batch sketch pipeline over the
+      // union of both files (the HllStreamSpec contract, via the file path)
+      val dir = java.nio.file.Files.createTempDirectory("graft-hll-batch").toString
+      f1.unionAll(f2).withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = Queries.all("sketch_hll_sliding").fn(spark, dir)
+        .select("w_end", "v_zero", "z_scaled", "est_hll")
+        .collect().map(_.toSeq).toSet
+      val streamed = view.windows
+        .select("w_end", "v_zero", "z_scaled", "est_hll")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
     } finally q.stop()
   }
 }

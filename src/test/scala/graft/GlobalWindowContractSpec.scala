@@ -35,8 +35,8 @@ class GlobalWindowContractSpec extends SparkSpec {
     "skyline_pareto" -> "two-level prefix-sum offsets over the block totals frame",
     "split_holdout" -> "share window on the 3-row split summary",
     "text_search_bool" -> "rank window only on the <=9-row TakeOrdered term frame",
-    "ts_changepoint" -> "CUSUM window on the per-minute count table (~526k rows/yr max)",
-    "ts_max_drawdown" -> "cum/peak windows on the per-day revenue table (time-domain-bounded)",
+    "ts_changepoint" -> "two-level prefix-sum offsets over the <=1025-row bucket totals frame",
+    "ts_max_drawdown" -> "two-level prefix-sum/max offsets over the <=1025-row bucket totals frames",
     "ts_seasonality" -> "total window on the <=24-row hour-of-day table",
     "ts_theil_sen" -> "two-level prefix-sum offsets over the bucket totals frame",
     "vocab_topk" -> "rank/coverage window only on the k=1000 TakeOrdered survivor frame",
