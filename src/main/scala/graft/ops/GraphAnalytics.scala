@@ -541,10 +541,20 @@ object GraphAnalytics {
   def kCoreDF(edges: DataFrame, k: Int, rounds: Int = 10): DataFrame = {
     require(k >= 1, s"k must be ≥ 1, got $k")
     require(rounds >= 1, s"rounds must be ≥ 1, got $rounds")
+    // und stays a LAZY view over the caller's edge frame — NOT a
+    // localCheckpoint. The peel is shallow (≤3 rounds on every measured
+    // graph family), so a materialized 2|E|-row copy can never amortize:
+    // at sf10 (120M edges) the 240M-row deserialized checkpoint write
+    // crossed the storage-region threshold and spilled, costing 105 s
+    // against ~20 s of actual peel work (r13 probe) — a 22× decade ratio
+    // from a 2-round query. Each consumer instead re-reads the input
+    // (persisted graph cache / parquet scan) — two cheap columnar scans
+    // per round. Input contract: `edges` must be materialization-stable
+    // (persisted, checkpointed, or a scan), which every caller satisfies;
+    // an unstable frame could present different rows to different rounds.
     val e = edges.select("src", "dst")
     val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .select(col("src").as("a"), col("dst").as("b"))
-      .localCheckpoint()
     // INCREMENTAL peel: degrees are counted over the full edge list ONCE;
     // each round subtracts the edges lost to that round's removed set
     // instead of re-counting survivors against survivors (which would
@@ -554,13 +564,23 @@ object GraphAnalytics {
     // SQL oracle replays. The loss join's removed side starts at the
     // sub-k fringe and shrinks towards convergence — AQE picks the
     // broadcast side from its real size (no unsafe hint).
-    var deg = und.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val dbg = sys.env.contains("GRAFT_PEEL_DEBUG")
+    def tick() = System.nanoTime()
+    var t0 = tick()
+    // initial degrees from a SINGLE-column endpoint union — half the
+    // shuffle bytes of grouping the two-column und view
+    var deg = e.select(col("src").as("a"))
+      .unionAll(e.select(col("dst").as("a")))
+      .groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
+    if (dbg) println(f"[kcore] init deg: ${(tick() - t0) / 1e9}%.2f s")
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
       r += 1
+      t0 = tick()
       val removed = deg.filter(col("deg") < k)
         .select(col("a").as("rid")).localCheckpoint()
+      val nRemoved = if (dbg) removed.count() else -1L
       // an empty removed set makes every remaining round a no-op, so
       // stopping early returns the SAME result as running all `rounds` —
       // bounded-round semantics (and oracle parity) are unchanged.
@@ -573,6 +593,7 @@ object GraphAnalytics {
           .select(col("a"), (col("deg") - coalesce(col("__lost"), lit(0L))).as("deg"))
           .localCheckpoint()
       }
+      if (dbg) println(f"[kcore] round $r removed=$nRemoved: ${(tick() - t0) / 1e9}%.2f s")
     }
     // deg now holds within-core degrees of the survivors; vertices whose
     // neighbours were all peeled in the final bounded round carry deg 0
@@ -1005,19 +1026,29 @@ object GraphAnalytics {
     * key instead of dedup-shuffle + join re-shuffle. The per-key buffer is
     * the order's distinct part set — bounded by order line count, so no
     * hot-key blowup.
+    *
+    * Disk-cached like the triangle list it feeds (fingerprint-validated,
+    * [[graft.model.CacheDirs.cachedParquet]]): the projection is consumed
+    * by FOUR query families (triangle count, truss peel, clustering
+    * coefficient's degree pass, the enumeration build itself), and the
+    * r13 sf10 probe showed clustering_coeff re-paying the lineitem
+    * groupBy + wedge distinct (~120M-row shuffle) on every call — with
+    * the cache each consumer gets a 2-column pruned parquet scan.
     */
   def coOrderPartEdges(spark: SparkSession, sfDir: String): DataFrame =
-    graft.model.Tables(spark, sfDir, "lineitem")
-      // a NULL order key must produce no pairs (equi-join semantics of the
-      // former self-join form) — groupBy would otherwise pool all NULL-key
-      // rows into one group and fabricate co-order edges among them
-      .filter(col("l_orderkey").isNotNull)
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
-      .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "src")))
-      .select(col("src"),
-        explode(slice(col("__ps"), col("__i") + 2, size(col("__ps")))).as("dst"))
-      .distinct()
+    graft.model.CacheDirs.cachedParquet(spark, "graph", sfDir, "co_edges") {
+      graft.model.Tables(spark, sfDir, "lineitem")
+        // a NULL order key must produce no pairs (equi-join semantics of the
+        // former self-join form) — groupBy would otherwise pool all NULL-key
+        // rows into one group and fabricate co-order edges among them
+        .filter(col("l_orderkey").isNotNull)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
+        .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "src")))
+        .select(col("src"),
+          explode(slice(col("__ps"), col("__i") + 2, size(col("__ps")))).as("dst"))
+        .distinct()
+    }
 
   /** Degree assortativity (Newman, "Assortative mixing in networks",
     * PRL 2002): Pearson correlation of endpoint degrees over the
