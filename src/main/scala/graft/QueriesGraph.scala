@@ -420,9 +420,20 @@ object QueriesGraph {
     "graph_rich_club" -> QueryDef(
       (s, d) => {
         val g = DerivedGraph(s, d)
-        val su = graft.model.DerivedGraph.undirected(g.edges).distinct()
-        val deg = su.groupBy("a").agg(count(lit(1)).as("dg"))
-        val pairs = su.filter(col("a") < col("b"))
+        // canonical-pair dedup instead of distinct over the DOUBLED
+        // undirected view: the same simple graph falls out of one
+        // |E|-row distinct (least/greatest orients each edge) rather
+        // than a 2|E|-row distinct + regroup — half the shuffle volume
+        // of the r13 tier-4 probe's dominant stage. Degrees then come
+        // from a map-side-combinable count over the pair explode (each
+        // neighbor appears exactly once per pair by construction).
+        val pairs = g.edges
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val deg = pairs
+          .select(explode(array(col("a"), col("b"))).as("a"))
+          .groupBy("a").agg(count(lit(1)).as("dg"))
         val ks = array(Seq(2L, 4L, 8L, 16L).map(lit): _*)
         val nodesK = deg.select(col("dg"), explode(ks).as("k"))
           .filter(col("dg") > col("k"))
