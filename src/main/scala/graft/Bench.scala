@@ -100,7 +100,15 @@ object Bench {
     // Sidecar path is overridable so a manual/judge rerun can never clobber
     // the driver's round artifact (r8 incident: a judge rerun overwrote the
     // uncommitted driver sidecar because this path was hard-coded).
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    // The bare name "BENCH_local.json" is the CANONICAL sf0.1 sidecar;
+    // Bench runs at any other SF dir (the verify recipe runs sf0.01)
+    // default to an sf-tagged name so they cannot clobber it — this
+    // overwrite bit twice (r12 commit 61fb98f; again mid-r13 via the
+    // /verify recipe). SPARK_GRAFT_BENCH_OUT still overrides everything.
+    val defaultSidecar =
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) "BENCH_local.json"
+      else s"BENCH_local_${graft.model.CacheDirs.dirTag(sfDir)}.json"
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultSidecar)
     try {
       val p = java.nio.file.Paths.get(sidecar)
       java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))

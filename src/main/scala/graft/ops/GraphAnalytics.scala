@@ -65,7 +65,16 @@ object GraphAnalytics {
     * holds relative to total parallelism.
     */
   def toGraphX(vertices: DataFrame, edges: DataFrame): Graph[(String, String), String] = {
-    val parts = math.max(2, vertices.sparkSession.sparkContext.defaultParallelism / 4)
+    val sc = vertices.sparkSession.sparkContext
+    // cores/4 is the FLOOR (fat partitions cut superstep task overhead on
+    // small graphs), but it must not CAP big ones: pinned at 8, sf10's
+    // 120M edges meant 15M deserialized Edge objects per partition and
+    // 8-way supersteps on 32 cores (graph_cc read 14.7× per 10× data in
+    // the r13 tier-5 probe). Scale by the ~2M-edges/partition rule,
+    // bounded at 4× parallelism so task counts stay superstep-friendly.
+    val nE = edges.count()
+    val parts = math.max(math.max(2, sc.defaultParallelism / 4),
+      math.min(sc.defaultParallelism * 4, (nE / 2000000L).toInt + 1))
     val vRDD = vertices.select("id", "label", "name").rdd
       .map(r => (r.getLong(0): VertexId, (r.getString(1), r.getString(2))))
       .coalesce(parts)
@@ -500,6 +509,10 @@ object GraphAnalytics {
   def lpaDF(vertices: DataFrame, edges: DataFrame, numIter: Int = 5,
       broadcastLabelLimit: Long = 5000000L): DataFrame = {
     val e = edges.select("src", "dst")
+    // the materialized 2|E| copy EARNS its write here, unlike kCoreDF's
+    // (r13 A/B at sf10: checkpoint aged 19.5 s vs lazy view 47.0 s, cold
+    // parity) — numIter rounds each probe und once, so the one-time write
+    // amortizes where kcore's 2-round peel could not.
     val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .select(col("src").as("a"), col("dst").as("b"))
       .localCheckpoint()
