@@ -64,17 +64,21 @@ object GraphAnalytics {
     * cutting superstep task counts 4×). At cluster scale the same ratio
     * holds relative to total parallelism.
     */
+  /** GraphX RDD partition count for an |E|-row edge set: cores/4 is the
+    * FLOOR (fat partitions cut superstep task overhead on small graphs),
+    * but it must not CAP big ones — pinned at 8, sf10's 120M edges meant
+    * 15M deserialized Edge objects per partition and 8-way supersteps on
+    * 32 cores (graph_cc read 14.7× per 10× data in the r13 tier-5 probe).
+    * Scale by the ~2M-edges/partition rule, bounded at 4× parallelism so
+    * superstep task counts stay iteration-friendly.
+    */
+  private def graphParts(sc: org.apache.spark.SparkContext, nE: Long): Int =
+    math.max(math.max(2, sc.defaultParallelism / 4),
+      math.min(sc.defaultParallelism * 4, (nE / 2000000L).toInt + 1))
+
   def toGraphX(vertices: DataFrame, edges: DataFrame): Graph[(String, String), String] = {
     val sc = vertices.sparkSession.sparkContext
-    // cores/4 is the FLOOR (fat partitions cut superstep task overhead on
-    // small graphs), but it must not CAP big ones: pinned at 8, sf10's
-    // 120M edges meant 15M deserialized Edge objects per partition and
-    // 8-way supersteps on 32 cores (graph_cc read 14.7× per 10× data in
-    // the r13 tier-5 probe). Scale by the ~2M-edges/partition rule,
-    // bounded at 4× parallelism so task counts stay superstep-friendly.
-    val nE = edges.count()
-    val parts = math.max(math.max(2, sc.defaultParallelism / 4),
-      math.min(sc.defaultParallelism * 4, (nE / 2000000L).toInt + 1))
+    val parts = graphParts(sc, edges.count())
     val vRDD = vertices.select("id", "label", "name").rdd
       .map(r => (r.getLong(0): VertexId, (r.getString(1), r.getString(2))))
       .coalesce(parts)
@@ -957,7 +961,7 @@ object GraphAnalytics {
   }
 
   def bfsDistances(edges: DataFrame, seed: Long, maxDepth: Int = 10): DataFrame = {
-    val parts = math.max(2, edges.sparkSession.sparkContext.defaultParallelism / 4)
+    val parts = graphParts(edges.sparkSession.sparkContext, edges.count())
     val eRDD = edges.select("src", "dst").rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), 1))
       .coalesce(parts)
@@ -970,8 +974,8 @@ object GraphAnalytics {
     * [[triangleCountDF]]; prefer the DataFrame plan at scale.
     */
   def triangleCount(canonicalEdges: DataFrame): Long = {
-    val parts = math.max(2,
-      canonicalEdges.sparkSession.sparkContext.defaultParallelism / 4)
+    val parts = graphParts(
+      canonicalEdges.sparkSession.sparkContext, canonicalEdges.count())
     val eRDD = canonicalEdges.select("src", "dst").rdd
       .map(r => (r.getLong(0), r.getLong(1)))
       .coalesce(parts)
