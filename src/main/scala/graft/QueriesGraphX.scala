@@ -231,12 +231,22 @@ object QueriesGraphX {
       },
       modularityOracleSql),
 
-    // BFS distances from a nation seed via an explicit Pregel program;
-    // oracle = min level over chained frontier joins (diameter of the
-    // derived graph is well under the 10-superstep bound).
+    // BFS distances from a nation seed; oracle = min level over chained
+    // frontier joins (diameter of the derived graph is well under the
+    // 10-superstep bound). The seed IS one of the three sharedBfs
+    // landmarks, so the query reads the one disk-cached multi-landmark
+    // frame (the eccentricity/closeness/harmonic "traverse once, derive
+    // many" discipline) instead of re-running a single-seed Pregel pass:
+    // the r13 tier-7 probe read the Pregel form at 16.7× per 10× data
+    // (deserialized VertexRDD supersteps under 2×-heap pressure), while
+    // the landmark-frame filter is a pruned parquet/persist scan. The
+    // explicit Pregel program stays as the library op
+    // (GraphAnalytics.bfsDistances, spec-exercised) for seeds outside
+    // the landmark set.
     "graph_bfs_dist" -> QueryDef(
-      (s, d) => GraphAnalytics.bfsDistances(
-        GraphAnalytics.derivedGraphX(s, d), DerivedGraph.NationBase + 7, 10)
+      (s, d) => sharedBfs(s, d)
+        .filter(col("landmark") === (DerivedGraph.NationBase + 7))
+        .select(col("id"), col("dist"))
         .orderBy("id"),
       s"""${DerivedGraphSql.cte},
          | h0 AS (SELECT CAST(${DerivedGraph.NationBase + 7} AS BIGINT) AS id),
