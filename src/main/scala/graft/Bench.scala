@@ -105,8 +105,12 @@ object Bench {
     // default to an sf-tagged name so they cannot clobber it — this
     // overwrite bit twice (r12 commit 61fb98f; again mid-r13 via the
     // /verify recipe). SPARK_GRAFT_BENCH_OUT still overrides everything.
+    // normalized-basename EQUALITY, not a raw suffix test: ".../mysf0.1"
+    // must fall to the tagged name, and a trailing-slash or symlink-free
+    // respelling of the canonical dir must still hit it (ADVICE r13)
     val defaultSidecar =
-      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) "BENCH_local.json"
+      if (java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize
+          .getFileName.toString == "sf0.1") "BENCH_local.json"
       else s"BENCH_local_${graft.model.CacheDirs.dirTag(sfDir)}.json"
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultSidecar)
     try {

@@ -31,7 +31,12 @@ object QueriesGraphX {
       // reads |V|·L parquet rows instead of re-running the Pregel
       // traversal. All-long columns — the parquet round-trip is exact, so
       // the cached frame is value-identical to the build.
-      graft.model.CacheDirs.cachedParquet(s, "graph", d, "landmark_bfs") {
+      // cache-entry name folds in the CODE parameters the frame bakes in
+      // (landmark set, max depth — ADVICE r13): changing either produces a
+      // NEW entry instead of silently serving the old one to the
+      // correctness gates of every session whose cache predates the change.
+      graft.model.CacheDirs.cachedParquet(s, "graph", d,
+        s"landmark_bfs_lm${spLandmarks.map(_ - graft.model.DerivedGraph.NationBase).mkString("-")}_d10") {
         GraphAnalytics.multiSourceBfs(
           GraphAnalytics.derivedGraphX(s, d), spLandmarks, 10)
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -64,7 +69,11 @@ object QueriesGraphX {
       // BIGINT columns — exact round-trip, and the peel consumes the
       // parquet-backed frame exactly like the session-persisted one
       // (materialization-stable either way).
-      graft.model.CacheDirs.cachedParquet(s, "graph", d, "triangles") {
+      // name carries the co-order projection's definition version (the
+      // frame bakes it in transitively — ADVICE r13): a projection change
+      // bumps CoEdgesVersion and both dependent entries rebuild.
+      graft.model.CacheDirs.cachedParquet(s, "graph", d,
+        s"triangles_co${GraphAnalytics.CoEdgesVersion}") {
         GraphAnalytics.triangleListDF(
           GraphAnalytics.coOrderPartEdges(s, d)
             .select(col("src").as("a"), col("dst").as("b")),

@@ -750,8 +750,12 @@ object QueriesLlm {
         val ivf = Similarity.ivfCosineTopK(emb, pred, k = 5, nCells = 16,
             nprobe = 3, cacheKey = Some(d))
           .select(col("q_id"), col("c_id"), col("rk").as("i_rk"))
-        val truth = Similarity.cosineTopK(emb.withColumn("__g", lit(1)), pred,
-            k = 5, blockCol = "__g")
+        // globally-parallel exact truth (r13 tier-7 fix): the old
+        // constant-block cosineTopK form funneled every query×corpus pair
+        // through ONE hash partition (~24×/decade isolated); the query set
+        // is capped so it broadcasts, scoring stays map-side, and the rank
+        // cut is two-level — see Similarity.cosineTopKGlobal.
+        val truth = Similarity.cosineTopKGlobal(emb, pred, k = 5)
           .select(col("q_id"), col("c_id"), col("rk").as("t_rk"))
         truth.join(ivf, Seq("q_id", "c_id"), "left")
           .groupBy("q_id")

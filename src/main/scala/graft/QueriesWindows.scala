@@ -914,9 +914,10 @@ object QueriesWindows {
         val dev = daily.crossJoin(broadcast(tot))
           .withColumn("dev_units", col("cents") * col("n_days") - col("total"))
           .withColumn("__ud", expr("CAST(unix_date(day) AS BIGINT)"))
-        Windows.twoLevelPrefixMax(
-          Windows.twoLevelPrefixSum(dev, "__ud", "dev_units", "cum"),
-          "__ud", "cum", "peak")
+        // fused sum+peak: one exchange/scan/broadcast instead of the
+        // chained helpers' two (the r13 0.6→2.1 s fixed-overhead
+        // regression; equivalence pinned in WindowsOpsSpec)
+        Windows.twoLevelPrefixSumMax(dev, "__ud", "dev_units", "cum", "peak")
           .drop("__ud")
           .withColumn("dd_units", col("peak") - col("cum"))
           .orderBy(col("dd_units").desc, col("day"))

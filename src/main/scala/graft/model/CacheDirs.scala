@@ -27,9 +27,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * LOCK FILE ([[cachedParquet]]'s build section runs under an atomic
   * create-on-acquire `<name>.lock`): the loser waits for the winner's
   * commit and then reads the freshly-stamped copy instead of interleaving
-  * an overwrite with a read. A lock older than [[LockStaleMs]] is treated
-  * as a dead owner (crashed JVM) and taken over; the fingerprint marker
-  * discipline still repairs any torn write the dead owner left.
+  * an overwrite with a read. A live owner HEARTBEATS the lock's mtime
+  * (so long builds are never presumed dead); a lock whose mtime is older
+  * than [[LockStaleMs]] is treated as a dead owner (crashed JVM) and
+  * taken over ATOMICALLY (rename-to-tombstone — only one waiter can win);
+  * the fingerprint marker discipline still repairs any torn write the
+  * dead owner left.
   */
 object CacheDirs {
 
@@ -73,32 +76,84 @@ object CacheDirs {
       .digest(sb.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 
-  /** Age past which a lock file is presumed to belong to a crashed JVM
-    * and may be taken over. Far above any single cache build (the largest,
-    * the sf10 triangle list, is minutes); far below a harness round.
+  /** Age past which a lock file with NO heartbeat is presumed to belong
+    * to a crashed JVM and may be taken over. A LIVE owner's heartbeat
+    * thread re-touches the lock every [[LockHeartbeatMs]], so even an
+    * sf100-tier build that runs for hours never looks stale — the
+    * threshold only has to outlive a heartbeat gap, not a whole build.
     */
   val LockStaleMs: Long = 30 * 60 * 1000L
 
-  /** Run `f` holding the per-entry build lock: atomic create-on-acquire
-    * (`Files.createFile` — atomic on POSIX and across JVMs), 100 ms poll
-    * while held elsewhere, stale-owner takeover past [[LockStaleMs]].
+  /** Owner heartbeat period — far below [[LockStaleMs]], so a paused-GC
+    * or briefly-descheduled owner still refreshes well inside the stale
+    * window.
+    */
+  val LockHeartbeatMs: Long = LockStaleMs / 10
+
+  /** Run `f` holding the per-entry build lock.
+    *
+    *  - Acquire: atomic create (`CREATE_NEW` — atomic on POSIX and across
+    *    JVMs) writing a per-acquisition UUID token as the content; 100 ms
+    *    poll while held elsewhere.
+    *  - Liveness: a daemon heartbeat re-touches the lock's mtime every
+    *    [[LockHeartbeatMs]] for as long as `f` runs, so a legitimately
+    *    long build is never presumed dead.
+    *  - Stale takeover is ATOMIC: a waiter that sees mtime older than
+    *    [[LockStaleMs]] RENAMES the lock to a unique tombstone
+    *    (`ATOMIC_MOVE`) — exactly one waiter can win that rename, and
+    *    everyone (including the winner) then re-contends on the atomic
+    *    create. The former delete-based takeover could fire on a FRESH
+    *    lock created after the observed-stale one, letting two builders
+    *    run the overwrite-in-place write concurrently.
+    *  - Release deletes the lock only if it still holds OUR token: if the
+    *    lock was (wrongly) taken over while we ran, the new owner's lock
+    *    survives our release.
     */
   private def withEntryLock[T](rootDir: String, name: String)(f: => T): T = {
-    val lock = java.nio.file.Paths.get(rootDir, s"$name.lock")
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+    val lock = Paths.get(rootDir, s"$name.lock")
+    val token = java.util.UUID.randomUUID().toString
     var acquired = false
     while (!acquired) {
-      try { java.nio.file.Files.createFile(lock); acquired = true }
-      catch {
+      try {
+        Files.write(lock, token.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        acquired = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val age = try {
             System.currentTimeMillis() -
-              java.nio.file.Files.getLastModifiedTime(lock).toMillis
+              Files.getLastModifiedTime(lock).toMillis
           } catch { case _: java.io.IOException => 0L } // vanished: retry now
-          if (age > LockStaleMs) java.nio.file.Files.deleteIfExists(lock)
-          else Thread.sleep(100)
+          if (age > LockStaleMs) {
+            val tomb = Paths.get(rootDir, s"$name.lock.tomb-$token")
+            try {
+              Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(tomb)
+            } catch { case _: java.io.IOException => () } // lost the race: re-contend
+          } else Thread.sleep(100)
       }
     }
-    try f finally java.nio.file.Files.deleteIfExists(lock)
+    val hb = new Thread(() => {
+      try {
+        while (true) {
+          Thread.sleep(LockHeartbeatMs)
+          Files.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        }
+      } catch {
+        case _: InterruptedException => () // normal shutdown
+        case _: java.io.IOException => () // lock stolen/gone: nothing to beat
+      }
+    }, s"graft-cache-lock-heartbeat-$name")
+    hb.setDaemon(true)
+    hb.start()
+    try f finally {
+      hb.interrupt()
+      try {
+        if (new String(Files.readAllBytes(lock), "UTF-8") == token)
+          Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () } // already gone/stolen
+    }
   }
 
   /** Read-through parquet cache for an expensive derived frame: if a cached

@@ -76,15 +76,24 @@ object GraphAnalytics {
     math.max(math.max(2, sc.defaultParallelism / 4),
       math.min(sc.defaultParallelism * 4, (nE / 2000000L).toInt + 1))
 
+  /** Resize an RDD to the [[graphParts]] target in the right direction:
+    * `coalesce` can only REDUCE a partition count, so a source that
+    * arrives NARROWER than the edge-scaled target (an AQE-coalesced or
+    * persisted frame) must go through a shuffle repartition or the sf10
+    * partition-starvation fix silently does not apply (ADVICE r13).
+    */
+  private def toParts[T: ClassTag](rdd: org.apache.spark.rdd.RDD[T],
+      parts: Int): org.apache.spark.rdd.RDD[T] =
+    if (parts > rdd.getNumPartitions) rdd.repartition(parts)
+    else rdd.coalesce(parts)
+
   def toGraphX(vertices: DataFrame, edges: DataFrame): Graph[(String, String), String] = {
     val sc = vertices.sparkSession.sparkContext
     val parts = graphParts(sc, edges.count())
-    val vRDD = vertices.select("id", "label", "name").rdd
-      .map(r => (r.getLong(0): VertexId, (r.getString(1), r.getString(2))))
-      .coalesce(parts)
-    val eRDD = edges.select("src", "dst", "label").rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
-      .coalesce(parts)
+    val vRDD = toParts(vertices.select("id", "label", "name").rdd
+      .map(r => (r.getLong(0): VertexId, (r.getString(1), r.getString(2)))), parts)
+    val eRDD = toParts(edges.select("src", "dst", "label").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2))), parts)
     Graph(vRDD, eRDD).partitionBy(PartitionStrategy.EdgePartition2D)
   }
 
@@ -962,9 +971,8 @@ object GraphAnalytics {
 
   def bfsDistances(edges: DataFrame, seed: Long, maxDepth: Int = 10): DataFrame = {
     val parts = graphParts(edges.sparkSession.sparkContext, edges.count())
-    val eRDD = edges.select("src", "dst").rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
-      .coalesce(parts)
+    val eRDD = toParts(edges.select("src", "dst").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1)), parts)
     bfsDistances(Graph.fromEdges(eRDD, 0), seed, maxDepth)
   }
 
@@ -976,9 +984,8 @@ object GraphAnalytics {
   def triangleCount(canonicalEdges: DataFrame): Long = {
     val parts = graphParts(
       canonicalEdges.sparkSession.sparkContext, canonicalEdges.count())
-    val eRDD = canonicalEdges.select("src", "dst").rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .coalesce(parts)
+    val eRDD = toParts(canonicalEdges.select("src", "dst").rdd
+      .map(r => (r.getLong(0), r.getLong(1))), parts)
     val g = Graph.fromEdgeTuples(eRDD, defaultValue = 1)
       .partitionBy(PartitionStrategy.EdgePartition2D)
     g.triangleCount().vertices.map(_._2.toLong).fold(0L)(_ + _) / 3
@@ -1052,8 +1059,17 @@ object GraphAnalytics {
     * groupBy + wedge distinct (~120M-row shuffle) on every call — with
     * the cache each consumer gets a 2-column pruned parquet scan.
     */
+  /** Definition version of the co-order projection, folded into every
+    * cache-entry name that bakes the projection in (co_edges itself and
+    * the triangle list enumerated from it — ADVICE r13): bump it when the
+    * projection's semantics change so stale cross-session caches rebuild
+    * instead of silently serving the old definition to correctness gates.
+    */
+  val CoEdgesVersion: Int = 1
+
   def coOrderPartEdges(spark: SparkSession, sfDir: String): DataFrame =
-    graft.model.CacheDirs.cachedParquet(spark, "graph", sfDir, "co_edges") {
+    graft.model.CacheDirs.cachedParquet(spark, "graph", sfDir,
+      s"co_edges_v$CoEdgesVersion") {
       graft.model.Tables(spark, sfDir, "lineitem")
         // a NULL order key must produce no pairs (equi-join semantics of the
         // former self-join form) — groupBy would otherwise pool all NULL-key

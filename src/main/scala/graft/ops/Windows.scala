@@ -371,8 +371,18 @@ object Windows {
       buckets: Int): DataFrame = {
     val mm = df.agg(min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
     df.crossJoin(broadcast(mm))
-      .withColumn("__bk",
-        expr(s"($orderCol - __lo) div (((__hi - __lo) div $buckets) + 1)"))
+      // a NULL order key would get a NULL __bk and be SILENTLY dropped by
+      // the downstream equi-join on __bk (the replaced single-window form
+      // kept such rows NULLS FIRST) — the helpers' call sites can't
+      // produce one today, but they are general-purpose, so enforce the
+      // precondition loudly (ADVICE r13): assert_true is NULL on success
+      // and raises before any row could vanish.
+      .withColumn("__bk", coalesce(
+        expr(s"($orderCol - __lo) div (((__hi - __lo) div $buckets) + 1)"),
+        assert_true(col(orderCol).isNotNull,
+          lit(s"twoLevelPrefix*: NULL order key in '$orderCol' — " +
+            "the two-level prefix helpers require non-null distinct order keys"))
+          .cast("long")))
       .drop("__lo", "__hi")
   }
 
@@ -418,6 +428,49 @@ object Windows {
     b.join(broadcast(offs), "__bk")
       .withColumn(outCol, greatest(max(col(valueCol)).over(wIn), col("__prev")))
       .drop("__bk", "__prev")
+  }
+
+  /** Fused running SUM + running MAX-OF-THAT-SUM in one two-level pass —
+    * `outSum` = prefix sum of `valueCol`, `outPeak` = prefix max of that
+    * prefix sum, both in `orderCol` order. Exactly equivalent to
+    * `twoLevelPrefixMax(twoLevelPrefixSum(df, …, "cum"), …, "cum", "peak")`
+    * but at HALF the fixed cost: the chained form pays two min/max scans,
+    * two full-data exchanges and two broadcast joins (the r13
+    * ts_max_drawdown 0.6→2.1 s regression was exactly this overhead at a
+    * 2400-row input); here the within-bucket running sum and running max
+    * share ONE window exchange, the bucket table carries (sum, max) pairs
+    * through one tiny global window, and one broadcast join restores both.
+    * Identity used: peak_i = max(prevBucketsPeak, off_b + runmax_b(i))
+    * where runmax_b is the within-bucket running max of the within-bucket
+    * running sum — max distributes over the constant bucket offset.
+    */
+  def twoLevelPrefixSumMax(df: DataFrame, orderCol: String, valueCol: String,
+      outSum: String, outPeak: String, buckets: Int = 1024): DataFrame = {
+    val b = withRangeBucket(df, orderCol, buckets)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bk").orderBy(orderCol).rowsBetween(Long.MinValue, 0)
+    // both running aggregates ride the SAME window spec → one exchange,
+    // one sort, one window operator evaluating two frames
+    val run = b.withColumn("__run", sum(col(valueCol)).over(wIn))
+      .withColumn("__runmax", max(col("__run")).over(wIn))
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy("__bk").rowsBetween(Long.MinValue, -1)
+    // per-bucket totals off the already-windowed rows: the bucket SUM is
+    // the max row's __run only when values are non-negative — use a real
+    // re-aggregate (combinable, input already partitioned by __bk) for
+    // sign-safe totals; the bucket MAX of __run is max(__runmax).
+    val offs = run.groupBy("__bk")
+      .agg(sum(col(valueCol)).as("__ps"), max(col("__run")).as("__pm"))
+      .withColumn("__off", coalesce(sum(col("__ps")).over(wB), lit(0L)))
+      // __pm + __off = this bucket's max of the GLOBAL running sum; its
+      // exclusive prefix max is the peak carried into later buckets
+      .withColumn("__prev", max(col("__pm") + col("__off")).over(wB))
+      .select("__bk", "__off", "__prev")
+    run.join(broadcast(offs), "__bk")
+      .withColumn(outSum, col("__off") + col("__run"))
+      .withColumn(outPeak,
+        greatest(col("__off") + col("__runmax"), col("__prev")))
+      .drop("__bk", "__off", "__prev", "__run", "__runmax")
   }
 
   /** CUSUM changepoint over a `(b, cnt)` rate series (Page 1954), exact

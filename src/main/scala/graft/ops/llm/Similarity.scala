@@ -40,6 +40,44 @@ object Similarity {
     topKJoin(q, c, k, Seq(blockCol))
   }
 
+  /** GLOBAL (unblocked) brute-force cosine top-k for a SMALL query set —
+    * the exact-ground-truth path recall calibration is defined against.
+    * Semantically identical to `cosineTopK` with a constant block column,
+    * but that shape equi-joins every query×corpus pair through ONE hash
+    * partition (the r13 tier-7 finding: ~24× per 10× data on the
+    * similarity_ivf_recall truth side, all 20M sf10 pairs in one task).
+    * Here the query frame BROADCASTS (it is capped — ~100 rows at every
+    * declared call site), so scoring is a map-side nested-loop over the
+    * corpus partitions with no shuffle of the embedding arrays at all,
+    * and the rank cut runs TWO-LEVEL: a per-(q_id, candidate-hash-block)
+    * row_number keeps k rows per block (parallelism = queries × blocks,
+    * never 1), then the global per-q_id window ranks only the
+    * queries × blocks × k survivors. Exact: every candidate lives in
+    * exactly one hash block, scores are rounded before ranking, and the
+    * (score desc, c_id) tie order is identical at both levels, so the
+    * union of per-block top-k contains the global top-k.
+    */
+  def cosineTopKGlobal(emb: DataFrame, queryPred: Column, k: Int = 5,
+      blocks: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = emb.withColumn("__nrm", float_norm(col(vecCol)))
+    val q = broadcast(e.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_emb"), col("__nrm").as("q_n")))
+    val c = e.select(col(idCol).as("c_id"), col(vecCol).as("c_emb"), col("__nrm").as("c_n"))
+    val scored = c.join(q, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(float_dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 4).as("score"),
+        pmod(xxhash64(col("c_id")), lit(blocks)).as("__blk"))
+    val wLocal = Window.partitionBy("q_id", "__blk")
+      .orderBy(col("score").desc, col("c_id"))
+    val wGlobal = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    scored
+      .withColumn("__rk0", row_number().over(wLocal)).filter(col("__rk0") <= k)
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "c_id", "score")
+  }
+
   /** Shared scoring tail: join prepared query/candidate frames on the
     * blocking key(s), score, rank, cut at k. The scored rows are projected
     * down to (q_id, c_id, score) BEFORE the rank window so the window

@@ -104,4 +104,61 @@ class CacheDirsSpec extends SparkSpec {
     assert(got.count() == 1)
     assert(!java.nio.file.Files.exists(lock)) // takeover released it
   }
+
+  test("stale-lock takeover is atomic: many waiters on one dead lock → exactly one build") {
+    // the delete-based takeover this replaced (ADVICE r13) let a second
+    // waiter delete the FRESH lock the first takeover had just created,
+    // admitting two concurrent builders into the overwrite-in-place write;
+    // the rename-to-tombstone form admits exactly one.
+    val src = mkSourceDir()
+    writeSource(src, "v1")
+    val lock = java.nio.file.Paths.get(
+      CacheDirs.root("spec", src.toString), "swarm.lock")
+    java.nio.file.Files.createFile(lock)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - CacheDirs.LockStaleMs - 60000L))
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inBuild = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def build() = {
+      builds.incrementAndGet()
+      if (inBuild.incrementAndGet() > 1) overlapped.set(true)
+      Thread.sleep(400) // hold the window open so a second admit would show
+      inBuild.decrementAndGet()
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            CacheDirs.cachedParquet(spark, "spec", src.toString, "swarm")(
+              build()).count()
+        })
+      }
+      assert(tasks.map(_.get()).forall(_ == 2L))
+      assert(builds.get() == 1, s"expected one post-takeover build, got ${builds.get()}")
+      assert(!overlapped.get(), "two builders ran the overwrite concurrently")
+    } finally pool.shutdown()
+  }
+
+  test("release leaves a lock that no longer holds our token (stolen mid-build) in place") {
+    // simulate the wrongly-presumed-dead case: while the owner 'runs', the
+    // lock is replaced by a new owner's token; the first owner's release
+    // must NOT delete the new owner's lock.
+    val src = mkSourceDir()
+    writeSource(src, "v1")
+    val root = CacheDirs.root("spec", src.toString)
+    val lock = java.nio.file.Paths.get(root, "stolen.lock")
+    CacheDirs.cachedParquet(spark, "spec", src.toString, "stolen") {
+      // mid-build: a usurper swaps the lock content (as a takeover+reacquire would)
+      java.nio.file.Files.write(lock, "usurper-token".getBytes("UTF-8"))
+      Seq((1L, "a")).toDF("id", "v")
+    }.count()
+    assert(java.nio.file.Files.exists(lock),
+      "release deleted a lock it no longer owned")
+    assert(new String(java.nio.file.Files.readAllBytes(lock), "UTF-8") == "usurper-token")
+    java.nio.file.Files.delete(lock) // clean up for other tests
+  }
 }

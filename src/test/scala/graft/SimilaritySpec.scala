@@ -38,6 +38,23 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, s) => globalBrute.get(q).foreach(bs => assert(s <= bs + 1e-9)) }
   }
 
+  test("cosineTopKGlobal matches the constant-block brute force row for row") {
+    // the parallel truth path (broadcast query side + two-level rank cut)
+    // must be VALUE-identical to the single-partition constant-block form
+    // it replaced on the similarity_ivf_recall truth side — same rows,
+    // same ranks, same rounded scores, at a block count that forces the
+    // per-block pre-cut to actually discard rows (k=3, 8 blocks over
+    // ~120 candidates) and on the real fixture's tie patterns.
+    val serial = Similarity.cosineTopK(emb.withColumn("all", lit(1)), pred,
+      k = 3, blockCol = "all")
+      .select("q_id", "rk", "c_id", "score").as[(Long, Long, Long, Double)]
+      .collect().toSet
+    val parallel = Similarity.cosineTopKGlobal(emb, pred, k = 3, blocks = 8)
+      .select("q_id", "rk", "c_id", "score").as[(Long, Long, Long, Double)]
+      .collect().toSet
+    assert(parallel == serial)
+  }
+
   test("IVF on an EMPTY corpus returns an empty frame with the contract schema") {
     val empty = emb.where(lit(false))
     val out = Similarity.ivfCosineTopK(empty, pred, nCells = 4)
