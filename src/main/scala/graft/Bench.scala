@@ -49,6 +49,7 @@ object Bench {
     graft.QueriesGraph.warmPostings(spark, sfDir)
     graft.QueriesGraphX.warmSharedBfs(spark, sfDir)
     graft.QueriesGraphX.warmSharedTriangles(spark, sfDir)
+    graft.QueriesGraphX.warmSharedTruss(spark, sfDir)
     // A failed query's wall time is its FAIL-FAST time — without surfacing
     // the failure in the artifact, a broken query makes the total look
     // BETTER (r9 shipped three broken queries this way: stderr-only

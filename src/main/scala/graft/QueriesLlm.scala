@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import scala.collection.immutable.ListMap
 import Qh._
-import graft.ops.llm.{Curation, Dedup, Mixture, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.ops.llm.{Curation, Dedup, Mixture, Multimodal, Packing, Shuffle, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline inventory (north-star mandate): dedup ×4, similarity
   * search ×2, text analysis ×4, fingerprinting, multimodal ×2. Oracles
@@ -155,7 +155,8 @@ object QueriesLlm {
        |  AS BIGINT) AS bkt FROM e0),
        |n AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
        |q AS (SELECT e.vec_id AS q_id, e.bkt, e.emb AS q_emb, n.nrm AS q_n
-       |      FROM e JOIN n ON e.vec_id = n.vec_id WHERE e.vec_id % 20 = 0),
+       |      FROM e JOIN n ON e.vec_id = n.vec_id
+       |      WHERE e.vec_id % 20 = 0 AND e.vec_id < $SimQueryCap),
        |c AS (SELECT e.vec_id AS c_id, e.bkt, e.emb AS c_emb, n.nrm AS c_n
        |      FROM e JOIN n ON e.vec_id = n.vec_id),
        |sc AS (SELECT q_id, c_id,
@@ -687,8 +688,13 @@ object QueriesLlm {
     // full value oracle: the generated SQL embeds each hyperplane
     // coefficient as an exact round-trip double literal, so DuckDB's
     // projections are bit-identical and the bucket bits (signs) agree.
+    // query pool rides the same fixed sample as the other similarity
+    // queries (r14: uncapped, the pool grew WITH the corpus — query ×
+    // candidate = quadratic per decade, 17× measured at sf10; the cap is
+    // a no-op at the correctness-gate SFs where every vec_id < cap)
     "similarity_lsh" -> QueryDef(
-      (s, d) => Similarity.lshCosineTopK(t(s, d, "embeddings"), col("vec_id") % 20 === 0)
+      (s, d) => Similarity.lshCosineTopK(t(s, d, "embeddings"),
+          col("vec_id") % 20 === 0 && col("vec_id") < SimQueryCap)
         .orderBy("q_id", "rk"),
       lshOracleSql),
 
@@ -1229,14 +1235,14 @@ object QueriesLlm {
     // reproducible across runs/cluster layouts and oracle-checkable; one
     // window shuffle on the stratum key.
     "sample_stratified" -> QueryDef(
-      (s, d) => {
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-        t(s, d, "documents")
-          .withColumn("rn", row_number().over(w))
-          .filter((col("rn") % 10) === 1)
-          .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
-          .orderBy("doc_id")
-      },
+      // per-stratum rank rides the two-level bucket form (r14): a plain
+      // lang-partitioned window bounds parallelism by the handful of
+      // language strata (33×/decade measured at sf10); values identical
+      (s, d) => Shuffle.stratifiedRowNumber(t(s, d, "documents"),
+          "lang", "doc_id")
+        .filter((col("rn") % 10) === 1)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy("doc_id"),
       """SELECT lang, rn, doc_id FROM (
         |  SELECT lang, doc_id,
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn

@@ -520,15 +520,22 @@ object GraphAnalytics {
     * needed for oracle parity.
     */
   def lpaDF(vertices: DataFrame, edges: DataFrame, numIter: Int = 5,
-      broadcastLabelLimit: Long = 5000000L): DataFrame = {
+      broadcastLabelLimit: Long = 5000000L,
+      undOverride: Option[DataFrame] = None): DataFrame = {
     val e = edges.select("src", "dst")
     // the materialized 2|E| copy EARNS its write here, unlike kCoreDF's
     // (r13 A/B at sf10: checkpoint aged 19.5 s vs lazy view 47.0 s, cold
     // parity) — numIter rounds each probe und once, so the one-time write
-    // amortizes where kcore's 2-round peel could not.
-    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .select(col("src").as("a"), col("dst").as("b"))
-      .localCheckpoint()
+    // amortizes where kcore's 2-round peel could not. `undOverride` lets
+    // a caller supply an equivalent materialization-stable (a, b) frame
+    // instead — e.g. a cross-session cached parquet copy that keeps the
+    // 2|E| rows OUT of the RDD storage region entirely (the sf100
+    // pre-emption of the kcore spill mode; A/B'd at sf10 in BENCHNOTES
+    // r14). Caller contract: same rows as the union below.
+    val und = undOverride.getOrElse(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .select(col("src").as("a"), col("dst").as("b"))
+        .localCheckpoint())
     val hintSmall: DataFrame => DataFrame =
       if (vertices.count() <= broadcastLabelLimit) broadcast(_) else identity
     var labels = vertices.select(col("id"), col("id").as("lbl"))

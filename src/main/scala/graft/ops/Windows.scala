@@ -300,13 +300,23 @@ object Windows {
     * one user-keyed join — event rows never carry more than (user, week).
     */
   def retentionCohorts(events: DataFrame): DataFrame = {
-    val firstSeen = events.groupBy("user_id")
-      .agg(date_trunc("week", min(col("ts"))).as("__cohort"))
-    events.select(col("user_id"), date_trunc("week", col("ts")).as("__w"))
-      .join(firstSeen, "user_id")
+    // collapse to DISTINCT (user, week) FIRST (r14: the former shape ran
+    // three event-scale shuffles — first-seen groupBy, the join back, and
+    // countDistinct's expand — 16×/decade at sf10): repeat events inside a
+    // week are redundant for retention, the distinct is map-side
+    // combinable, and every later stage rides the |user × active-week|
+    // frame. min(trunc(week)) over the distinct weeks equals
+    // trunc(week, min(ts)); and since each user contributes at most one
+    // row per week — hence at most one per (cohort, offset) — a plain
+    // count over the joined frame IS the distinct user count.
+    val uw = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("__w"))
+      .distinct()
+    val firstSeen = uw.groupBy("user_id").agg(min(col("__w")).as("__cohort"))
+    uw.join(firstSeen, "user_id")
       .groupBy(col("__cohort").cast("date").as("cohort_week"),
         (datediff(col("__w"), col("__cohort")) / 7).cast("long").as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** The same tumbling aggregation under Structured Streaming with a

@@ -65,6 +65,38 @@ object Shuffle {
       .drop("__bk", "__off")
   }
 
+  /** Per-stratum `row_number() OVER (PARTITION BY stratum ORDER BY key)`
+    * WITHOUT stratum-width tasks: a plain stratum-partitioned window
+    * bounds parallelism by the number of STRATA (sample_stratified read
+    * 33×/decade at sf10 — 500k docs rode a handful of language
+    * partitions). Two-level instead: order-preserving range buckets of
+    * the key (one broadcast min/max scan), per-(stratum, bucket) counts,
+    * a running offset over the tiny per-stratum count table, then
+    * per-(stratum, bucket) windows — parallelism strata × buckets, and
+    * the only wide windows run on the count table. `keyCol` must be
+    * non-null and distinct within a stratum (both call sites key by a
+    * unique id).
+    */
+  def stratifiedRowNumber(df: DataFrame, stratumCol: String, keyCol: String,
+      outCol: String = "rn", buckets: Int = 1024): DataFrame = {
+    val mm = df.agg(min(col(keyCol)).as("__lo"), max(col(keyCol)).as("__hi"))
+    val b = df.crossJoin(broadcast(mm))
+      .withColumn("__bk",
+        expr(s"($keyCol - __lo) div (((__hi - __lo) div $buckets) + 1)"))
+      .drop("__lo", "__hi")
+    val counts = b.groupBy(stratumCol, "__bk").agg(count(lit(1)).as("__c"))
+    // per-stratum running offset over the ≤ strata × buckets count table
+    val wB = Window.partitionBy(stratumCol).orderBy("__bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wB), lit(0L)))
+      .select(col(stratumCol), col("__bk"), col("__off"))
+    val wIn = Window.partitionBy(stratumCol, "__bk").orderBy(keyCol)
+    b.join(broadcast(offs), Seq(stratumCol, "__bk"))
+      .withColumn(outCol, (col("__off") + row_number().over(wIn)).cast("long"))
+      .drop("__bk", "__off")
+  }
+
   /** Shuffle a corpus: each row keyed by [[shuffleKey]] and assigned its
     * global position in the shuffled order (1-based, a bijection onto
     * 1..n — property-tested in ShuffleSpec).

@@ -81,14 +81,29 @@ object Similarity {
   /** Shared scoring tail: join prepared query/candidate frames on the
     * blocking key(s), score, rank, cut at k. The scored rows are projected
     * down to (q_id, c_id, score) BEFORE the rank window so the window
-    * exchange shuffles 24-byte rows, never the embedding arrays.
+    * exchange shuffles 24-byte rows, never the embedding arrays — and the
+    * rank cut is TWO-LEVEL like [[cosineTopKGlobal]]'s (r14): a capped
+    * query sample means few distinct q_ids, so a single per-q_id window
+    * would bound rank parallelism by the QUERY count no matter how large
+    * the corpus (similarity_topk read 14.8×/decade at sf10 with 10M scored
+    * pairs riding ≤100 window tasks). The per-(q_id, candidate-hash-block)
+    * pre-cut keeps k rows per block at queries × [[RankCutBlocks]]
+    * parallelism; the global window then ranks only the tiny survivor set.
+    * Exact: every candidate is in exactly one block and the (rounded score
+    * desc, c_id) order is identical at both levels.
     */
+  private[llm] val RankCutBlocks = 64
+
   private def topKJoin(q: DataFrame, c: DataFrame, k: Int,
       blockCols: Seq[String]): DataFrame = {
+    val wLocal = Window.partitionBy("q_id", "__blk")
+      .orderBy(col("score").desc, col("c_id"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
     q.join(c, blockCols).filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(float_dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 4).as("score"))
+        round(float_dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 4).as("score"),
+        pmod(xxhash64(col("c_id")), lit(RankCutBlocks)).as("__blk"))
+      .withColumn("__rk0", row_number().over(wLocal)).filter(col("__rk0") <= k)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("q_id", "rk", "c_id", "score")
@@ -164,11 +179,18 @@ object Similarity {
       // same pair may collide in several tables, always with the identical
       // rounded score → distinct() collapses the duplicates before the
       // k-cut (otherwise a multi-collision pair would eat several ranks).
+      // Rank cut is two-level like topKJoin's (r14) — the distinct already
+      // exchanges on the full row, so the pre-cut window adds parallelism
+      // without an extra full-data shuffle.
+      val wLocal = Window.partitionBy("q_id", "__blk")
+        .orderBy(col("score").desc, col("c_id"))
       val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
       q.join(c, Seq("__tb")).filter(col("q_id") =!= col("c_id"))
         .select(col("q_id"), col("c_id"),
           round(float_dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 4).as("score"))
         .distinct()
+        .withColumn("__blk", pmod(xxhash64(col("c_id")), lit(RankCutBlocks)))
+        .withColumn("__rk0", row_number().over(wLocal)).filter(col("__rk0") <= k)
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= k)
         .select("q_id", "rk", "c_id", "score")

@@ -34,7 +34,14 @@ import org.apache.spark.sql.functions._
   *    stay near their label cluster but are not exact/cosine-1 duplicates
   *    of their origin.
   *
-  * Usage: runMain graft.tools.MakeSfN <inDir> <outDir> [copies=10] [textMode=disjoint|shared]
+  * Usage: runMain graft.tools.MakeSfN <inDir> <outDir> [copies=10]
+  *          [textMode=disjoint|shared] [tables=all|graph]
+  *
+  * `tables=graph` writes only the relational tables the derived property
+  * graph is built from (region/nation/customer/supplier/part/orders/
+  * lineitem) — the third-decade (sf100) graph probes need none of
+  * documents/embeddings/events, and skipping them roughly halves the
+  * build time and disk.
   */
 object MakeSfN {
 
@@ -56,6 +63,9 @@ object MakeSfN {
     val textMode = args.lift(3).getOrElse("disjoint")
     require(textMode == "disjoint" || textMode == "shared",
       s"textMode must be disjoint|shared, got $textMode")
+    val tableSet = args.lift(4).getOrElse("all")
+    require(tableSet == "all" || tableSet == "graph",
+      s"tables must be all|graph, got $tableSet")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -88,6 +98,8 @@ object MakeSfN {
       Seq("o_orderkey", "o_custkey")), "orders")
     write(expand(spark.read.parquet(s"$inDir/lineitem.parquet"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    if (tableSet == "graph") { spark.stop(); return }
+
     // events: read via Tables (nanos → µs), shift ids; ts unchanged — N×
     // the event rate over the same window, which is what a scale-up means
     write(expand(graft.model.Tables(spark, inDir, "events"),
