@@ -73,6 +73,22 @@ class R14OpsSpec extends SparkSpec {
       s"expected the precondition message, got: ${ex.getMessage}")
   }
 
+  test("stratifiedRowNumber == plain stratum-partitioned row_number, tiny buckets forcing multi-bucket strata") {
+    val rnd = new scala.util.Random(7)
+    // sparse, shuffled ids across 4 strata of uneven sizes
+    val rows = rnd.shuffle((0 until 400).map(i =>
+      (s"lang${i % 7 % 4}", i.toLong * 13 + (i % 5))).toList)
+    val df = rows.toDF("lang", "doc_id")
+    val ref = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("doc_id"))
+        .cast("long"))
+      .select("lang", "doc_id", "rn").as[(String, Long, Long)].collect().toSet
+    val got = graft.ops.llm.Shuffle.stratifiedRowNumber(df, "lang", "doc_id",
+        buckets = 8)
+      .select("lang", "doc_id", "rn").as[(String, Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
   test("ts_max_drawdown still matches its pre-fusion plan's values") {
     // the fused helper serves the declared query; re-derive the old
     // chained-helper result on the same input and compare the final row
