@@ -43,13 +43,24 @@ object Bench {
     // builds are a fixed per-session cost either way; warming them only
     // moves it out of the first graph/text query's timing. The inventory
     // lives with the owning modules so it cannot drift.
-    graft.model.Tables.warm(spark, sfDir)
-    graft.ops.GraphAnalytics.warm(spark, sfDir)
-    graft.ops.llm.Similarity.warm(spark, sfDir)
-    graft.QueriesGraph.warmPostings(spark, sfDir)
-    graft.QueriesGraphX.warmSharedBfs(spark, sfDir)
-    graft.QueriesGraphX.warmSharedTriangles(spark, sfDir)
-    graft.QueriesGraphX.warmSharedTruss(spark, sfDir)
+    // Each warm step is timed into `cache_builds` (VERDICT r14 #7): the
+    // timed loop below measures SERVE cost only, so the build/serve split
+    // of the materialized shared frames is machine-readable per round
+    // instead of living in BENCHNOTES prose. Zero effect on timed totals —
+    // the steps ran here (untimed) before this round too.
+    val cacheBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def warmStep(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      cacheBuilds(name) = (System.nanoTime() - t0) / 1e9
+    }
+    warmStep("tables")(graft.model.Tables.warm(spark, sfDir))
+    warmStep("graph")(graft.ops.GraphAnalytics.warm(spark, sfDir))
+    warmStep("similarity")(graft.ops.llm.Similarity.warm(spark, sfDir))
+    warmStep("postings")(graft.QueriesGraph.warmPostings(spark, sfDir))
+    warmStep("bfs")(graft.QueriesGraphX.warmSharedBfs(spark, sfDir))
+    warmStep("triangles")(graft.QueriesGraphX.warmSharedTriangles(spark, sfDir))
+    warmStep("truss")(graft.QueriesGraphX.warmSharedTruss(spark, sfDir))
     // A failed query's wall time is its FAIL-FAST time — without surfacing
     // the failure in the artifact, a broken query makes the total look
     // BETTER (r9 shipped three broken queries this way: stderr-only
@@ -97,7 +108,7 @@ object Bench {
         .split("\\s+").take(3).mkString("[", ",", "]")
       catch { case _: Exception => "[]" }
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"load":$load,"queries":${js(results, 4)},"aged":${js(aged, 4)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"load":$load,"cache_builds":${js(cacheBuilds.toMap, 2)},"queries":${js(results, 4)},"aged":${js(aged, 4)},"sf":"$sfDir"}"""
     // Sidecar path is overridable so a manual/judge rerun can never clobber
     // the driver's round artifact (r8 incident: a judge rerun overwrote the
     // uncommitted driver sidecar because this path was hard-coded).
@@ -109,10 +120,17 @@ object Bench {
     // normalized-basename EQUALITY, not a raw suffix test: ".../mysf0.1"
     // must fall to the tagged name, and a trailing-slash or symlink-free
     // respelling of the canonical dir must still hit it (ADVICE r13)
-    val defaultSidecar =
-      if (java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize
-          .getFileName.toString == "sf0.1") "BENCH_local.json"
+    // toRealPath resolves symlinked spellings of the canonical dir too;
+    // getFileName is null for a filesystem root ("/"), so go through
+    // Option — both holes flagged by ADVICE r14 on the normalize-only form
+    val defaultSidecar = {
+      val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath
+      val real = try abs.toRealPath()
+        catch { case _: java.io.IOException => abs.normalize }
+      if (Option(real.getFileName).map(_.toString).contains("sf0.1"))
+        "BENCH_local.json"
       else s"BENCH_local_${graft.model.CacheDirs.dirTag(sfDir)}.json"
+    }
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultSidecar)
     try {
       val p = java.nio.file.Paths.get(sidecar)
@@ -127,7 +145,7 @@ object Bench {
     // detail is always in the BENCH_local.json sidecar) — the line must
     // stay valid JSON with a correct total at ANY inventory size.
     def line(qs: Map[String, Double], dp: Int, truncated: Boolean = false) =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"queries":${js(qs, dp)}""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"cache_builds":${js(cacheBuilds.toMap, 1)},"queries":${js(qs, dp)}""" +
         (if (truncated) s""","queries_truncated":true""" else "") +
         s""","sf":"$sfDir"}"""
     val l2 = line(results, 2)

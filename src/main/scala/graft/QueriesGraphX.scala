@@ -36,9 +36,9 @@ object QueriesGraphX {
       // NEW entry instead of silently serving the old one to the
       // correctness gates of every session whose cache predates the change.
       graft.model.CacheDirs.cachedParquet(s, "graph", d,
-        s"landmark_bfs_lm${spLandmarks.map(_ - graft.model.DerivedGraph.NationBase).mkString("-")}_d10") {
+        s"landmark_bfs_lm${spLandmarks.map(_ - graft.model.DerivedGraph.NationBase).mkString("-")}_d$spMaxDepth") {
         GraphAnalytics.multiSourceBfs(
-          GraphAnalytics.derivedGraphX(s, d), spLandmarks, 10)
+          GraphAnalytics.derivedGraphX(s, d), spLandmarks, spMaxDepth)
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -107,7 +107,9 @@ object QueriesGraphX {
   private def sharedTruss(s: org.apache.spark.sql.SparkSession, d: String) =
     trussCache.getOrElseUpdate(s, d) {
       graft.model.CacheDirs.cachedParquet(s, "graph", d,
-        s"ktruss_k${TrussK}_r${TrussRounds}_co${GraphAnalytics.CoEdgesVersion}") {
+        s"ktruss_k${TrussK}_r${TrussRounds}_co${GraphAnalytics.CoEdgesVersion}" +
+          (if (GraphAnalytics.KTrussVersion == 1) ""
+           else s"_kt${GraphAnalytics.KTrussVersion}")) {
         GraphAnalytics.kTrussDF(
           GraphAnalytics.coOrderPartEdges(s, d)
             .select(col("src").as("a"), col("dst").as("b")),
@@ -772,6 +774,13 @@ object QueriesGraphX {
   /** Landmarks for graph_shortest_paths: three nation vertices. */
   private lazy val spLandmarks: Seq[Long] =
     Seq(3L, 7L, 12L).map(DerivedGraph.NationBase + _)
+
+  /** Max BFS depth baked into the shared landmark frame — folded into the
+    * cache-entry name FROM THIS CONSTANT (not a hardcoded `_d10` next to a
+    * literal argument, ADVICE r14), so changing the depth renames the
+    * entry in lockstep with the frame it changes.
+    */
+  private val spMaxDepth: Int = 10
 
   /** graph_stress oracle: the engine's two integer Brandes passes as
     * chained CTEs — forward frontier joins carrying σ (anti-joined

@@ -30,9 +30,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * an overwrite with a read. A live owner HEARTBEATS the lock's mtime
   * (so long builds are never presumed dead); a lock whose mtime is older
   * than [[LockStaleMs]] is treated as a dead owner (crashed JVM) and
-  * taken over ATOMICALLY (rename-to-tombstone — only one waiter can win);
-  * the fingerprint marker discipline still repairs any torn write the
-  * dead owner left.
+  * taken over ATOMICALLY (rename-to-tombstone, then a post-rename
+  * staleness re-check that hands back a fresh lock grabbed by mistake —
+  * [[takeoverIfStale]]); the fingerprint marker discipline still repairs
+  * any torn write the dead owner left.
   */
 object CacheDirs {
 
@@ -109,8 +110,76 @@ object CacheDirs {
     *    lock was (wrongly) taken over while we ran, the new owner's lock
     *    survives our release.
     */
+  /** Test seams for the lock-race specs (CacheDirsSpec): invoked at the
+    * instant between a step's VALIDATION and its (otherwise-atomic) ACT,
+    * where a concurrent takeover/re-acquire can land. Production no-ops.
+    */
+  private[graft] var takeoverRaceHook: () => Unit = () => ()
+  private[graft] var releaseRaceHook: () => Unit = () => ()
+
+  /** One stale-takeover attempt by a waiter holding `token` (not the lock).
+    * Atomic rename-to-tombstone means at most one waiter clears a given
+    * stale lock — and the POST-RENAME staleness re-check closes the TOCTOU
+    * the rename alone left open (ADVICE r14 #1): between observing the
+    * stale mtime and the move, another waiter can complete the takeover
+    * AND a new builder can acquire a FRESH lock at the same path; the
+    * rename would then steal that fresh lock. The tombstone carries the
+    * victim's mtime through the move, so re-checking it distinguishes the
+    * two: stale → genuinely dead owner, clear it; fresh → hand it back
+    * (move the tombstone back; if a third lock appeared in the gap the
+    * hand-back fails and the tombstone is dropped — a double-stacked race
+    * whose damage the fingerprint-marker discipline bounds).
+    */
+  private[graft] def takeoverIfStale(rootDir: String, name: String, token: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val lock = Paths.get(rootDir, s"$name.lock")
+    val age = try {
+      System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+    } catch { case _: java.io.IOException => return } // vanished: re-contend now
+    if (age <= LockStaleMs) { Thread.sleep(100); return }
+    takeoverRaceHook()
+    val tomb = Paths.get(rootDir, s"$name.lock.tomb-$token")
+    try {
+      Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+      val tombAge = System.currentTimeMillis() -
+        Files.getLastModifiedTime(tomb).toMillis
+      if (tombAge > LockStaleMs) Files.deleteIfExists(tomb)
+      else {
+        // we grabbed a FRESH lock, not the stale one we observed: restore it
+        try Files.move(tomb, lock, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException => Files.deleteIfExists(tomb) }
+      }
+    } catch { case _: java.io.IOException => () } // lost the rename race: re-contend
+  }
+
+  /** Release the lock iff it still holds OUR token — ATOMICALLY (ADVICE
+    * r13/r14, VERDICT r14 #3): the former `readAllBytes == token` then
+    * `deleteIfExists` pair let a takeover land BETWEEN the read and the
+    * delete, destroying the new owner's fresh lock. Rename-to-tombstone
+    * first (atomic — nothing can slip in between "decide" and "act"),
+    * verify the token on the tombstone, and hand a wrongly-grabbed fresh
+    * lock back exactly as [[takeoverIfStale]] does.
+    */
+  private[graft] def releaseLock(rootDir: String, name: String, token: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val lock = Paths.get(rootDir, s"$name.lock")
+    val tomb = Paths.get(rootDir, s"$name.lock.rel-$token")
+    try {
+      Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+      releaseRaceHook()
+      if (new String(Files.readAllBytes(tomb), "UTF-8") == token)
+        Files.deleteIfExists(tomb)
+      else {
+        // ours was stolen and replaced while we ran; give the new owner
+        // its lock back (best-effort if a third lock appeared in the gap)
+        try Files.move(tomb, lock, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException => Files.deleteIfExists(tomb) }
+      }
+    } catch { case _: java.io.IOException => () } // already gone
+  }
+
   private def withEntryLock[T](rootDir: String, name: String)(f: => T): T = {
-    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+    import java.nio.file.{Files, Paths, StandardOpenOption}
     val lock = Paths.get(rootDir, s"$name.lock")
     val token = java.util.UUID.randomUUID().toString
     var acquired = false
@@ -120,39 +189,58 @@ object CacheDirs {
         acquired = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val age = try {
-            System.currentTimeMillis() -
-              Files.getLastModifiedTime(lock).toMillis
-          } catch { case _: java.io.IOException => 0L } // vanished: retry now
-          if (age > LockStaleMs) {
-            val tomb = Paths.get(rootDir, s"$name.lock.tomb-$token")
-            try {
-              Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
-              Files.deleteIfExists(tomb)
-            } catch { case _: java.io.IOException => () } // lost the race: re-contend
-          } else Thread.sleep(100)
+          takeoverIfStale(rootDir, name, token)
       }
     }
     val hb = new Thread(() => {
       try {
         while (true) {
           Thread.sleep(LockHeartbeatMs)
-          Files.setLastModifiedTime(lock,
-            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          // retry transient I/O failures with short backoff INSIDE the
+          // loop (VERDICT r14 #3): one failed touch formerly killed the
+          // whole heartbeat thread, and a build longer than LockStaleMs
+          // was then presumed dead and taken over WHILE LIVE. A lock that
+          // is genuinely gone (stolen) keeps failing harmlessly — the
+          // next period retries and the thread dies with the build.
+          var attempt = 0
+          var touched = false
+          while (!touched && attempt < 5) {
+            try {
+              Files.setLastModifiedTime(lock,
+                java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+              touched = true
+            } catch {
+              case _: java.io.IOException =>
+                attempt += 1
+                Thread.sleep(200L * attempt)
+            }
+          }
         }
       } catch {
         case _: InterruptedException => () // normal shutdown
-        case _: java.io.IOException => () // lock stolen/gone: nothing to beat
       }
     }, s"graft-cache-lock-heartbeat-$name")
     hb.setDaemon(true)
     hb.start()
     try f finally {
       hb.interrupt()
-      try {
-        if (new String(Files.readAllBytes(lock), "UTF-8") == token)
-          Files.deleteIfExists(lock)
-      } catch { case _: java.io.IOException => () } // already gone/stolen
+      releaseLock(rootDir, name, token)
+    }
+  }
+
+  /** On-disk bytes of a cache entry (0 if absent) — a cheap, accurate size
+    * signal for frames that are ALWAYS parquet-backed after first access
+    * (DerivedGraph's storage-policy heuristic sizes the fact-edge frame
+    * from this instead of paying a count job).
+    */
+  def entryBytes(kind: String, d: String, name: String): Long = {
+    val p = java.nio.file.Paths.get(root(kind, d), name)
+    if (!java.nio.file.Files.isDirectory(p)) 0L
+    else {
+      val stream = java.nio.file.Files.walk(p)
+      try stream.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally stream.close()
     }
   }
 

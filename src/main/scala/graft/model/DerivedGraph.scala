@@ -100,21 +100,83 @@ object DerivedGraph {
 
     val edges = custNation.union(suppNation).union(nationRegion).union(factEdges)
 
-    // Storage policy is env-selectable for the sf100-tier probes (r14):
-    // the default deserialized persist is the right call up to sf10, but
-    // at 1.2B edges its spill alone exceeds the sandbox disk — and the
-    // frames are materialization-stable WITHOUT it (dimension edges are
-    // pruned scans, fact edges a committed CacheDirs parquet), so "none"
-    // trades re-scan cost for zero storage footprint and "disk" keeps a
-    // serialized-compressed copy. On a real cluster this is the
-    // storage-fraction sizing decision, made explicit.
-    sys.env.get("GRAFT_GRAPH_STORAGE") match {
-      case Some("none") => G(vertices, edges)
-      case Some("disk") => G(vertices.persist(StorageLevel.DISK_ONLY),
+    // Storage policy: the default deserialized persist is the right call
+    // up to sf10, but at 1.2B edges its spill alone exceeds the sandbox
+    // disk (the r14 sf100 session died mid-persist-fill before any
+    // operator could intervene) — and the frames are materialization-
+    // stable WITHOUT it (dimension edges are pruned scans, fact edges a
+    // committed CacheDirs parquet), so "none" trades re-scan cost for
+    // zero storage footprint and "disk" keeps a serialized-compressed
+    // copy. The engine now CHOOSES per dataset (VERDICT r14 #4) from the
+    // fact-edge parquet's on-disk size vs the JVM's storage share and the
+    // shuffle dir's free space — the storage-fraction sizing decision a
+    // cluster deployment makes, made automatic. GRAFT_GRAPH_STORAGE
+    // remains the probe override; unknown values fail fast (ADVICE r14)
+    // instead of silently measuring the default policy.
+    val policy = sys.env.get("GRAFT_GRAPH_STORAGE") match {
+      case Some(v @ ("none" | "disk" | "default")) => v
+      case Some(other) => throw new IllegalArgumentException(
+        s"GRAFT_GRAPH_STORAGE=$other — allowed values: none|disk|default")
+      case None =>
+        val factBytes = CacheDirs.entryBytes("graph", sfDir, "fact_edges")
+        choosePolicy(factBytes,
+          (Runtime.getRuntime.maxMemory * StorageMemShare).toLong,
+          shuffleDirUsableBytes(spark))
+    }
+    policy match {
+      case "none" => G(vertices, edges)
+      case "disk" => G(vertices.persist(StorageLevel.DISK_ONLY),
         edges.persist(StorageLevel.DISK_ONLY))
       case _ => G(vertices.persist(StorageLevel.MEMORY_AND_DISK),
         edges.persist(StorageLevel.MEMORY_AND_DISK))
     }
+  }
+
+  /** Approximate share of the JVM heap available to BLOCK STORAGE under
+    * the unified memory manager: `spark.memory.fraction` (0.6) of
+    * usable heap, of which storage can claim about half without being
+    * evicted by execution — ~0.3 of max heap. Deliberately conservative:
+    * over-claiming re-creates the r13 incident (8 GiB-heap Bench runs
+    * evicting persisted frames and reading a stable 2× slow).
+    */
+  val StorageMemShare: Double = 0.3
+
+  /** Columnar-cache expansion over the parquet bytes it was scanned from
+    * (snappy parquet → CachedBatch columnar), plus the transient shuffle/
+    * spill alongside a persist fill. Sized from the r14 sf100 incident:
+    * a 14 GB fact parquet died filling both MEMORY_AND_DISK and DISK_ONLY
+    * on a 45 GB-free disk — an effective footprint ≥ ~3× parquet bytes.
+    */
+  val CacheExpansion: Double = 3.0
+
+  /** Pure policy decision, unit-tested in DerivedGraphPolicySpec:
+    *  - cached columnar frame fits the storage share → `default`
+    *    (MEMORY_AND_DISK, today's sf0.001–sf10 behavior);
+    *  - doesn't fit memory but fits HALF the free shuffle disk (headroom
+    *    for the shuffles running beside it) → `disk` (DISK_ONLY);
+    *  - else → `none`: re-scan the committed parquet per consumer rather
+    *    than die mid-persist-fill.
+    * `factEdgeParquetBytes` is read AFTER the cachedParquet call
+    * materialized the entry, so it is the entry's real size by the time
+    * the policy is chosen.
+    */
+  def choosePolicy(factEdgeParquetBytes: Long, storageMemBytes: Long,
+      freeDiskBytes: Long): String = {
+    val est = (factEdgeParquetBytes * CacheExpansion).toLong
+    if (est <= storageMemBytes) "default"
+    else if (est * 2 <= freeDiskBytes) "disk"
+    else "none"
+  }
+
+  /** Usable bytes on the first shuffle-local dir (where persist spill and
+    * DISK_ONLY blocks land).
+    */
+  private def shuffleDirUsableBytes(spark: SparkSession): Long = {
+    val dir = spark.conf.getOption("spark.local.dir")
+      .map(_.split(",")(0))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    try new java.io.File(dir).getUsableSpace
+    catch { case _: Exception => Long.MaxValue }
   }
 
   /** Undirected view: each edge emitted in both directions. The reference

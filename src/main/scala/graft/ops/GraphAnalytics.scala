@@ -720,6 +720,17 @@ object GraphAnalytics {
           (col("deg") * (col("deg") - 1)).cast("double"), 6).as("cc"))
   }
 
+  /** Version token for the [[kTrussDF]] peel ALGORITHM, folded into the
+    * cross-session cache-entry name next to its k/rounds/co-projection
+    * parameters (the CoEdgesVersion discipline, ADVICE r14): a future peel
+    * bugfix must bump this so every session's correctness gate rebuilds
+    * instead of silently serving the pre-fix converged frame. Version 1
+    * maps to the legacy unversioned entry name, so bumping the CONSTANT —
+    * not renaming an entry by hand — is the upgrade path, and existing v1
+    * caches (sf10's took a 1404 s build) stay valid.
+    */
+  val KTrussVersion: Int = 1
+
   def kTrussDF(canonicalEdges: DataFrame, k: Int, rounds: Int = 6,
       broadcastSides: Boolean = false,
       triangleList: Option[DataFrame] = None): DataFrame = {

@@ -39,6 +39,20 @@ object Shuffle {
   /** The replayable shuffle key for an id column. */
   def shuffleKey(id: Column): Column = (lit(A) * (id % P) + lit(B)) % P
 
+  /** A NULL key would get a NULL `__bk` and be SILENTLY dropped by the
+    * downstream equi-join on `__bk` — the exact silent-row-loss mode the
+    * range-bucket helpers in [[graft.ops.Windows]] raise on (ADVICE r13
+    * #4, extended to these two helpers by ADVICE r14). `assert_true` is
+    * NULL on success, so the coalesce is a no-op for valid keys and
+    * raises before any row could vanish.
+    */
+  private def guardedBucket(bk: Column, keyCol: String, fn: String): Column =
+    coalesce(bk,
+      assert_true(col(keyCol).isNotNull,
+        lit(s"Shuffle.$fn: NULL key in '$keyCol' — the two-level rank " +
+          "helpers require non-null keys (a NULL would be silently " +
+          "dropped at the bucket equi-join)")).cast("long"))
+
   /** Global `row_number() OVER (ORDER BY keyCol, tieCol)` WITHOUT a
     * global single-partition window: `keyCol` must be non-negative and
     * below `keyBound`; buckets = order-preserving ranges of the key
@@ -52,7 +66,8 @@ object Shuffle {
     val step = (keyBound + buckets - 1) / buckets
     // integer `div`, not `/`: Spark's `/` on longs is DOUBLE division,
     // which silently loses exactness for keys past 2^53
-    val b = df.withColumn("__bk", expr(s"$keyCol div ${step}L"))
+    val b = df.withColumn("__bk",
+      guardedBucket(expr(s"$keyCol div ${step}L"), keyCol, "globalRowNumber"))
     val counts = b.groupBy("__bk").agg(count(lit(1)).as("__c"))
     // deliberately unpartitioned: runs on the ≤`buckets`-row count table
     val wB = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
@@ -82,7 +97,8 @@ object Shuffle {
     val mm = df.agg(min(col(keyCol)).as("__lo"), max(col(keyCol)).as("__hi"))
     val b = df.crossJoin(broadcast(mm))
       .withColumn("__bk",
-        expr(s"($keyCol - __lo) div (((__hi - __lo) div $buckets) + 1)"))
+        guardedBucket(expr(s"($keyCol - __lo) div (((__hi - __lo) div $buckets) + 1)"),
+          keyCol, "stratifiedRowNumber"))
       .drop("__lo", "__hi")
     val counts = b.groupBy(stratumCol, "__bk").agg(count(lit(1)).as("__c"))
     // per-stratum running offset over the ≤ strata × buckets count table

@@ -161,4 +161,60 @@ class CacheDirsSpec extends SparkSpec {
     assert(new String(java.nio.file.Files.readAllBytes(lock), "UTF-8") == "usurper-token")
     java.nio.file.Files.delete(lock) // clean up for other tests
   }
+
+  test("takeover hands back a FRESH lock grabbed inside the TOCTOU window") {
+    // ADVICE r14 #1: between a waiter's staleness check and its rename,
+    // another waiter can complete the takeover AND a new builder can
+    // acquire a FRESH lock at the same path — the unguarded rename then
+    // stole that fresh lock, re-admitting two concurrent builders. The
+    // post-rename staleness re-check must detect the fresh tombstone and
+    // restore it.
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_cds_lockrace").toString
+    val lock = Paths.get(root, "e.lock")
+    Files.write(lock, "dead-owner".getBytes("UTF-8"))
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - CacheDirs.LockStaleMs - 60000L))
+    CacheDirs.takeoverRaceHook = () => {
+      // the racing waiter clears the stale lock; a new builder acquires
+      Files.delete(lock)
+      Files.write(lock, "fresh-owner".getBytes("UTF-8")) // fresh mtime = now
+      CacheDirs.takeoverRaceHook = () => () // one-shot
+    }
+    try CacheDirs.takeoverIfStale(root, "e", "late-waiter-token")
+    finally CacheDirs.takeoverRaceHook = () => ()
+    assert(Files.exists(lock), "the fresh owner's lock was destroyed by a late takeover")
+    assert(new String(Files.readAllBytes(lock), "UTF-8") == "fresh-owner")
+    val leaked = Files.list(Paths.get(root))
+    try assert(!leaked.anyMatch(p => p.getFileName.toString.contains("tomb")),
+      "takeover leaked a tombstone")
+    finally leaked.close()
+  }
+
+  test("release never destroys a lock acquired concurrently at the release instant") {
+    // the former read-token-then-delete release let a takeover + fresh
+    // re-acquire land BETWEEN the read (which matched our token) and the
+    // delete (which then destroyed the fresh owner's lock). The atomic
+    // rename-first release takes OUR lock out before anyone can swap it,
+    // verifies on the tombstone, and leaves a concurrently-created fresh
+    // lock untouched.
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_cds_relrace").toString
+    val lock = Paths.get(root, "e.lock")
+    Files.write(lock, "me".getBytes("UTF-8"))
+    CacheDirs.releaseRaceHook = () => {
+      // the instant our release starts acting, a fresh builder acquires
+      Files.write(lock, "fresh-owner".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      CacheDirs.releaseRaceHook = () => () // one-shot
+    }
+    try CacheDirs.releaseLock(root, "e", "me")
+    finally CacheDirs.releaseRaceHook = () => ()
+    assert(Files.exists(lock), "release destroyed the concurrent fresh lock")
+    assert(new String(Files.readAllBytes(lock), "UTF-8") == "fresh-owner")
+    val leaked = Files.list(Paths.get(root))
+    try assert(!leaked.anyMatch(p => p.getFileName.toString.contains(".rel-")),
+      "release leaked a tombstone")
+    finally leaked.close()
+  }
 }
