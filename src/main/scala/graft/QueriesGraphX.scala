@@ -406,9 +406,20 @@ object QueriesGraphX {
     // GraphAnalyticsSpec proves an 11th round changes nothing. Oracle =
     // the same bounded peel as chained MATERIALIZED rounds.
     "graph_kcore" -> QueryDef(
-      (s, d) => GraphAnalytics.kCoreDF(
-        DerivedGraph(s, d).edges.select("src", "dst"), k = 8, rounds = KcoreRounds)
-        .orderBy("id"),
+      (s, d) => {
+        // A/B (VERDICT r14 #6): bucketed-endpoint init degrees remove the
+        // |2E|-row exchange from round 0; values identical by construction
+        val init = sys.env.get("GRAFT_KCORE_DEG") match {
+          case Some("bucketed") => Some(GraphAnalytics.bucketedDegrees(s, d))
+          case Some(other) => throw new IllegalArgumentException(
+            s"GRAFT_KCORE_DEG=$other — allowed values: bucketed")
+          case None => None
+        }
+        GraphAnalytics.kCoreDF(
+          DerivedGraph(s, d).edges.select("src", "dst"), k = 8,
+          rounds = KcoreRounds, initDegrees = init)
+          .orderBy("id")
+      },
       kcoreOracleSql),
 
     // 4-truss of the co-order part projection (Cohen 2008): every

@@ -254,7 +254,7 @@ object CacheDirs {
     * column pruning/pushdown against the derived copy.
     */
   def cachedParquet(spark: SparkSession, kind: String, d: String,
-      name: String)(build: => DataFrame): DataFrame = {
+      name: String, partitionCols: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val rootDir = root(kind, d)
     val dataPath = java.nio.file.Paths.get(rootDir, name)
     val marker = java.nio.file.Paths.get(rootDir, s"$name.fp")
@@ -265,10 +265,53 @@ object CacheDirs {
     if (!valid) withEntryLock(rootDir, name) {
       if (!valid) {
         java.nio.file.Files.deleteIfExists(marker)
-        build.write.mode("overwrite").parquet(dataPath.toString)
+        val w = build.write.mode("overwrite")
+        // hive-style directory partitioning: consumers get PARTITION
+        // PRUNING on `partitionCols` filters (the ego/k-hop frontier
+        // reads a bucket subset instead of the whole adjacency)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(dataPath.toString)
         java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
       }
     }
     spark.read.parquet(dataPath.toString)
+  }
+
+  /** Read-through cache for a BUCKETED table (same fingerprint/lock/marker
+    * discipline as [[cachedParquet]]): the derived frame is stored
+    * clustered+sorted on `bucketCol`, so every consumer whose grouping/
+    * join keys cover it gets the scan's HashPartitioning for free — no
+    * exchange. The catalog entry is session-scoped (in-memory catalog);
+    * a fresh session over a valid on-disk copy re-registers the bucket
+    * spec with DDL instead of rebuilding.
+    */
+  def cachedBucketedTable(spark: SparkSession, kind: String, d: String,
+      name: String, buckets: Int, bucketCol: String)(build: => DataFrame): DataFrame = {
+    val rootDir = root(kind, d)
+    val dataPath = java.nio.file.Paths.get(rootDir, name)
+    val marker = java.nio.file.Paths.get(rootDir, s"$name.fp")
+    val fp = fingerprint(d)
+    val table = s"graft_${name}_${dirTag(d)}"
+    def valid = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp &&
+      java.nio.file.Files.exists(dataPath.resolve("_SUCCESS"))
+    if (!valid) withEntryLock(rootDir, name) {
+      if (!valid) {
+        java.nio.file.Files.deleteIfExists(marker)
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        build.write.mode("overwrite")
+          .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+          .option("path", dataPath.toString)
+          .format("parquet").saveAsTable(table)
+        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+      }
+    }
+    if (!spark.catalog.tableExists(table)) {
+      val schemaDdl = spark.read.parquet(dataPath.toString).schema.toDDL
+      spark.sql(s"CREATE TABLE $table ($schemaDdl) USING PARQUET " +
+        s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS " +
+        s"LOCATION '${dataPath.toString}'")
+    }
+    spark.table(table)
   }
 }

@@ -187,6 +187,45 @@ object DerivedGraph {
   def undirected(edges: DataFrame): DataFrame =
     edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
+
+  /** Bucket count and version token of the materialized undirected
+    * adjacency ([[undAdjacency]]). 256 directories keeps per-bucket files
+    * ≥ tens of MB at the probe SFs while giving depth-1/2 frontiers a
+    * ≤ 1/256 pruned read.
+    */
+  val AdjBuckets: Int = 256
+  val UndAdjVersion: String = "v1"
+
+  /** The undirected adjacency with its source-endpoint bucket column —
+    * `bk = pmod(a, buckets)` — so traversals can prune both the DIRECTORY
+    * set (partition pruning on `bk`) and, per bucket, the row groups.
+    */
+  final case class Adj(df: DataFrame, buckets: Int)
+
+  /** Materialized undirected adjacency, hive-partitioned by source-vertex
+    * bucket (VERDICT r14 #1: the ego/k-hop frontier hops re-scanned the
+    * whole fact-edge parquet once per hop at sf100 under storage=none —
+    * 25.6×/decade). Written ONCE per dataset through CacheDirs; each hop
+    * then reads only the `bk` directories its frontier actually touches
+    * (a depth-1/2 frontier reads ≤ a few of the [[AdjBuckets]]
+    * directories), falling back to a full — but label-pruned,
+    * single-copy — scan when the frontier spans every bucket.
+    *
+    * The build's one 2|E|-row exchange (`repartition` on `bk`, one output
+    * file per bucket) is a once-per-dataset cost, the same discipline as
+    * the fact-edge/LPA-und parquets; every later session at any depth
+    * serves pruned scans from it.
+    */
+  def undAdjacency(spark: SparkSession, sfDir: String): Adj = {
+    val df = CacheDirs.cachedParquet(spark, "graph", sfDir,
+      s"und_adj_b${AdjBuckets}_$UndAdjVersion", Seq("bk")) {
+      undirected(apply(spark, sfDir).edges)
+        .withColumn("bk", pmod(col("a"), lit(AdjBuckets.toLong)).cast("int"))
+        .repartition(AdjBuckets, col("bk"))
+        .sortWithinPartitions("a", "b")
+    }
+    Adj(df, AdjBuckets)
+  }
 }
 
 /** The same derived graph expressed as DuckDB SQL fragments, interpolated

@@ -571,7 +571,35 @@ object GraphAnalytics {
     * exercises, and the `rounds` parameter makes the trade explicit
     * instead of unbounded.
     */
-  def kCoreDF(edges: DataFrame, k: Int, rounds: Int = 10): DataFrame = {
+  /** Bucket count / version of the clustered endpoint copy behind
+    * [[bucketedDegrees]].
+    */
+  val EndpBuckets: Int = 512
+  val EndpVersion: String = "v1"
+
+  /** Exchange-free initial degrees for the k-core peel (VERDICT r14 #6):
+    * the derived graph's endpoint list stored ONCE per dataset as a Spark
+    * bucketed table clustered+sorted on the vertex id, so `groupBy(a)`
+    * runs on the scan's own HashPartitioning — the init degree count was
+    * a ~36 GB map-side-combined exchange at sf100, the single-host disk
+    * ceiling that stopped the d3 probe. The build pays that exchange once
+    * (repartition aligned 1:1 with the bucket spec → one file per
+    * bucket); every session after serves degree counts with zero shuffle.
+    * Env-gated A/B (`GRAFT_KCORE_DEG=bucketed`) until the sf10 numbers
+    * decide the default.
+    */
+  def bucketedDegrees(spark: SparkSession, sfDir: String): DataFrame = {
+    val endp = graft.model.CacheDirs.cachedBucketedTable(spark, "graph", sfDir,
+      s"endp_b${EndpBuckets}_$EndpVersion", EndpBuckets, "a") {
+      val e = graft.model.DerivedGraph(spark, sfDir).edges.select("src", "dst")
+      e.select(col("src").as("a")).unionAll(e.select(col("dst").as("a")))
+        .repartition(EndpBuckets, col("a"))
+    }
+    endp.groupBy("a").agg(count(lit(1)).as("deg"))
+  }
+
+  def kCoreDF(edges: DataFrame, k: Int, rounds: Int = 10,
+      initDegrees: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be ≥ 1, got $k")
     require(rounds >= 1, s"rounds must be ≥ 1, got $rounds")
     // und stays a LAZY view over the caller's edge frame — NOT a
@@ -601,10 +629,14 @@ object GraphAnalytics {
     def tick() = System.nanoTime()
     var t0 = tick()
     // initial degrees from a SINGLE-column endpoint union — half the
-    // shuffle bytes of grouping the two-column und view
-    var deg = e.select(col("src").as("a"))
-      .unionAll(e.select(col("dst").as("a")))
-      .groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
+    // shuffle bytes of grouping the two-column und view. Callers with a
+    // bucket-clustered endpoint copy pass `initDegrees` (exchange-free —
+    // [[bucketedDegrees]]); the contract is that it equals this count
+    // over the SAME edge frame.
+    var deg = initDegrees.getOrElse(
+      e.select(col("src").as("a"))
+        .unionAll(e.select(col("dst").as("a")))
+        .groupBy("a").agg(count(lit(1)).as("deg"))).localCheckpoint()
     if (dbg) println(f"[kcore] init deg: ${(tick() - t0) / 1e9}%.2f s")
     var r = 0
     var converged = false

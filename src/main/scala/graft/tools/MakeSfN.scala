@@ -64,8 +64,8 @@ object MakeSfN {
     require(textMode == "disjoint" || textMode == "shared",
       s"textMode must be disjoint|shared, got $textMode")
     val tableSet = args.lift(4).getOrElse("all")
-    require(tableSet == "all" || tableSet == "graph",
-      s"tables must be all|graph, got $tableSet")
+    require(Set("all", "graph", "llm").contains(tableSet),
+      s"tables must be all|graph|llm, got $tableSet")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,23 +87,28 @@ object MakeSfN {
       println(s"[makesf] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
     }
 
-    // fixed dimensions: copy through unchanged
-    for (t <- Seq("region", "nation"))
-      write(spark.read.parquet(s"$inDir/$t.parquet"), t)
+    // `llm` writes only documents/embeddings — the third-decade text/dedup/
+    // similarity probes read nothing else, and the relational tables are
+    // ~90% of the bytes at the sf100 tier (VERDICT r14 #5)
+    if (tableSet != "llm") {
+      // fixed dimensions: copy through unchanged
+      for (t <- Seq("region", "nation"))
+        write(spark.read.parquet(s"$inDir/$t.parquet"), t)
 
-    write(expand(spark.read.parquet(s"$inDir/customer.parquet"), Seq("c_custkey")), "customer")
-    write(expand(spark.read.parquet(s"$inDir/supplier.parquet"), Seq("s_suppkey")), "supplier")
-    write(expand(spark.read.parquet(s"$inDir/part.parquet"), Seq("p_partkey")), "part")
-    write(expand(spark.read.parquet(s"$inDir/orders.parquet"),
-      Seq("o_orderkey", "o_custkey")), "orders")
-    write(expand(spark.read.parquet(s"$inDir/lineitem.parquet"),
-      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
-    if (tableSet == "graph") { spark.stop(); return }
+      write(expand(spark.read.parquet(s"$inDir/customer.parquet"), Seq("c_custkey")), "customer")
+      write(expand(spark.read.parquet(s"$inDir/supplier.parquet"), Seq("s_suppkey")), "supplier")
+      write(expand(spark.read.parquet(s"$inDir/part.parquet"), Seq("p_partkey")), "part")
+      write(expand(spark.read.parquet(s"$inDir/orders.parquet"),
+        Seq("o_orderkey", "o_custkey")), "orders")
+      write(expand(spark.read.parquet(s"$inDir/lineitem.parquet"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+      if (tableSet == "graph") { spark.stop(); return }
 
-    // events: read via Tables (nanos → µs), shift ids; ts unchanged — N×
-    // the event rate over the same window, which is what a scale-up means
-    write(expand(graft.model.Tables(spark, inDir, "events"),
-      Seq("event_id", "user_id")), "events")
+      // events: read via Tables (nanos → µs), shift ids; ts unchanged — N×
+      // the event rate over the same window, which is what a scale-up means
+      write(expand(graft.model.Tables(spark, inDir, "events"),
+        Seq("event_id", "user_id")), "events")
+    }
 
     val suffixed =
       if (textMode == "shared")

@@ -41,11 +41,26 @@ object ScaleProbe {
     // dominate the session setup)
     if (!sys.env.contains("GRAFT_PROBE_SKIP_POSTINGS"))
       graft.QueriesGraph.warmPostings(spark, sfDir)
+    // per-query shuffle-write volume (task-metric sum): the signal that
+    // decides exchange-elimination A/Bs (VERDICT r14 #6) — a variant can
+    // look flat on wall-clock at probe SF while removing the shuffle that
+    // kills the next decade
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
     for (q <- qs; pass <- Seq("cold", "aged")) {
+      val s0 = shuffleWrite.get()
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
       val el = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] parts=$parts $q%-28s $pass%-5s $el%8.2f s (rows=$n)")
+      // listener events drain asynchronously; settle before reading
+      Thread.sleep(500)
+      val sw = (shuffleWrite.get() - s0) / 1e6
+      println(f"[probe] parts=$parts $q%-28s $pass%-5s $el%8.2f s (rows=$n, shufMB=$sw%.1f)")
     }
     spark.stop()
   }

@@ -65,4 +65,66 @@ class R15OpsSpec extends SparkSpec {
     assert(DerivedGraph.choosePolicy(14 * gb, (2.4 * gb).toLong, 45 * gb) == "none")
     assert(DerivedGraph.choosePolicy(14 * gb, 30 * gb, 45 * gb) == "none")
   }
+
+  // ---- VERDICT r14 #1: adjacency-backed k-hop (partition-pruned hops +
+  // ---- Bloom-pre-filtered big-frontier joins) is row-identical to the
+  // ---- live-edge form
+
+  private val sf001 = "/root/testdata/sf0.001"
+  private def haveSf001 = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf001))
+
+  test("kHopIdsAdj parity with kHopIds on the derived graph (depth 2 and 4)") {
+    assume(haveSf001, "testdata sf0.001 not present")
+    val g = DerivedGraph(spark, sf001)
+    val adj = DerivedGraph.undAdjacency(spark, sf001)
+    for ((seed, depth) <- Seq((QueriesGraph.custSeed, 2), (QueriesGraph.regionSeed, 4))) {
+      val live = graft.ops.Traverse.kHopIds(g.edges, seed, depth)
+        .as[Long].collect().toSet
+      val viaAdj = graft.ops.Traverse.kHopIdsAdj(adj, seed, depth)
+        .as[Long].collect().toSet
+      assert(viaAdj == live, s"seed=$seed depth=$depth")
+    }
+  }
+
+  test("kHopIdsAdj big-frontier Bloom path (broadcastLimit=1) is exact") {
+    // synthetic adjacency frame with the Adj shape: every hop past the
+    // seed exceeds broadcastLimit=1, forcing the Bloom+shuffle-join path
+    val edges = Seq((1L, 2L, "e"), (1L, 3L, "e"), (2L, 4L, "e"),
+      (3L, 5L, "e"), (4L, 6L, "e"), (7L, 8L, "e")).toDF("src", "dst", "label")
+    val und = DerivedGraph.undirected(edges)
+      .withColumn("bk", pmod(col("a"), lit(4L)).cast("int"))
+    val adj = DerivedGraph.Adj(und, 4)
+    val ref = graft.ops.Traverse.kHopIds(edges, 1L, 3).as[Long].collect().toSet
+    val got = graft.ops.Traverse.kHopIdsAdj(adj, 1L, 3, broadcastLimit = 1L)
+      .as[Long].collect().toSet
+    assert(got == ref && ref == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("bucketedDegrees: no exchange in the count plan; kcore values unchanged") {
+    assume(haveSf001, "testdata sf0.001 not present")
+    val deg = graft.ops.GraphAnalytics.bucketedDegrees(spark, sf001)
+    val plan = deg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed degree count still exchanges:\n$plan")
+    val edges = DerivedGraph(spark, sf001).edges.select("src", "dst")
+    val ref = graft.ops.GraphAnalytics.kCoreDF(edges, k = 8, rounds = 10)
+      .as[(Long, Long)].collect().toSet
+    val got = graft.ops.GraphAnalytics.kCoreDF(edges, k = 8, rounds = 10,
+      initDegrees = Some(deg)).as[(Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("LongBloomMightContain: zero false negatives, codegen and interpreted agree") {
+    val keys = spark.range(0, 1000).selectExpr("id * 7 as id")
+    val bf = keys.stat.bloomFilter("id", 1000L, 0.03)
+    val probeCol = org.apache.spark.sql.GraftShim.column(
+      graft.functions.LongBloomMightContain(
+        org.apache.spark.sql.GraftShim.expression(col("id")), bf))
+    // all true members pass (no false negatives)
+    val hits = keys.filter(probeCol).count()
+    assert(hits == 1000L)
+    // fp rate on non-members stays near the configured 3%
+    val nonMembers = spark.range(0, 10000).selectExpr("id * 7 + 3 as id")
+    val fp = nonMembers.filter(probeCol).count()
+    assert(fp < 1000L, s"fp rate implausibly high: $fp/10000")
+  }
 }
