@@ -113,16 +113,7 @@ object DerivedGraph {
     // cluster deployment makes, made automatic. GRAFT_GRAPH_STORAGE
     // remains the probe override; unknown values fail fast (ADVICE r14)
     // instead of silently measuring the default policy.
-    val policy = sys.env.get("GRAFT_GRAPH_STORAGE") match {
-      case Some(v @ ("none" | "disk" | "default")) => v
-      case Some(other) => throw new IllegalArgumentException(
-        s"GRAFT_GRAPH_STORAGE=$other — allowed values: none|disk|default")
-      case None =>
-        val factBytes = CacheDirs.entryBytes("graph", sfDir, "fact_edges")
-        choosePolicy(factBytes,
-          (Runtime.getRuntime.maxMemory * StorageMemShare).toLong,
-          shuffleDirUsableBytes(spark))
-    }
+    val policy = storagePolicy(spark, sfDir, "fact_edges")
     policy match {
       case "none" => G(vertices, edges)
       case "disk" => G(vertices.persist(StorageLevel.DISK_ONLY),
@@ -131,6 +122,23 @@ object DerivedGraph {
         edges.persist(StorageLevel.MEMORY_AND_DISK))
     }
   }
+
+  /** The storage-level decision for a CacheDirs-backed frame: the env
+    * override when set (fails fast on unknown values — ADVICE r14),
+    * otherwise [[choosePolicy]] sized from the named entry's on-disk
+    * bytes. Shared by the graph frames and the undirected adjacency so
+    * the two cannot drift to different policies on one dataset.
+    */
+  def storagePolicy(spark: SparkSession, sfDir: String, entry: String): String =
+    sys.env.get("GRAFT_GRAPH_STORAGE") match {
+      case Some(v @ ("none" | "disk" | "default")) => v
+      case Some(other) => throw new IllegalArgumentException(
+        s"GRAFT_GRAPH_STORAGE=$other — allowed values: none|disk|default")
+      case None =>
+        choosePolicy(CacheDirs.entryBytes("graph", sfDir, entry),
+          (Runtime.getRuntime.maxMemory * StorageMemShare).toLong,
+          shuffleDirUsableBytes(spark))
+    }
 
   /** Approximate share of the JVM heap available to BLOCK STORAGE under
     * the unified memory manager: `spark.memory.fraction` (0.6) of
@@ -199,8 +207,16 @@ object DerivedGraph {
   /** The undirected adjacency with its source-endpoint bucket column —
     * `bk = pmod(a, buckets)` — so traversals can prune both the DIRECTORY
     * set (partition pruning on `bk`) and, per bucket, the row groups.
+    *
+    * Two views of the SAME rows, chosen per hop by how much of the
+    * adjacency the frontier touches: `byBucket` is the raw partitioned
+    * parquet read (a `bk IN (...)` filter prunes directories and computes
+    * nothing else — a narrow hop must not fill a 2|E|-row cache), `full`
+    * is the policy-persisted frame for hops that span every bucket (the
+    * columnar cache beats repeated whole-copy parquet decode ~2× where it
+    * fits; under policy "none" it IS `byBucket`).
     */
-  final case class Adj(df: DataFrame, buckets: Int)
+  final case class Adj(full: DataFrame, byBucket: DataFrame, buckets: Int)
 
   /** Materialized undirected adjacency, hive-partitioned by source-vertex
     * bucket (VERDICT r14 #1: the ego/k-hop frontier hops re-scanned the
@@ -216,16 +232,31 @@ object DerivedGraph {
     * the fact-edge/LPA-und parquets; every later session at any depth
     * serves pruned scans from it.
     */
-  def undAdjacency(spark: SparkSession, sfDir: String): Adj = {
-    val df = CacheDirs.cachedParquet(spark, "graph", sfDir,
-      s"und_adj_b${AdjBuckets}_$UndAdjVersion", Seq("bk")) {
-      undirected(apply(spark, sfDir).edges)
-        .withColumn("bk", pmod(col("a"), lit(AdjBuckets.toLong)).cast("int"))
-        .repartition(AdjBuckets, col("bk"))
-        .sortWithinPartitions("a", "b")
+  private val adjCache = new SessionCache[String, Adj]
+
+  def undAdjacency(spark: SparkSession, sfDir: String): Adj =
+    adjCache.getOrElseUpdate(spark, sfDir) {
+      val entry = s"und_adj_b${AdjBuckets}_$UndAdjVersion"
+      val raw = CacheDirs.cachedParquet(spark, "graph", sfDir, entry, Seq("bk")) {
+        undirected(apply(spark, sfDir).edges)
+          .withColumn("bk", pmod(col("a"), lit(AdjBuckets.toLong)).cast("int"))
+          .repartition(AdjBuckets, col("bk"))
+          .sortWithinPartitions("a", "b")
+      }
+      // Same storage decision as the graph frames, sized from THIS entry's
+      // bytes: a depth-4 traversal re-reads the whole adjacency up to k
+      // times per query, and at the SFs where it fits the storage share
+      // the columnar cache beats per-hop parquet decode ~2× (r15 sf10
+      // probe: 25.1 s parquet-only vs 12.6 s persisted). Where it does not
+      // fit ("none", the sf100 tier), full hops fall back to the parquet
+      // copy — the whole point of the materialized adjacency.
+      val full = storagePolicy(spark, sfDir, entry) match {
+        case "none" => raw
+        case "disk" => raw.persist(StorageLevel.DISK_ONLY)
+        case _ => raw.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      Adj(full, raw, AdjBuckets)
     }
-    Adj(df, AdjBuckets)
-  }
 }
 
 /** The same derived graph expressed as DuckDB SQL fragments, interpolated

@@ -73,10 +73,10 @@ object Traverse {
     */
   def kHopIdsAdj(adj: DerivedGraph.Adj, seed: Long, k: Int,
       broadcastLimit: Long = broadcastRowLimit): DataFrame =
-    kHopCore(adj.df, Some(adj.buckets), seed, k, broadcastLimit)
+    kHopCore(adj.full, Some((adj.byBucket, adj.buckets)), seed, k, broadcastLimit)
 
-  private def kHopCore(und: DataFrame, buckets: Option[Int], seed: Long,
-      k: Int, broadcastLimit: Long): DataFrame = {
+  private def kHopCore(und: DataFrame, byBucket: Option[(DataFrame, Int)],
+      seed: Long, k: Int, broadcastLimit: Long): DataFrame = {
     val spark = und.sparkSession
     import spark.implicits._
     var visited = Seq(seed).toDF("id").localCheckpoint()
@@ -86,16 +86,19 @@ object Traverse {
     for (_ <- 1 to k if frontierRows > 0) {
       def maybeBroadcast(df: DataFrame, rows: Long) =
         if (rows <= broadcastLimit) broadcast(df) else df
-      // the hop's adjacency side, pruned to the frontier's bucket
-      // directories (collecting ≤ `nb` distinct bucket ids is one tiny
-      // job over the already-checkpointed frontier)
-      val hopAdj = buckets match {
-        case Some(nb) =>
+      // the hop's adjacency side: a frontier that does NOT span every
+      // bucket hops against the raw partitioned parquet — directory
+      // pruning, and no 2|E|-row cache fill for a narrow hop; only a
+      // full-span hop touches the (possibly persisted) full view.
+      // Collecting ≤ `nb` distinct bucket ids is one tiny job over the
+      // already-checkpointed frontier.
+      val hopAdj = byBucket match {
+        case Some((raw, nb)) =>
           val bks = frontier
             .select(pmod(col("id"), lit(nb.toLong)).cast("int").as("bk"))
             .distinct().collect().map(_.getInt(0)).toSeq
           if (bks.length < nb)
-            und.filter(col("bk").isin(bks.map(Integer.valueOf): _*))
+            raw.filter(col("bk").isin(bks.map(Integer.valueOf): _*))
           else und
         case None => und
       }

@@ -93,7 +93,7 @@ class R15OpsSpec extends SparkSpec {
       (3L, 5L, "e"), (4L, 6L, "e"), (7L, 8L, "e")).toDF("src", "dst", "label")
     val und = DerivedGraph.undirected(edges)
       .withColumn("bk", pmod(col("a"), lit(4L)).cast("int"))
-    val adj = DerivedGraph.Adj(und, 4)
+    val adj = DerivedGraph.Adj(und, und, 4)
     val ref = graft.ops.Traverse.kHopIds(edges, 1L, 3).as[Long].collect().toSet
     val got = graft.ops.Traverse.kHopIdsAdj(adj, 1L, 3, broadcastLimit = 1L)
       .as[Long].collect().toSet
