@@ -52,7 +52,18 @@ object ScaleProbe {
         if (m != null) shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
     })
-    for (q <- qs; pass <- Seq("cold", "aged")) {
+    // GRAFT_PROBE_PASSES=cold skips the aged pass — for the d3-tier
+    // queries whose single cold run is tens of minutes, where the aged
+    // pass buys no floor (long-session storage pressure makes aged ≥ cold
+    // in this class; see BENCHNOTES r12 ratio-basis note) and doubles the
+    // probe's wall-clock.
+    val passes = sys.env.get("GRAFT_PROBE_PASSES") match {
+      case Some("cold") => Seq("cold")
+      case Some(other) => throw new IllegalArgumentException(
+        s"GRAFT_PROBE_PASSES=$other — allowed values: cold")
+      case None => Seq("cold", "aged")
+    }
+    for (q <- qs; pass <- passes) {
       val s0 = shuffleWrite.get()
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
