@@ -407,13 +407,17 @@ object QueriesGraphX {
     // the same bounded peel as chained MATERIALIZED rounds.
     "graph_kcore" -> QueryDef(
       (s, d) => {
-        // A/B (VERDICT r14 #6): bucketed-endpoint init degrees remove the
-        // |2E|-row exchange from round 0; values identical by construction
+        // Bucketed-endpoint init degrees are the DEFAULT (VERDICT r14 #6,
+        // decided by the r15 sf10 A/B: min 14.8 s vs 71.6 s, −689 MB
+        // shuffle — round 0's |2E|-row exchange AND the persisted-edge
+        // union decode both gone; values identical, R15OpsSpec). `union`
+        // opts back into the cache-free live form for A/B replay.
         val init = sys.env.get("GRAFT_KCORE_DEG") match {
-          case Some("bucketed") => Some(GraphAnalytics.bucketedDegrees(s, d))
+          case Some("union") => None
+          case Some("bucketed") | None =>
+            Some(GraphAnalytics.bucketedDegrees(s, d))
           case Some(other) => throw new IllegalArgumentException(
-            s"GRAFT_KCORE_DEG=$other — allowed values: bucketed")
-          case None => None
+            s"GRAFT_KCORE_DEG=$other — allowed values: bucketed|union")
         }
         GraphAnalytics.kCoreDF(
           DerivedGraph(s, d).edges.select("src", "dst"), k = 8,

@@ -135,9 +135,14 @@ object DerivedGraph {
       case Some(other) => throw new IllegalArgumentException(
         s"GRAFT_GRAPH_STORAGE=$other — allowed values: none|disk|default")
       case None =>
-        choosePolicy(CacheDirs.entryBytes("graph", sfDir, entry),
+        val p = choosePolicy(CacheDirs.entryBytes("graph", sfDir, entry),
           (Runtime.getRuntime.maxMemory * StorageMemShare).toLong,
           shuffleDirUsableBytes(spark))
+        // one WARN-visible line per decision: a probe/bench log must show
+        // WHICH level the auto-policy picked (a "none" session and a
+        // "default" session read identically otherwise)
+        System.err.println(s"[graft] storage policy for $entry: $p")
+        p
     }
 
   /** Approximate share of the JVM heap available to BLOCK STORAGE under
@@ -250,10 +255,20 @@ object DerivedGraph {
       // probe: 25.1 s parquet-only vs 12.6 s persisted). Where it does not
       // fit ("none", the sf100 tier), full hops fall back to the parquet
       // copy — the whole point of the materialized adjacency.
+      //
+      // The persisted plan MUST NOT be structurally equal to `raw`:
+      // CacheManager substitutes the InMemoryRelation into ANY
+      // canonically-matching subtree, so persisting `raw` itself routes
+      // the bucket-pruned hops through the cache too — the first NARROW
+      // hop then pays the whole 2|E|-row fill (measured 94 s of khop_2's
+      // sf10 cold) and partition pruning is dead. The vacuous `bk >= 0`
+      // filter (pmod is non-negative) keeps the cached plan semantically
+      // identical but canonically distinct, so `byBucket` reads keep
+      // hitting the partitioned parquet.
       val full = storagePolicy(spark, sfDir, entry) match {
         case "none" => raw
-        case "disk" => raw.persist(StorageLevel.DISK_ONLY)
-        case _ => raw.persist(StorageLevel.MEMORY_AND_DISK)
+        case "disk" => raw.filter(col("bk") >= 0).persist(StorageLevel.DISK_ONLY)
+        case _ => raw.filter(col("bk") >= 0).persist(StorageLevel.MEMORY_AND_DISK)
       }
       Adj(full, raw, AdjBuckets)
     }

@@ -72,10 +72,21 @@ object Traverse {
     *     and the join stays exact.
     */
   def kHopIdsAdj(adj: DerivedGraph.Adj, seed: Long, k: Int,
-      broadcastLimit: Long = broadcastRowLimit): DataFrame =
-    kHopCore(adj.full, Some((adj.byBucket, adj.buckets)), seed, k, broadcastLimit)
+      broadcastLimit: Long = broadcastRowLimit): DataFrame = {
+    // Span cutoff for the pruned-parquet path: when `full` is a persisted
+    // copy (policy default/disk), the columnar cache reads ~2× faster than
+    // a whole-copy parquet decode (r15 sf10: 12.6 vs 25.1 s), so a pruned
+    // read only wins while the frontier spans < half the directories — a
+    // 255/256-bucket "pruned" hop through parquet cost ego_subgraph's aged
+    // pass +48% when the cutoff was `< nb`. Under policy "none" (full eq
+    // byBucket, nothing cached) any real pruning beats the full scan.
+    val cutoff =
+      if (adj.full eq adj.byBucket) adj.buckets else adj.buckets / 2
+    kHopCore(adj.full, Some((adj.byBucket, adj.buckets, cutoff)), seed, k,
+      broadcastLimit)
+  }
 
-  private def kHopCore(und: DataFrame, byBucket: Option[(DataFrame, Int)],
+  private def kHopCore(und: DataFrame, byBucket: Option[(DataFrame, Int, Int)],
       seed: Long, k: Int, broadcastLimit: Long): DataFrame = {
     val spark = und.sparkSession
     import spark.implicits._
@@ -86,18 +97,19 @@ object Traverse {
     for (_ <- 1 to k if frontierRows > 0) {
       def maybeBroadcast(df: DataFrame, rows: Long) =
         if (rows <= broadcastLimit) broadcast(df) else df
-      // the hop's adjacency side: a frontier that does NOT span every
-      // bucket hops against the raw partitioned parquet — directory
-      // pruning, and no 2|E|-row cache fill for a narrow hop; only a
-      // full-span hop touches the (possibly persisted) full view.
-      // Collecting ≤ `nb` distinct bucket ids is one tiny job over the
+      // the hop's adjacency side: a frontier spanning at most `cutoff`
+      // buckets hops against the raw partitioned parquet — directory
+      // pruning, and no 2|E|-row cache fill for a narrow hop; a wider
+      // hop uses the (possibly persisted) full view, which beats a
+      // barely-pruned parquet decode where a cache exists. Collecting
+      // ≤ `nb` distinct bucket ids is one tiny job over the
       // already-checkpointed frontier.
       val hopAdj = byBucket match {
-        case Some((raw, nb)) =>
+        case Some((raw, nb, cutoff)) =>
           val bks = frontier
             .select(pmod(col("id"), lit(nb.toLong)).cast("int").as("bk"))
             .distinct().collect().map(_.getInt(0)).toSeq
-          if (bks.length < nb)
+          if (bks.length < nb && bks.length <= cutoff)
             raw.filter(col("bk").isin(bks.map(Integer.valueOf): _*))
           else und
         case None => und

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: materialize the once-per-dataset derived caches (fact-edge
+  * parquet, bucketed undirected adjacency, optionally the bucket-clustered
+  * endpoint table) for a dataset, printing per-entry build seconds — so
+  * probe sessions measure SERVE cost against committed caches and the
+  * build cost is recorded explicitly (the BENCHNOTES build/serve split,
+  * VERDICT r14 #7 discipline applied to the probe tiers).
+  *
+  * Usage: BuildCaches <sfDir> [steps=graph,adj,endp]
+  */
+object BuildCaches {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val steps = args.lift(1).map(_.split(",").toSet).getOrElse(Set("graph", "adj"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[build] $name%-10s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    }
+    if (steps("graph"))
+      timed("graph")(graft.model.DerivedGraph.warm(spark, sfDir))
+    if (steps("adj"))
+      timed("adj")(graft.model.DerivedGraph.undAdjacency(spark, sfDir)
+        .byBucket.count())
+    if (steps("endp"))
+      timed("endp")(graft.ops.GraphAnalytics.bucketedDegrees(spark, sfDir).count())
+    spark.stop()
+  }
+}

@@ -113,6 +113,25 @@ class R15OpsSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("byBucket hop reads bypass the persisted full view (pruning stays live)") {
+    assume(haveSf001, "testdata sf0.001 not present")
+    val adj = DerivedGraph.undAdjacency(spark, sf001)
+    // policy at test heap is "default" → full is persisted. A bucket-pruned
+    // read must NOT be substituted by the InMemoryRelation: persisting the
+    // raw plan itself routed narrow hops through the whole 2|E| cache fill
+    // (94 s of khop_2's sf10 cold) and killed partition pruning.
+    val pruned = adj.byBucket.filter(col("bk") === 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"),
+      s"bucket-pruned read went through the cache:\n$plan")
+    assert(plan.contains("PartitionFilters: [isnotnull(bk"),
+      s"no partition filter pushed:\n$plan")
+    // while the full view IS served from the cache once filled
+    val fullPlan = adj.full.queryExecution.executedPlan.toString
+    assert(fullPlan.contains("InMemoryTableScan") || !fullPlan.contains("FileScan"),
+      s"full view not cache-backed under default policy:\n$fullPlan")
+  }
+
   test("LongBloomMightContain: zero false negatives, codegen and interpreted agree") {
     val keys = spark.range(0, 1000).selectExpr("id * 7 as id")
     val bf = keys.stat.bloomFilter("id", 1000L, 0.03)
