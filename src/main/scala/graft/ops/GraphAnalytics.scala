@@ -645,13 +645,23 @@ object GraphAnalytics {
       t0 = tick()
       val removed = deg.filter(col("deg") < k)
         .select(col("a").as("rid")).localCheckpoint()
-      val nRemoved = if (dbg) removed.count() else -1L
+      // the count reads the checkpointed partition sizes (no recompute);
+      // it sizes the loss join's build side below
+      val nRemoved = removed.count()
       // an empty removed set makes every remaining round a no-op, so
       // stopping early returns the SAME result as running all `rounds` —
       // bounded-round semantics (and oracle parity) are unchanged.
-      if (removed.isEmpty) converged = true
+      if (nRemoved == 0) converged = true
       else {
-        val loss = und.join(removed, col("b") === col("rid"))
+        // EXPLICIT broadcast below the same ~25M-row bound Traverse uses:
+        // a first-round fringe in the tens of millions (13M at sf100) is
+        // far past AQE's broadcast threshold, and the SMJ alternative
+        // exchanges the whole 2|E|-row und view (~29 GB at sf100 — the
+        // r15 probe's disk ceiling); a ~100 MB hashed id set is cheap on
+        // any executor. Past the bound, AQE's choice stands.
+        val rem = if (nRemoved <= Traverse.broadcastRowLimit)
+          broadcast(removed) else removed
+        val loss = und.join(rem, col("b") === col("rid"))
           .groupBy("a").agg(count(lit(1)).as("__lost"))
         deg = deg.filter(col("deg") >= k)
           .join(loss, Seq("a"), "left")

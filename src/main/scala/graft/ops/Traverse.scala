@@ -41,8 +41,16 @@ object Traverse {
     * frontier is localCheckpoint'ed (its `count()` reads cached partition
     * sizes), and the visited size is tracked incrementally — `visited`
     * itself stays a plain union over the checkpointed frontiers.
+    *
+    * 25M ids ≈ 200 MB serialized / ~1.5 GB hashed — one copy per executor,
+    * inside a normal executor's memory budget, and two orders of magnitude
+    * cheaper than the alternative: the r15 sf100 probe measured ego's
+    * hop-4 frontier (20M ids) just over the previous 5M limit, sending the
+    * hop down the Bloom+shuffle path and exchanging ~31 GB of adjacency
+    * rows for a join a 160 MB broadcast answers map-side. Frontiers past
+    * this limit (≥ d4 on a 10× bigger graph) still take the Bloom path.
     */
-  val broadcastRowLimit: Long = 5000000L
+  val broadcastRowLimit: Long = 25000000L
 
   /** False-positive rate of the big-frontier Bloom pre-filter — pads the
     * exact hop join's candidate set by ~2% of the adjacency, never its

@@ -16,7 +16,7 @@ object BuildCaches {
     val sfDir = args(0)
     val steps = args.lift(1).map(_.split(",").toSet).getOrElse(Set("graph", "adj"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus))
@@ -24,7 +24,16 @@ object BuildCaches {
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GRAFT_BUILD_ZSTD=1: zstd for shuffle AND the written parquet — the
+    // d3-tier cache builds are disk-bound on a single host (the sf100
+    // adjacency's 2.4B-row exchange wrote 35 GB lz4 + ~16 GB snappy
+    // output against ~50 GB free and died); zstd cuts both ~35%. Readers
+    // auto-detect parquet compression per page, so consumers are
+    // unaffected. Off by default: probe/bench sessions stay on lz4.
+    val spark = (if (sys.env.contains("GRAFT_BUILD_ZSTD"))
+      builder.config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def timed(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
