@@ -373,13 +373,15 @@ object QueriesGraph {
     // oracle replays each hop as a rank-1 window over the same priority.
     "graph_walks" -> QueryDef(
       (s, d) => {
-        val g = DerivedGraph(s, d)
         val seeds = Qh.t(s, d, "customer")
           .filter(col("c_custkey").between(1, 32))
           .select((lit(DerivedGraph.CustomerBase) + col("c_custkey").cast("long"))
             .as("walk_id"))
+        // steps ride the bucket-partitioned adjacency: each hop reads the
+        // ≤32 directories the walkers stand in instead of re-decoding the
+        // whole undirected view (sf100 storage=none: 48 s → see BENCHNOTES)
         graft.ops.RandomWalks
-          .walks(seeds, DerivedGraph.undirected(g.edges), steps = 4)
+          .walksAdj(seeds, DerivedGraph.undAdjacency(s, d), steps = 4)
           .orderBy("walk_id", "step")
       },
       {

@@ -44,10 +44,44 @@ object RandomWalks {
     * doubling as the start node) over undirected edges `und(a, b)`.
     * Returns `(walk_id, step, node)` — step 0 is the seed itself.
     */
-  def walks(seeds: DataFrame, und: DataFrame, steps: Int): DataFrame = {
+  def walks(seeds: DataFrame, und: DataFrame, steps: Int): DataFrame =
+    walksCore(seeds, und, None, steps)
+
+  /** Walks over the MATERIALIZED bucket-partitioned adjacency
+    * ([[graft.model.DerivedGraph.undAdjacency]]) — same rows as
+    * [[walks]] on the equivalent live view (spec-pinned), but each step's
+    * scan partition-prunes to the ≤ |frontier| bucket directories the
+    * walkers stand in: at sf100 under storage policy "none" the live form
+    * re-decoded the whole fact parquet twice per step (48 s min for 32
+    * walks); pruned steps read a handful of files. The same span cutoff
+    * as Traverse.kHopIdsAdj keeps wide frontiers (W·|V| production walks)
+    * on the policy-persisted full view.
+    */
+  def walksAdj(seeds: DataFrame, adj: graft.model.DerivedGraph.Adj,
+      steps: Int): DataFrame = {
+    val cutoff =
+      if (adj.full eq adj.byBucket) adj.buckets else adj.buckets / 2
+    walksCore(seeds, adj.full, Some((adj.byBucket, adj.buckets, cutoff)), steps)
+  }
+
+  private def walksCore(seeds: DataFrame, und: DataFrame,
+      byBucket: Option[(DataFrame, Int, Int)], steps: Int): DataFrame = {
     var frontier = seeds.select(col("walk_id"), col("walk_id").as("node"))
     var out = frontier.withColumn("step", lit(0L))
     for (step <- 1 to steps) {
+      // bucket set of the walkers' current nodes — one tiny job (the
+      // frontier is one row per walk); spans past the cutoff fall back
+      // to the full view exactly like Traverse.kHopCore
+      val stepAdj = byBucket match {
+        case Some((raw, nb, cutoff)) =>
+          val bks = frontier
+            .select(pmod(col("node"), lit(nb.toLong)).cast("int").as("bk"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          if (bks.length < nb && bks.length <= cutoff)
+            raw.filter(col("bk").isin(bks.map(Integer.valueOf): _*))
+          else und
+        case None => und
+      }
       // The frontier (one row per walk) is the small side by construction
       // — broadcast it so each step is one scan of the edge relation with
       // NO edge shuffle (unhinted, the agg-produced frontier has no size
@@ -55,7 +89,7 @@ object RandomWalks {
       // measured 5.6 s -> 0.3 s aged at sf0.1 for 32 walks). A production
       // |V|·W frontier past the broadcast threshold would drop the hint
       // and shuffle BOTH sides on the node key instead.
-      val cand = broadcast(frontier).join(und, frontier("node") === und("a"))
+      val cand = broadcast(frontier).join(stepAdj, frontier("node") === stepAdj("a"))
         .select(col("walk_id"), col("b").as("cand"))
         .withColumn("pri", priority(col("walk_id"), step, col("cand")))
       // persist each frontier: without it, the final union's branch for

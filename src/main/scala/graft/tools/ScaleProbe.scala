@@ -18,7 +18,7 @@ object ScaleProbe {
     val qs = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
       "theta_range_join", "graph_common_neighbors", "dedup_clusters",
       "pack_sequences", "detected_prop", "skew_salted_join"))
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", parts)
       // MakeSfN writes few large parquet files; at sf10 a 128 MB split
@@ -28,7 +28,15 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GRAFT_PROBE_ZSTD=1: zstd shuffle for the d3 LLM tier, where the
+    // probed query's own (linear, output-bound) exchange exceeds the
+    // single host's free disk under lz4 — the ~35% byte cut is the
+    // difference between a measured number and a disk kill. Off by
+    // default; a disposition measured with it says so (±10-20% CPU on
+    // shuffle-heavy stages).
+    val spark = (if (sys.env.contains("GRAFT_PROBE_ZSTD"))
+      builder0.config("spark.io.compression.codec", "zstd")
+    else builder0).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // tolerate PARTIAL datasets (the sf100 graph-only build has no
     // documents/embeddings): a failed warm only means the missing table's

@@ -132,6 +132,31 @@ class R15OpsSpec extends SparkSpec {
       s"full view not cache-backed under default policy:\n$fullPlan")
   }
 
+  test("walksAdj parity with walks on the derived graph (incl. forced pruned path)") {
+    assume(haveSf001, "testdata sf0.001 not present")
+    val g = DerivedGraph(spark, sf001)
+    val adj = DerivedGraph.undAdjacency(spark, sf001)
+    val seeds = (1L to 8L).map(DerivedGraph.CustomerBase + _).toDF("walk_id")
+    val live = graft.ops.RandomWalks
+      .walks(seeds, DerivedGraph.undirected(g.edges), steps = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaAdj = graft.ops.RandomWalks.walksAdj(seeds, adj, steps = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaAdj == live)
+    // tiny synthetic adjacency where every step takes the pruned branch
+    val edges = Seq((1L, 2L, "e"), (2L, 3L, "e"), (3L, 4L, "e"), (4L, 5L, "e"))
+      .toDF("src", "dst", "label")
+    val und = DerivedGraph.undirected(edges)
+      .withColumn("bk", pmod(col("a"), lit(64L)).cast("int"))
+    val tinyAdj = DerivedGraph.Adj(und.filter(col("bk") >= 0), und, 64)
+    val s1 = Seq(1L).toDF("walk_id")
+    val refT = graft.ops.RandomWalks.walks(s1, DerivedGraph.undirected(edges), 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val gotT = graft.ops.RandomWalks.walksAdj(s1, tinyAdj, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotT == refT)
+  }
+
   test("LongBloomMightContain: zero false negatives, codegen and interpreted agree") {
     val keys = spark.range(0, 1000).selectExpr("id * 7 as id")
     val bf = keys.stat.bloomFilter("id", 1000L, 0.03)
