@@ -8,6 +8,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the traversal broadcast path collects frontiers up to
+      // Traverse.broadcastRowLimit (25M ids ≈ 400-600 MB driver-side) —
+      // past the default 1g maxResultSize, which would fail the job
+      // instead of letting the limit do its work (ADVICE r15 #1)
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -49,18 +54,31 @@ object Bench {
     // instead of living in BENCHNOTES prose. Zero effect on timed totals —
     // the steps ran here (untimed) before this round too.
     val cacheBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // A failed warm step must not abort the bench: on a partial dataset
+    // the step's queries fail (and surface) in the timed pass, and a
+    // build charged to cache_builds that then died would misattribute the
+    // retry cost to the first query touching it — record the failure as a
+    // negative build time instead (ADVICE r15 #4, the ScaleProbe warm
+    // discipline applied here).
     def warmStep(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      f
-      cacheBuilds(name) = (System.nanoTime() - t0) / 1e9
+      try { f; cacheBuilds(name) = (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm step $name FAILED: ${e.getMessage}")
+        cacheBuilds(name) = -1.0
+      }
     }
     warmStep("tables")(graft.model.Tables.warm(spark, sfDir))
     warmStep("graph")(graft.ops.GraphAnalytics.warm(spark, sfDir))
     // bucket-clustered endpoint table: graph_kcore's default init-degree
     // source since r15 (sf10 A/B: 14.8 vs 71.6 s min) — built once per
-    // dataset here so the timed pass measures serve cost
-    warmStep("kcore_endp")(
-      graft.ops.GraphAnalytics.bucketedDegrees(spark, sfDir).count())
+    // dataset here so the timed pass measures serve cost. Skipped under
+    // GRAFT_KCORE_DEG=union, where the timed query never reads it and the
+    // A/B replay would otherwise charge a build the variant doesn't use
+    // (ADVICE r15 #4).
+    if (!sys.env.get("GRAFT_KCORE_DEG").contains("union"))
+      warmStep("kcore_endp")(
+        graft.ops.GraphAnalytics.bucketedDegrees(spark, sfDir).count())
     // materialized undirected adjacency (khop_2/ego_subgraph hops): the
     // cachedParquet call IS the build on first touch, a marker check
     // after; count() fills the session persist when the policy keeps one

@@ -13,6 +13,13 @@ import org.apache.spark.sql.types.DecimalType
   * (wrapped by the apply overloads below); late-bound oracles replay a
   * FITTED model (e.g. the IVF centroids) by embedding the fitted values
   * as exact literals into generated SQL, which only exist post-run.
+  *
+  * `fn` is not guaranteed lazy: iterative operators that drive their own
+  * loop (k-hop's per-hop frontier counts, graph_walks' per-step pruned
+  * bucket sets) run Spark jobs AT CONSTRUCTION time — the returned frame
+  * is the final iterate, not a deferred plan (ADVICE r15 #5). Callers
+  * must treat `fn(spark, dir)` itself as potentially expensive and time
+  * construction + action together (Bench/Verify/ScaleProbe all do).
   */
 final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,

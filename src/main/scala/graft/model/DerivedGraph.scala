@@ -219,9 +219,13 @@ object DerivedGraph {
     * nothing else — a narrow hop must not fill a 2|E|-row cache), `full`
     * is the policy-persisted frame for hops that span every bucket (the
     * columnar cache beats repeated whole-copy parquet decode ~2× where it
-    * fits; under policy "none" it IS `byBucket`).
+    * fits; under policy "none" it IS `byBucket`). `policy` records WHICH
+    * storage decision built `full`, because the pruned-vs-full break-even
+    * depends on what a full read costs under that policy (Traverse's span
+    * cutoff is policy-dependent — VERDICT r15 #4).
     */
-  final case class Adj(full: DataFrame, byBucket: DataFrame, buckets: Int)
+  final case class Adj(full: DataFrame, byBucket: DataFrame, buckets: Int,
+      policy: String = "default")
 
   /** Materialized undirected adjacency, hive-partitioned by source-vertex
     * bucket (VERDICT r14 #1: the ego/k-hop frontier hops re-scanned the
@@ -265,12 +269,13 @@ object DerivedGraph {
       // filter (pmod is non-negative) keeps the cached plan semantically
       // identical but canonically distinct, so `byBucket` reads keep
       // hitting the partitioned parquet.
-      val full = storagePolicy(spark, sfDir, entry) match {
+      val policy = storagePolicy(spark, sfDir, entry)
+      val full = policy match {
         case "none" => raw
         case "disk" => raw.filter(col("bk") >= 0).persist(StorageLevel.DISK_ONLY)
         case _ => raw.filter(col("bk") >= 0).persist(StorageLevel.MEMORY_AND_DISK)
       }
-      Adj(full, raw, AdjBuckets)
+      Adj(full, raw, AdjBuckets, policy)
     }
 }
 

@@ -653,13 +653,15 @@ object GraphAnalytics {
       // bounded-round semantics (and oracle parity) are unchanged.
       if (nRemoved == 0) converged = true
       else {
-        // EXPLICIT broadcast below the same ~25M-row bound Traverse uses:
-        // a first-round fringe in the tens of millions (13M at sf100) is
-        // far past AQE's broadcast threshold, and the SMJ alternative
-        // exchanges the whole 2|E|-row und view (~29 GB at sf100 — the
-        // r15 probe's disk ceiling); a ~100 MB hashed id set is cheap on
-        // any executor. Past the bound, AQE's choice stands.
-        val rem = if (nRemoved <= Traverse.broadcastRowLimit)
+        // EXPLICIT broadcast below the same ~25M-row bound Traverse uses,
+        // capped by this session's maxResultSize (a 1g-default session
+        // gets ~22M, not a failed collect — ADVICE r15 #2): a first-round
+        // fringe in the tens of millions (13M at sf100) is far past AQE's
+        // broadcast threshold, and the SMJ alternative exchanges the
+        // whole 2|E|-row und view (~29 GB at sf100 — the r15 probe's disk
+        // ceiling); a ~100 MB hashed id set is cheap on any executor.
+        // Past the bound, AQE's choice stands.
+        val rem = if (nRemoved <= Traverse.effectiveBroadcastLimit(e.sparkSession))
           broadcast(removed) else removed
         val loss = und.join(rem, col("b") === col("rid"))
           .groupBy("a").agg(count(lit(1)).as("__lost"))

@@ -58,11 +58,9 @@ object RandomWalks {
     * on the policy-persisted full view.
     */
   def walksAdj(seeds: DataFrame, adj: graft.model.DerivedGraph.Adj,
-      steps: Int): DataFrame = {
-    val cutoff =
-      if (adj.full eq adj.byBucket) adj.buckets else adj.buckets / 2
-    walksCore(seeds, adj.full, Some((adj.byBucket, adj.buckets, cutoff)), steps)
-  }
+      steps: Int): DataFrame =
+    walksCore(seeds, adj.full,
+      Some((adj.byBucket, adj.buckets, Traverse.spanCutoff(adj))), steps)
 
   private def walksCore(seeds: DataFrame, und: DataFrame,
       byBucket: Option[(DataFrame, Int, Int)], steps: Int): DataFrame = {

@@ -52,6 +52,23 @@ object Traverse {
     */
   val broadcastRowLimit: Long = 25000000L
 
+  /** The broadcast-id-set row bound actually safe in THIS session:
+    * [[broadcastRowLimit]] capped by what the configured
+    * `spark.driver.maxResultSize` can collect. Broadcasting a DataFrame
+    * routes its rows through a driver collect (serialized ~8-16 B/id) and
+    * a driver-built hashed relation (~40-60 B/id), so the bound charges
+    * 48 B per row against the configured ceiling — a session left on the
+    * 1g default gets a ~22M cap and the Bloom/SMJ fallback instead of a
+    * failed job; the 4g the tool/bench builders now set admits the full
+    * static limit (ADVICE r15 #1/#2). `maxResultSize=0` means unlimited.
+    */
+  def effectiveBroadcastLimit(spark: org.apache.spark.sql.SparkSession): Long = {
+    val bytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.driver.maxResultSize", "1g"))
+    if (bytes <= 0L) broadcastRowLimit
+    else math.min(broadcastRowLimit, bytes / 48L)
+  }
+
   /** False-positive rate of the big-frontier Bloom pre-filter — pads the
     * exact hop join's candidate set by ~2% of the adjacency, never its
     * result.
@@ -59,7 +76,35 @@ object Traverse {
   val FrontierBloomFpp: Double = 0.02
 
   def kHopIds(edges: DataFrame, seed: Long, k: Int): DataFrame =
-    kHopCore(DerivedGraph.undirected(edges), None, seed, k, broadcastRowLimit)
+    kHopCore(DerivedGraph.undirected(edges), None, seed, k,
+      effectiveBroadcastLimit(edges.sparkSession))
+
+  /** Bucket-span cutoff for the pruned-parquet hop path, PER STORAGE
+    * POLICY (VERDICT r15 #4 — the break-even is a property of what a
+    * full read costs under the policy that built `adj.full`):
+    * a pruned read of `f·buckets` directories costs ~`f` of a whole-copy
+    * parquet decode, so pruning wins while `f <` (full-read cost under
+    * the policy) / (parquet decode cost). Measured at sf10 (BENCHNOTES
+    * r16 policy A/B):
+    *
+    *  - `none`: `full` IS the parquet copy — any real pruning wins;
+    *    cutoff = buckets (prune whenever the frontier misses ≥1 bucket).
+    *  - `default` (deserialized columnar cache): cache read ≈ 2× faster
+    *    than the parquet decode → cutoff = buckets/2 (the r15 number,
+    *    re-confirmed; a 255/256-span "pruned" hop through parquet cost
+    *    ego's aged pass +48%).
+    *  - `disk` (serialized DISK_ONLY): the spill read re-deserializes
+    *    every row — measured ≈ parquet-decode speed, not columnar-cache
+    *    speed → near-full spans are a wash and pruning wins almost
+    *    everywhere; cutoff = 3·buckets/4.
+    */
+  def spanCutoff(adj: DerivedGraph.Adj): Int =
+    if (adj.full eq adj.byBucket) adj.buckets
+    else adj.policy match {
+      case "none" => adj.buckets
+      case "disk" => 3 * adj.buckets / 4
+      case _ => adj.buckets / 2
+    }
 
   /** k-hop over the MATERIALIZED bucket-partitioned adjacency
     * ([[DerivedGraph.undAdjacency]]) — the scale path (VERDICT r14 #1).
@@ -81,17 +126,11 @@ object Traverse {
     */
   def kHopIdsAdj(adj: DerivedGraph.Adj, seed: Long, k: Int,
       broadcastLimit: Long = broadcastRowLimit): DataFrame = {
-    // Span cutoff for the pruned-parquet path: when `full` is a persisted
-    // copy (policy default/disk), the columnar cache reads ~2× faster than
-    // a whole-copy parquet decode (r15 sf10: 12.6 vs 25.1 s), so a pruned
-    // read only wins while the frontier spans < half the directories — a
-    // 255/256-bucket "pruned" hop through parquet cost ego_subgraph's aged
-    // pass +48% when the cutoff was `< nb`. Under policy "none" (full eq
-    // byBucket, nothing cached) any real pruning beats the full scan.
-    val cutoff =
-      if (adj.full eq adj.byBucket) adj.buckets else adj.buckets / 2
-    kHopCore(adj.full, Some((adj.byBucket, adj.buckets, cutoff)), seed, k,
-      broadcastLimit)
+    // an explicit caller limit is still capped by what this session's
+    // maxResultSize can actually collect (ADVICE r15 #1)
+    kHopCore(adj.full, Some((adj.byBucket, adj.buckets, spanCutoff(adj))),
+      seed, k,
+      math.min(broadcastLimit, effectiveBroadcastLimit(adj.full.sparkSession)))
   }
 
   private def kHopCore(und: DataFrame, byBucket: Option[(DataFrame, Int, Int)],

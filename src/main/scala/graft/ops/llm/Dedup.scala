@@ -451,23 +451,30 @@ object Dedup {
     * measure (Broder 1997 §2: containment C(A,B) = |S(A)∩S(B)|/|S(A)|)
     * that catches a document EMBEDDED inside a larger one, where Jaccard
     * goes quiet because the union is dominated by the big doc. Shingles
-    * are raw `len`-char substrings at `stride` (replayable in SQL, no
-    * hash replay needed); one posting-list groupBy, pair generation by
-    * double explode inside each DF-capped list (never a doc self-join);
-    * per-doc set sizes ride INSIDE the postings packed into the low 20
-    * bits of each candidate long (the graph_common_neighbors lesson: the
-    * pair table is never joined). Emits both directions' containments per
-    * unordered pair; the threshold compares 6-dp-rounded values on both
-    * engines.
+    * are `len`-char substrings at `stride`, carried as their xxhash64
+    * (the dedup_ngram_jaccard discipline: the oracle replays the RAW
+    * strings — equal modulo 64-bit collisions, absent by birthday math
+    * below ~10^8 shingle types — while every shuffle moves 8-byte keys
+    * instead of 20+-char strings). Per-doc dedup happens IN-ROW via
+    * array_distinct over the transform (all of one doc's shingles come
+    * from its single text value), so the old `(doc, shingle) DISTINCT`
+    * — a full extra shuffle of the exploded data, and r15's measured
+    * 26×/decade shuffle-write term — is gone entirely. One posting-list
+    * groupBy, pair generation by double explode inside each DF-capped
+    * list (never a doc self-join); per-doc set sizes broadcast-joined
+    * (doc-count-sized, the smallest table in the plan) and packed into
+    * the low 20 bits of each candidate long (the graph_common_neighbors
+    * lesson: the pair table is never joined). Emits both directions'
+    * containments per unordered pair; the threshold compares
+    * 6-dp-rounded values on both engines.
     */
   def containment(docs: DataFrame, len: Int = 20, stride: Int = 5,
       maxDf: Int = ContainmentMaxDf, minCont: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = docs.filter(length(col(textCol)) >= len)
-      .select(col(idCol), explode(expr(
+      .select(col(idCol), explode(array_distinct(expr(
         s"transform(sequence(1, length($textCol) - ${len - 1}, $stride)," +
-          s" p -> substring($textCol, p, $len))")).as("sh"))
-      .distinct()
+          s" p -> xxhash64(substring($textCol, p, $len)))"))).as("sh"))
     val postings = sh.groupBy("sh")
       .agg(sort_array(graft.functions.ArrayFunctions.bounded_collect_list(
         col(idCol), maxDf + 1)).as("ds"))
@@ -477,9 +484,11 @@ object Dedup {
     // (doc, sz) packed into one long: sz < 2^20 (set size = distinct
     // shingles per doc, bounded by n_chars/stride), packed order = doc
     // order, so the pair path below is pure long lanes and the pair table
-    // never joins anything.
+    // never joins anything. `sizes` is one row per DOCUMENT — orders of
+    // magnitude under the posting rows — so it broadcasts and the join
+    // never reshuffles the exploded postings.
     val packed = postings.select(col("sh"), explode(col("ds")).as("d"))
-      .join(sizes, "d")
+      .join(broadcast(sizes), "d")
       .groupBy("sh")
       .agg(sort_array(collect_list(shiftleft(col("d"), 20) + col("sz"))).as("cz"))
       .filter(size(col("cz")) >= 2)

@@ -23,6 +23,9 @@ object BuildCaches {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
       .config("spark.sql.session.timeZone", "UTC")
+      // near-limit traversal frontiers (Traverse.broadcastRowLimit = 25M
+      // ids ≈ 400-600 MB collected) exceed the 1g default (ADVICE r15 #1)
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false")
     // GRAFT_BUILD_ZSTD=1: zstd for shuffle AND the written parquet — the
     // d3-tier cache builds are disk-bound on a single host (the sf100

@@ -19,12 +19,15 @@ object ContainDiag {
     spark.sparkContext.setLogLevel("WARN")
     val len = 20; val stride = 5; val maxDf = graft.ops.llm.Dedup.ContainmentMaxDf
     val docs = graft.model.Tables(spark, sfDir, "documents")
+    // r16 plan shape: xxhash64'd shingles deduped IN-ROW (array_distinct
+    // over the transform) — no (doc, shingle) distinct shuffle exists any
+    // more; the first and only shuffle of the exploded data is the
+    // postings groupBy, carrying (long, long) rows.
     val sh = docs.filter(length(col("text")) >= len)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, length(text) - ${len - 1}, $stride)," +
-          s" p -> substring(text, p, $len))")).as("sh"))
-      .distinct()
-    println(s"[cdiag] shingle rows (distinct): ${sh.count()}")
+          s" p -> xxhash64(substring(text, p, $len)))"))).as("sh"))
+    println(s"[cdiag] shingle rows (per-doc distinct): ${sh.count()}")
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     println(s"[cdiag] shingle types: ${dfreq.count()}")
     val stats = dfreq.agg(
@@ -37,7 +40,7 @@ object ContainDiag {
     println(s"[cdiag] pair stream sum C(df,2): ${stats.get(1)}")
     println(s"[cdiag] types over cap: ${stats.get(2)}, max df: ${stats.get(3)}")
     dfreq.orderBy(col("df").desc, col("sh")).limit(10).collect()
-      .foreach(r => println(s"[cdiag] top df=${r.get(1)} sh='${r.get(0)}'"))
+      .foreach(r => println(s"[cdiag] top df=${r.get(1)} sh_hash=${r.get(0)}"))
     spark.stop()
   }
 }

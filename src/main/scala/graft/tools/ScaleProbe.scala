@@ -27,6 +27,9 @@ object ScaleProbe {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
       .config("spark.sql.session.timeZone", "UTC")
+      // near-limit traversal frontiers (Traverse.broadcastRowLimit = 25M
+      // ids ≈ 400-600 MB collected) exceed the 1g default (ADVICE r15 #1)
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false")
     // GRAFT_PROBE_ZSTD=1: zstd shuffle for the d3 LLM tier, where the
     // probed query's own (linear, output-bound) exchange exceeds the

@@ -121,15 +121,30 @@ class R15OpsSpec extends SparkSpec {
     // raw plan itself routed narrow hops through the whole 2|E| cache fill
     // (94 s of khop_2's sf10 cold) and killed partition pruning.
     val pruned = adj.byBucket.filter(col("bk") === 3)
+    // behavioral pin (ADVICE r15 #3): assert on executedPlan NODE CLASSES,
+    // not toString rendering — a Spark version renaming a node in the
+    // string form can neither fail this spuriously nor let the 94 s
+    // cache-fill regression back in silently.
+    val prunedNodes = pruned.queryExecution.executedPlan.collect { case p => p }
+    assert(!prunedNodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      s"bucket-pruned read went through the cache:\n${pruned.queryExecution.executedPlan}")
+    val prunedScans = prunedNodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(prunedScans.nonEmpty && prunedScans.forall(_.partitionFilters.nonEmpty),
+      s"no partition filter pushed to the file scan:\n${pruned.queryExecution.executedPlan}")
+    // rendering pin kept as a secondary signal (string drift alone now
+    // fails loudly HERE while the class assertions above stay green)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(!plan.contains("InMemoryTableScan"),
-      s"bucket-pruned read went through the cache:\n$plan")
     assert(plan.contains("PartitionFilters: [isnotnull(bk"),
       s"no partition filter pushed:\n$plan")
     // while the full view IS served from the cache once filled
-    val fullPlan = adj.full.queryExecution.executedPlan.toString
-    assert(fullPlan.contains("InMemoryTableScan") || !fullPlan.contains("FileScan"),
-      s"full view not cache-backed under default policy:\n$fullPlan")
+    val fullNodes = adj.full.queryExecution.executedPlan.collect { case p => p }
+    assert(fullNodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+      || !fullNodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      s"full view not cache-backed under default policy:\n${adj.full.queryExecution.executedPlan}")
   }
 
   test("walksAdj parity with walks on the derived graph (incl. forced pruned path)") {
