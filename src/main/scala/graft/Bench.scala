@@ -70,13 +70,16 @@ object Bench {
     }
     warmStep("tables")(graft.model.Tables.warm(spark, sfDir))
     warmStep("graph")(graft.ops.GraphAnalytics.warm(spark, sfDir))
-    // bucket-clustered endpoint table: graph_kcore's default init-degree
-    // source since r15 (sf10 A/B: 14.8 vs 71.6 s min) — built once per
-    // dataset here so the timed pass measures serve cost. Skipped under
-    // GRAFT_KCORE_DEG=union, where the timed query never reads it and the
-    // A/B replay would otherwise charge a build the variant doesn't use
-    // (ADVICE r15 #4).
-    if (!sys.env.get("GRAFT_KCORE_DEG").contains("union"))
+    // bucket-clustered endpoint table: graph_kcore's init-degree source
+    // on big datasets (sf10 A/B: 14.8 vs 71.6 s min) — built once per
+    // dataset here so the timed pass measures serve cost. Skipped when
+    // the timed query won't read it: under GRAFT_KCORE_DEG=union, or when
+    // the size gate keeps the small-data union path (a charged build the
+    // variant doesn't use would distort the A/B replay — ADVICE r15 #4).
+    if (!sys.env.get("GRAFT_KCORE_DEG").contains("union") &&
+        (sys.env.get("GRAFT_KCORE_DEG").contains("bucketed") ||
+         graft.model.CacheDirs.entryBytes("graph", sfDir, "fact_edges")
+           >= graft.ops.GraphAnalytics.BucketedDegreeMinBytes))
       warmStep("kcore_endp")(
         graft.ops.GraphAnalytics.bucketedDegrees(spark, sfDir).count())
     // materialized undirected adjacency (khop_2/ego_subgraph hops): the

@@ -407,20 +407,29 @@ object QueriesGraphX {
     // the same bounded peel as chained MATERIALIZED rounds.
     "graph_kcore" -> QueryDef(
       (s, d) => {
-        // Bucketed-endpoint init degrees are the DEFAULT (VERDICT r14 #6,
-        // decided by the r15 sf10 A/B: min 14.8 s vs 71.6 s, −689 MB
-        // shuffle — round 0's |2E|-row exchange AND the persisted-edge
-        // union decode both gone; values identical, R15OpsSpec). `union`
-        // opts back into the cache-free live form for A/B replay.
+        // materialize the fact-edge entry FIRST so the size signal below
+        // reads its real bytes even in a cold session
+        val edges = DerivedGraph(s, d).edges.select("src", "dst")
+        // Bucketed-endpoint init degrees by SIZE (VERDICT r14 #6 default,
+        // made adaptive in r16): at sf10+ the bucketed table wins 5×
+        // (r15 A/B: min 14.8 s vs 71.6 s, −689 MB shuffle — round 0's
+        // |2E|-row exchange AND the persisted-edge union decode both
+        // gone), but at sf0.1 its 512 small-file scan costs MORE than the
+        // whole exchange it avoids (r16 A/B: aged 1.97 vs 1.42 s) — the
+        // scale-path constant must not tax the small-data path. Env
+        // forces either side for A/B replay.
         val init = sys.env.get("GRAFT_KCORE_DEG") match {
           case Some("union") => None
-          case Some("bucketed") | None =>
-            Some(GraphAnalytics.bucketedDegrees(s, d))
+          case Some("bucketed") => Some(GraphAnalytics.bucketedDegrees(s, d))
+          case None =>
+            if (graft.model.CacheDirs.entryBytes("graph", d, "fact_edges")
+                >= GraphAnalytics.BucketedDegreeMinBytes)
+              Some(GraphAnalytics.bucketedDegrees(s, d))
+            else None
           case Some(other) => throw new IllegalArgumentException(
             s"GRAFT_KCORE_DEG=$other — allowed values: bucketed|union")
         }
-        GraphAnalytics.kCoreDF(
-          DerivedGraph(s, d).edges.select("src", "dst"), k = 8,
+        GraphAnalytics.kCoreDF(edges, k = 8,
           rounds = KcoreRounds, initDegrees = init)
           .orderBy("id")
       },

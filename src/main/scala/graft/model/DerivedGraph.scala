@@ -222,10 +222,15 @@ object DerivedGraph {
     * fits; under policy "none" it IS `byBucket`). `policy` records WHICH
     * storage decision built `full`, because the pruned-vs-full break-even
     * depends on what a full read costs under that policy (Traverse's span
-    * cutoff is policy-dependent — VERDICT r15 #4).
+    * cutoff is policy-dependent — VERDICT r15 #4). `bytes` is the entry's
+    * on-disk parquet size: below ~64 MB the pruned path's per-FILE open
+    * cost dominates the per-byte decode the cutoff models, so Traverse
+    * additionally caps the pruned span on tiny adjacencies (the r16 bench
+    * adjudication: ego_subgraph aged +0.43 s at sf0.1 from 100+-directory
+    * "pruned" reads of KB-sized files).
     */
   final case class Adj(full: DataFrame, byBucket: DataFrame, buckets: Int,
-      policy: String = "default")
+      policy: String = "default", bytes: Long = Long.MaxValue)
 
   /** Materialized undirected adjacency, hive-partitioned by source-vertex
     * bucket (VERDICT r14 #1: the ego/k-hop frontier hops re-scanned the
@@ -275,7 +280,8 @@ object DerivedGraph {
         case "disk" => raw.filter(col("bk") >= 0).persist(StorageLevel.DISK_ONLY)
         case _ => raw.filter(col("bk") >= 0).persist(StorageLevel.MEMORY_AND_DISK)
       }
-      Adj(full, raw, AdjBuckets, policy)
+      Adj(full, raw, AdjBuckets, policy,
+        CacheDirs.entryBytes("graph", sfDir, entry))
     }
 }
 

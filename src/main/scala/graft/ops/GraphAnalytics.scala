@@ -577,6 +577,17 @@ object GraphAnalytics {
   val EndpBuckets: Int = 512
   val EndpVersion: String = "v1"
 
+  /** Fact-edge parquet bytes above which the k-core init degrees come
+    * from the bucketed endpoint table instead of the live union. Below
+    * this, the exchange the bucketed table avoids is a few tens of MB
+    * while its [[EndpBuckets]]-file scan has a fixed per-file open cost
+    * (r16 sf0.1 A/B: bucketed aged 1.97 s vs union 1.42 s); above it the
+    * exchange grows with 2|E| into the GBs that killed the sf100 probe
+    * (r15 A/B: sf10 min 14.8 vs 71.6 s). 64 MB of fact-edge parquet
+    * ≈ a few hundred MB exchanged — the measured crossover region.
+    */
+  val BucketedDegreeMinBytes: Long = 64L << 20
+
   /** Exchange-free initial degrees for the k-core peel (VERDICT r14 #6):
     * the derived graph's endpoint list stored ONCE per dataset as a Spark
     * bucketed table clustered+sorted on the vertex id, so `groupBy(a)`

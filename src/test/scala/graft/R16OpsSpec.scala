@@ -32,6 +32,17 @@ class R16OpsSpec extends SparkSpec {
     assert(Traverse.spanCutoff(mkAdj("default", samePlan = true)) == 64)
   }
 
+  test("spanCutoff tiny-adjacency guard: sub-64MB entries cap the pruned span") {
+    val small = mkAdj("default").copy(bytes = 1L << 20)
+    assert(Traverse.spanCutoff(small) == 4) // buckets/16, narrow hops only
+    val big = mkAdj("default").copy(bytes = Traverse.PrunedScanMinBytes)
+    assert(Traverse.spanCutoff(big) == 32)
+    // the guard never disables pruning entirely (seed hops always win)
+    assert(Traverse.spanCutoff(
+      DerivedGraph.Adj(mkAdj("default").full, mkAdj("default").byBucket,
+        buckets = 8, policy = "default", bytes = 1L)) == 1)
+  }
+
   test("effectiveBroadcastLimit caps the static 25M bound by maxResultSize") {
     // the test session keeps the 1g driver default: 1 GiB / 48 B ≈ 22.4M —
     // BELOW the static 25M bound, so a near-limit frontier falls back to
