@@ -93,22 +93,24 @@ object Traverse {
     * r16 policy A/B):
     *
     *  - `none`: `full` IS the parquet copy — any real pruning wins;
-    *    cutoff = buckets (prune whenever the frontier misses ≥1 bucket).
-    *  - `default` (deserialized columnar cache): cache read ≈ 2× faster
-    *    than the parquet decode → cutoff = buckets/2 (the r15 number,
-    *    re-confirmed; a 255/256-span "pruned" hop through parquet cost
-    *    ego's aged pass +48%).
+    *    cutoff = buckets (prune whenever the frontier misses ≥1 bucket;
+    *    measured full/parquet 1.29 — the two reads are the same read).
+    *  - `default` (deserialized columnar cache): measured full/parquet
+    *    0.51 at sf10 (AdjReadAB, sum over both endpoint columns — a bare
+    *    count() reads only footer metadata and measures nothing) →
+    *    cutoff = buckets/2, the r15 constant confirmed by direct
+    *    measurement.
     *  - `disk` (serialized DISK_ONLY): the spill read re-deserializes
-    *    every row — measured ≈ parquet-decode speed, not columnar-cache
-    *    speed → near-full spans are a wash and pruning wins almost
-    *    everywhere; cutoff = 3·buckets/4.
+    *    every row — measured full/parquet 0.67 → cutoff = 2·buckets/3;
+    *    slower than the columnar cache, still ahead of a near-full-span
+    *    parquet re-decode.
     */
   def spanCutoff(adj: DerivedGraph.Adj): Int =
     if (adj.full eq adj.byBucket) adj.buckets
     else {
       val policyCut = adj.policy match {
         case "none" => adj.buckets
-        case "disk" => 3 * adj.buckets / 4
+        case "disk" => 2 * adj.buckets / 3
         case _ => adj.buckets / 2
       }
       // tiny-adjacency guard: the fraction model above prices a pruned

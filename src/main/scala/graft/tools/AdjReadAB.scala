@@ -31,16 +31,19 @@ object AdjReadAB {
       val t0 = System.nanoTime()
       val n = f
       val el = (System.nanoTime() - t0) / 1e9
-      println(f"[adjab] policy=${adj.policy}%-8s $label%-26s $el%8.2f s (rows=$n)")
+      println(f"[adjab] policy=${adj.policy}%-8s $label%-26s $el%8.2f s (agg=$n)")
       el
     }
-    time("full fill (first touch)")(adj.full.count())
-    val full = time("full serve")(adj.full.count())
-    // aggregate over a non-pruning predicate so the parquet read decodes
-    // the same rows a full-span hop would
-    val parq = time("parquet whole-copy decode")(adj.byBucket.count())
+    // sum over BOTH endpoint columns: a bare count() is answered from
+    // parquet row-group metadata / cached-batch counts without decoding a
+    // byte — the hop join reads (a, b), so the read we price must too
+    def decode(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("a") + col("b"))).collect()(0).getLong(0)
+    time("full fill (first touch)")(decode(adj.full))
+    val full = time("full serve")(decode(adj.full))
+    val parq = time("parquet whole-copy decode")(decode(adj.byBucket))
     val half = time("parquet half-span pruned")(
-      adj.byBucket.filter(col("bk") < adj.buckets / 2).count())
+      decode(adj.byBucket.filter(col("bk") < adj.buckets / 2)))
     println(f"[adjab] full/parquet ratio = ${full / parq}%.3f " +
       f"(break-even span fraction); half-span/parquet = ${half / parq}%.3f")
     spark.stop()

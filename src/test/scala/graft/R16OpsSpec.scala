@@ -20,10 +20,10 @@ class R16OpsSpec extends SparkSpec {
     else DerivedGraph.Adj(und.filter(col("bk") >= 0), und, 64, policy)
   }
 
-  test("spanCutoff per storage policy: none=full span, disk=3/4, default=1/2") {
+  test("spanCutoff per storage policy: none=full span, disk=2/3, default=1/2") {
     assert(Traverse.spanCutoff(mkAdj("none", samePlan = true)) == 64)
     assert(Traverse.spanCutoff(mkAdj("none")) == 64)
-    assert(Traverse.spanCutoff(mkAdj("disk")) == 48)
+    assert(Traverse.spanCutoff(mkAdj("disk")) == 42)
     assert(Traverse.spanCutoff(mkAdj("default")) == 32)
     // an unknown/legacy policy string falls into the conservative default
     assert(Traverse.spanCutoff(mkAdj("default-lowmem")) == 32)
