@@ -1913,10 +1913,11 @@ object QueriesLlm {
     // whole op into two combinable aggregations — no suffix array, no
     // per-node state. Shape: explode ≈ n_chars/10 shingles per doc,
     // count-by-shingle (map-side partial agg collapses repeats before the
-    // shuffle), join counts back, re-agg per doc. At 100 TB the join key
-    // becomes xxhash64(shingle) so the shuffle carries 16-byte rows — the
-    // string key here is the oracle-replayable semantics (collision-free
-    // by construction).
+    // shuffle), join counts back, re-agg per doc. The join key is
+    // xxhash64(shingle) so every shuffle carries 16-byte rows instead of
+    // 40-char strings (the dedup_containment/ngram discipline, r16) —
+    // the oracle replays the RAW substrings; equal modulo 64-bit
+    // collisions, negligible at any corpus this host holds.
     "dedup_substring" -> QueryDef(
       (s, d) => {
         val L = 40; val S = 10
@@ -1924,7 +1925,7 @@ object QueriesLlm {
           .filter(length(col("text")) >= L)
           .select(col("doc_id"), explode(expr(
             s"transform(sequence(1, length(text) - ${L - 1}, $S)," +
-              s" p -> substring(text, p, $L))")).as("sh"))
+              s" p -> xxhash64(substring(text, p, $L)))")).as("sh"))
         val cnt = sh.groupBy("sh").agg(count(lit(1)).as("c"))
         sh.join(cnt, "sh")
           .groupBy("doc_id")
