@@ -2,6 +2,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Time one warm step into `builds`. A failed step must not abort the
+    * bench (on a partial dataset its queries fail — and surface — in the
+    * timed pass), and it must not poison `cache_builds` either: the r16
+    * form recorded a -1.0 sentinel, which any consumer SUMMING the map
+    * (the round-over-round drift adjudications do exactly that) silently
+    * subtracted as a fake second of credit. A failure is now recorded by
+    * NAME in `failed` and the step omitted from `builds` entirely, so the
+    * map stays summable (VERDICT r16 #3).
+    */
+  private[graft] def warmStepInto(
+      builds: scala.collection.mutable.LinkedHashMap[String, Double],
+      failed: scala.collection.mutable.Buffer[String],
+      name: String)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    try { f; builds(name) = (System.nanoTime() - t0) / 1e9 }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm step $name FAILED: ${e.getMessage}")
+      failed += name
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,20 +75,11 @@ object Bench {
     // instead of living in BENCHNOTES prose. Zero effect on timed totals —
     // the steps ran here (untimed) before this round too.
     val cacheBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    // A failed warm step must not abort the bench: on a partial dataset
-    // the step's queries fail (and surface) in the timed pass, and a
-    // build charged to cache_builds that then died would misattribute the
-    // retry cost to the first query touching it — record the failure as a
-    // negative build time instead (ADVICE r15 #4, the ScaleProbe warm
-    // discipline applied here).
-    def warmStep(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      try { f; cacheBuilds(name) = (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warm step $name FAILED: ${e.getMessage}")
-        cacheBuilds(name) = -1.0
-      }
-    }
+    // Failed warm steps surface by name in `warm_failed` (JSON line +
+    // sidecar) and never enter cache_builds — see warmStepInto.
+    val warmFailed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def warmStep(name: String)(f: => Unit): Unit =
+      warmStepInto(cacheBuilds, warmFailed, name)(f)
     warmStep("tables")(graft.model.Tables.warm(spark, sfDir))
     warmStep("graph")(graft.ops.GraphAnalytics.warm(spark, sfDir))
     // bucket-clustered endpoint table: graph_kcore's init-degree source
@@ -137,8 +149,9 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+").take(3).mkString("[", ",", "]")
       catch { case _: Exception => "[]" }
+    val warmFailedJs = warmFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"load":$load,"cache_builds":${js(cacheBuilds.toMap, 2)},"queries":${js(results, 4)},"aged":${js(aged, 4)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"warm_failed":$warmFailedJs,"load":$load,"cache_builds":${js(cacheBuilds.toMap, 2)},"queries":${js(results, 4)},"aged":${js(aged, 4)},"sf":"$sfDir"}"""
     // Sidecar path is overridable so a manual/judge rerun can never clobber
     // the driver's round artifact (r8 incident: a judge rerun overwrote the
     // uncommitted driver sidecar because this path was hard-coded).
@@ -175,7 +188,7 @@ object Bench {
     // detail is always in the BENCH_local.json sidecar) — the line must
     // stay valid JSON with a correct total at ANY inventory size.
     def line(qs: Map[String, Double], dp: Int, truncated: Boolean = false) =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"cache_builds":${js(cacheBuilds.toMap, 1)},"queries":${js(qs, dp)}""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"warm_failed":$warmFailedJs,"cache_builds":${js(cacheBuilds.toMap, 1)},"queries":${js(qs, dp)}""" +
         (if (truncated) s""","queries_truncated":true""" else "") +
         s""","sf":"$sfDir"}"""
     val l2 = line(results, 2)

@@ -1949,11 +1949,14 @@ object QueriesLlm {
 
     // Asymmetric shingle containment (Broder 1997): the near-dup measure
     // that catches a doc EMBEDDED in a larger one, where Jaccard goes
-    // quiet because the union is dominated by the big doc. Raw-substring
-    // shingles (SQL-replayable), DF-capped posting lists, pair explode
-    // with per-doc set sizes packed into the candidate longs — the pair
-    // table never joins anything. Both directions emitted per pair;
-    // threshold compares 6-dp-rounded values on both engines.
+    // quiet because the union is dominated by the big doc. Shingles
+    // travel as xxhash64 longs while the oracle below replays the RAW
+    // substrings — equal modulo 64-bit collisions, absent by birthday
+    // math below ~10^8 shingle types (Dedup.containment scaladoc).
+    // DF-capped posting lists, pair explode with per-doc set sizes
+    // packed into the candidate longs — the pair table never joins
+    // anything. Both directions emitted per pair; threshold compares
+    // 6-dp-rounded values on both engines.
     "dedup_containment" -> QueryDef(
       (s, d) => Dedup.containment(t(s, d, "documents")),
       s"""WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 20) AS sh

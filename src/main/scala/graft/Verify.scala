@@ -14,6 +14,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // symmetry with Bench/tools (VERDICT r16 #6): sf0.01 frontiers never
+      // approach the broadcast-collect bound, but the correctness run must
+      // not depend on that arithmetic staying true as fixtures grow
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -65,8 +65,11 @@ object Traverse {
   def effectiveBroadcastLimit(spark: org.apache.spark.sql.SparkSession): Long = {
     // GRAFT_BCAST_LIMIT: probe-only override to force big frontiers onto
     // the Bloom/shuffle fallback at measurable scale (VERDICT r15 #5 —
-    // the fallback's constant should be a number, not a hope)
-    val static = sys.env.get("GRAFT_BCAST_LIMIT").map(_.toLong)
+    // the fallback's constant should be a number, not a hope). It is
+    // min'd with the session cap below, so it can only LOWER the
+    // effective bound — never raise it past what maxResultSize can
+    // actually collect.
+    val static = sys.env.get("GRAFT_BCAST_LIMIT").map(parseBcastLimit)
       .getOrElse(broadcastRowLimit)
     val bytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.driver.maxResultSize", "1g"))
@@ -74,11 +77,40 @@ object Traverse {
     else math.min(static, bytes / 48L)
   }
 
+  /** Validate a GRAFT_BCAST_LIMIT value — fail fast with a named message
+    * (the GRAFT_KCORE_DEG / GRAFT_GRAPH_STORAGE discipline) instead of a
+    * bare NumberFormatException deep inside query construction
+    * (ADVICE r16 #3).
+    */
+  private[graft] def parseBcastLimit(v: String): Long = {
+    val n = try v.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"GRAFT_BCAST_LIMIT must be a positive long row count " +
+          s"(probe-only override, only lowers the bound), got '$v'")
+    }
+    require(n > 0,
+      s"GRAFT_BCAST_LIMIT must be a positive row count, got $n")
+    n
+  }
+
   /** False-positive rate of the big-frontier Bloom pre-filter — pads the
     * exact hop join's candidate set by ~2% of the adjacency, never its
     * result.
     */
   val FrontierBloomFpp: Double = 0.02
+
+  /** Over-limit-frontier strategy: `bloom` (default) or `chunked`
+    * (probe-only, VERDICT r16 #4 — see the fallback branch in kHopCore).
+    * Env GRAFT_KHOP_FALLBACK for tool sessions; the system property is the
+    * in-process test hook.
+    */
+  private[graft] def bigFrontierFallback: String = {
+    val v = sys.props.get("graft.khop.fallback")
+      .orElse(sys.env.get("GRAFT_KHOP_FALLBACK")).getOrElse("bloom")
+    require(v == "bloom" || v == "chunked",
+      s"GRAFT_KHOP_FALLBACK must be bloom|chunked, got '$v'")
+    v
+  }
 
   def kHopIds(edges: DataFrame, seed: Long, k: Int): DataFrame =
     kHopCore(DerivedGraph.undirected(edges), None, seed, k,
@@ -186,17 +218,40 @@ object Traverse {
         case None => und
       }
       val frontierA = frontier.withColumnRenamed("id", "a")
+      // GRAFT_KHOP_FALLBACK=chunked (probe-only, VERDICT r16 #4): replace
+      // the Bloom path for over-limit frontiers with bucket-grouped
+      // frontier slices — each slice is ≤ limit ids broadcast against ONLY
+      // its own bucket directories (slices partition the bucket space, so
+      // the adjacency is still read exactly once in total), keeping the
+      // broadcast join's map-side pruning without the Bloom fp padding.
+      // Requires the bucketed adjacency and nChunks ≤ buckets (past that a
+      // single bucket's frontier slice alone exceeds the limit and slices
+      // would re-read directories); outside that envelope the Bloom path
+      // stands.
+      val chunkedFallback = bigFrontierFallback == "chunked"
       val nbrs =
         if (frontierRows <= broadcastLimit)
           hopAdj.join(broadcast(frontierA), Seq("a"))
-        else {
-          // frontier too big to broadcast: Bloom-prune the adjacency in
-          // the scan stage, then join EXACTLY on the survivors
-          val bf = frontier.stat.bloomFilter("id", frontierRows, FrontierBloomFpp)
-          val probe = org.apache.spark.sql.GraftShim.column(
-            graft.functions.LongBloomMightContain(
-              org.apache.spark.sql.GraftShim.expression(col("a")), bf))
-          hopAdj.filter(probe).join(frontierA, Seq("a"))
+        else byBucket match {
+          case Some((raw, nb, _)) if chunkedFallback &&
+              (frontierRows + broadcastLimit - 1) / broadcastLimit <= nb =>
+            val nChunks = ((frontierRows + broadcastLimit - 1) / broadcastLimit).toInt
+            println(s"[khop] chunked fallback: $frontierRows ids in $nChunks " +
+              s"bucket-grouped slices of ≤$broadcastLimit")
+            (0 until nChunks).map { c =>
+              val adjC = raw.filter(pmod(col("bk"), lit(nChunks)) === c)
+              val frC = frontierA.filter(
+                pmod(pmod(col("a"), lit(nb.toLong)), lit(nChunks.toLong)) === c)
+              adjC.join(broadcast(frC), Seq("a"))
+            }.reduce(_ unionByName _)
+          case _ =>
+            // frontier too big to broadcast: Bloom-prune the adjacency in
+            // the scan stage, then join EXACTLY on the survivors
+            val bf = frontier.stat.bloomFilter("id", frontierRows, FrontierBloomFpp)
+            val probe = org.apache.spark.sql.GraftShim.column(
+              graft.functions.LongBloomMightContain(
+                org.apache.spark.sql.GraftShim.expression(col("a")), bf))
+            hopAdj.filter(probe).join(frontierA, Seq("a"))
         }
       val next = nbrs.select(col("b").as("id")).distinct()
       frontier = next.join(maybeBroadcast(visited, visitedRows), Seq("id"), "left_anti")

@@ -467,10 +467,26 @@ object Dedup {
     * lesson: the pair table is never joined). Emits both directions'
     * containments per unordered pair; the threshold compares
     * 6-dp-rounded values on both engines.
+    *
+    * The sizes broadcast is GATED, not forced (VERDICT r16 #1): `sizes`
+    * has one row per document, and at 100 TB corpora (10⁸-10¹⁰ docs) a
+    * forced hint is a driver collect that fails the job instead of
+    * falling back. The gate charges the docs source's optimizer size
+    * estimate at 8 B/row — the id alone, so the row-count bound can only
+    * OVER-count (every surviving doc row also carries ≥ `len` text chars,
+    * and parquet compression cannot squeeze id+text under 8 B/row) —
+    * against [[graft.ops.Traverse.effectiveBroadcastLimit]], the same
+    * 48 B/row-vs-maxResultSize discipline the traversal frontiers use.
+    * Past the bound the hint is dropped and AQE re-promotes the join to
+    * broadcast from the REAL materialized stage size when it is in fact
+    * small, or keeps the shuffle join when it is not — the plan degrades,
+    * never dies. `broadcastDocLimit` < 0 (the default) derives the bound
+    * from the session; tests pass an explicit row bound to pin both paths.
     */
   def containment(docs: DataFrame, len: Int = 20, stride: Int = 5,
       maxDf: Int = ContainmentMaxDf, minCont: Double = 0.8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      broadcastDocLimit: Long = -1L): DataFrame = {
     val sh = docs.filter(length(col(textCol)) >= len)
       .select(col(idCol), explode(array_distinct(expr(
         s"transform(sequence(1, length($textCol) - ${len - 1}, $stride)," +
@@ -485,10 +501,17 @@ object Dedup {
     // shingles per doc, bounded by n_chars/stride), packed order = doc
     // order, so the pair path below is pure long lanes and the pair table
     // never joins anything. `sizes` is one row per DOCUMENT — orders of
-    // magnitude under the posting rows — so it broadcasts and the join
-    // never reshuffles the exploded postings.
+    // magnitude under the posting rows — so while the doc count fits the
+    // session's broadcast-collect bound it broadcasts and the join never
+    // reshuffles the exploded postings; past the bound the hint drops
+    // (see the gate contract in the scaladoc above).
+    val docLimit =
+      if (broadcastDocLimit >= 0L) BigInt(broadcastDocLimit)
+      else BigInt(graft.ops.Traverse.effectiveBroadcastLimit(docs.sparkSession))
+    val docRowsUpper = docs.queryExecution.optimizedPlan.stats.sizeInBytes / 8
+    val sizesSide = if (docRowsUpper <= docLimit) broadcast(sizes) else sizes
     val packed = postings.select(col("sh"), explode(col("ds")).as("d"))
-      .join(broadcast(sizes), "d")
+      .join(sizesSide, "d")
       .groupBy("sh")
       .agg(sort_array(collect_list(shiftleft(col("d"), 20) + col("sz"))).as("cz"))
       .filter(size(col("cz")) >= 2)

@@ -44,12 +44,22 @@ class R16OpsSpec extends SparkSpec {
   }
 
   test("effectiveBroadcastLimit caps the static 25M bound by maxResultSize") {
-    // the test session keeps the 1g driver default: 1 GiB / 48 B ≈ 22.4M —
-    // BELOW the static 25M bound, so a near-limit frontier falls back to
-    // the Bloom/SMJ path instead of failing the collect (ADVICE r15 #1)
+    // robust to the ambient environment (ADVICE r16 #4): skip under a
+    // GRAFT_BCAST_LIMIT override, and compute the expectation from the
+    // session's ACTUAL maxResultSize instead of assuming the 1g default
+    assume(sys.env.get("GRAFT_BCAST_LIMIT").isEmpty,
+      "GRAFT_BCAST_LIMIT set in the ambient environment")
+    val bytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.driver.maxResultSize", "1g"))
+    val expect = if (bytes <= 0L) Traverse.broadcastRowLimit
+      else math.min(Traverse.broadcastRowLimit, bytes / 48L)
     val eff = Traverse.effectiveBroadcastLimit(spark)
-    assert(eff == (1L << 30) / 48L, s"got $eff")
-    assert(eff < Traverse.broadcastRowLimit)
+    assert(eff == expect, s"got $eff, expected $expect (maxResultSize=$bytes)")
+    // under the 1g default (what SparkSpec's builder leaves in place) the
+    // cap bites: a near-limit frontier falls back to the Bloom/SMJ path
+    // instead of failing the collect (ADVICE r15 #1)
+    if (bytes > 0L && bytes / 48L < Traverse.broadcastRowLimit)
+      assert(eff < Traverse.broadcastRowLimit)
   }
 
   test("containment: hashed-shingle plan broadcasts the sizes join and never " +
