@@ -15,11 +15,17 @@ import org.apache.spark.sql.types.DecimalType
   * as exact literals into generated SQL, which only exist post-run.
   *
   * `fn` is not guaranteed lazy: iterative operators that drive their own
-  * loop (k-hop's per-hop frontier counts, graph_walks' per-step pruned
-  * bucket sets) run Spark jobs AT CONSTRUCTION time — the returned frame
+  * loop (k-hop's per-hop frontier counts, graph_walks' one up-front seed
+  * count) run Spark jobs AT CONSTRUCTION time — the returned frame
   * is the final iterate, not a deferred plan (ADVICE r15 #5). Callers
   * must treat `fn(spark, dir)` itself as potentially expensive and time
   * construction + action together (Bench/Verify/ScaleProbe all do).
+  * r17 re-examined the per-hop bucket collects (VERDICT r16 #5): a fully
+  * lazy DPP form exists behind GRAFT_KHOP_PRUNE=dpp, fires, and measured
+  * SLOWER than the ≤256-int collect it replaces (the DPP subquery jobs
+  * cost more than the collect — Traverse.prunedHopForm scaladoc), so the
+  * collect stays the default; the pruned-vs-full choice itself no longer
+  * collects (span is estimated from the tracked frontier count).
   */
 final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,

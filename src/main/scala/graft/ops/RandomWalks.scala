@@ -62,41 +62,80 @@ object RandomWalks {
     walksCore(seeds, adj.full,
       Some((adj.byBucket, adj.buckets, Traverse.spanCutoff(adj))), steps)
 
+  /** One walk step's candidate frame: the frontier joined against the
+    * (possibly bucket-pruned) edge relation, with the replayable hop
+    * priority attached. Extracted so the per-step plan claims — the
+    * frontier (one row per walk) is the small side by construction, so it
+    * BROADCASTS and the step is one scan of the edge relation with NO
+    * edge shuffle (unhinted, the agg-produced frontier has no size
+    * estimate and Catalyst sort-merge-joined 2|E| rows per step: measured
+    * 5.6 s -> 0.3 s aged at sf0.1 for 32 walks) — stay introspectable
+    * after r17 made the per-step frontier an eagerly-checkpointed leaf
+    * (the step joins no longer appear in the FINAL walk plan;
+    * PlanShapeR10Spec pins them here instead). A production |V|·W
+    * frontier past the broadcast threshold would drop the hint and
+    * shuffle BOTH sides on the node key instead. Spans past the cutoff
+    * fall back to the full view exactly like Traverse.kHopCore; the
+    * bucket filter takes the session's [[Traverse.prunedHopForm]].
+    */
+  private[graft] def stepCandidates(frontier: DataFrame, und: DataFrame,
+      byBucket: Option[(DataFrame, Int, Int)], walkCount: Long,
+      step: Int): DataFrame = {
+    val stepPruned = byBucket match {
+      case Some((raw, nb, cutoff))
+          if Traverse.expectedSpan(walkCount, nb) <= cutoff => Some((raw, nb))
+      case _ => None
+    }
+    val joined = stepPruned match {
+      case Some((raw, nb)) if Traverse.prunedHopForm == "collect" =>
+        val bks = frontier
+          .select(pmod(col("node"), lit(nb.toLong)).cast("int").as("bk"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val stepAdj = raw.filter(col("bk").isin(bks.map(Integer.valueOf): _*))
+        broadcast(frontier).join(stepAdj, frontier("node") === stepAdj("a"))
+      case Some((raw, nb)) =>
+        // bk >= 0 is identity (pmod is non-negative) but satisfies
+        // DPP's likely-selective filtering-side heuristic
+        val fr = frontier
+          .withColumn("bk", pmod(col("node"), lit(nb.toLong)).cast("int"))
+          .filter(col("bk") >= 0)
+        broadcast(fr).join(raw,
+          fr("node") === raw("a") && fr("bk") === raw("bk"))
+      case None =>
+        broadcast(frontier).join(und, frontier("node") === und("a"))
+    }
+    joined
+      .select(col("walk_id"), col("b").as("cand"))
+      .withColumn("pri", priority(col("walk_id"), step, col("cand")))
+  }
+
   private def walksCore(seeds: DataFrame, und: DataFrame,
       byBucket: Option[(DataFrame, Int, Int)], steps: Int): DataFrame = {
     var frontier = seeds.select(col("walk_id"), col("walk_id").as("node"))
     var out = frontier.withColumn("step", lit(0L))
+    // the walker count bounds every step's frontier (one row per walk,
+    // walks only ever die at sinks) — ONE count up front drives every
+    // step's pruned-vs-full choice via the span estimate, so the choice
+    // itself runs no per-step job; the bucket filter then takes the
+    // session's prunedHopForm (collect-literal default / dpp — see
+    // Traverse.prunedHopForm for the measured A/B).
+    val walkCount = seeds.count()
     for (step <- 1 to steps) {
-      // bucket set of the walkers' current nodes — one tiny job (the
-      // frontier is one row per walk); spans past the cutoff fall back
-      // to the full view exactly like Traverse.kHopCore
-      val stepAdj = byBucket match {
-        case Some((raw, nb, cutoff)) =>
-          val bks = frontier
-            .select(pmod(col("node"), lit(nb.toLong)).cast("int").as("bk"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          if (bks.length < nb && bks.length <= cutoff)
-            raw.filter(col("bk").isin(bks.map(Integer.valueOf): _*))
-          else und
-        case None => und
-      }
-      // The frontier (one row per walk) is the small side by construction
-      // — broadcast it so each step is one scan of the edge relation with
-      // NO edge shuffle (unhinted, the agg-produced frontier has no size
-      // estimate and Catalyst sort-merge-joined 2|E| rows per step:
-      // measured 5.6 s -> 0.3 s aged at sf0.1 for 32 walks). A production
-      // |V|·W frontier past the broadcast threshold would drop the hint
-      // and shuffle BOTH sides on the node key instead.
-      val cand = broadcast(frontier).join(stepAdj, frontier("node") === stepAdj("a"))
-        .select(col("walk_id"), col("b").as("cand"))
-        .withColumn("pri", priority(col("walk_id"), step, col("cand")))
-      // persist each frontier: without it, the final union's branch for
-      // step k re-executes every join 1..k (edges scanned 1+2+…+steps
-      // times); with it each step's one edge scan is paid once
+      val cand = stepCandidates(frontier, und, byBucket, walkCount, step)
+      // checkpoint each frontier: without it, the final union's branch
+      // for step k re-executes every join 1..k (edges scanned 1+2+…+steps
+      // times). It must be the EAGER localCheckpoint, not a lazy
+      // persist(): a pruned step's DPP subquery runs as its own job
+      // BEFORE the main action fills any cache, so with persist() step
+      // k's subquery re-executed the whole chain 1..k−1 cold (measured
+      // 19 → 69 s at sf10, aged unaffected — the filled cache hid it).
+      // A checkpointed frontier is a materialized leaf either way, and
+      // its fill is one row per walk — the same tiny job the old
+      // per-step bucket collect used to pay.
       frontier = cand.groupBy("walk_id")
         .agg(min(struct(col("pri"), col("cand"))).as("m"))
         .select(col("walk_id"), col("m.cand").as("node"))
-        .persist()
+        .localCheckpoint()
       out = out.unionByName(frontier.withColumn("step", lit(step.toLong)))
     }
     out.select("walk_id", "step", "node")

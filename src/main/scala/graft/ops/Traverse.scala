@@ -112,6 +112,33 @@ object Traverse {
     v
   }
 
+  /** Pruned-hop bucket-filter form: `collect` (default — collect the
+    * frontier's ≤`buckets` bucket ids, one tiny job over the checkpointed
+    * frontier, and push a literal `bk IN (...)`) or `dpp` (the bucket key
+    * rides the hop join and dynamic partition pruning pushes it into the
+    * scan at runtime — zero driver collects, fully lazy hops).
+    *
+    * VERDICT r16 #5 asked for the dpp form; it was built, it FIRES
+    * (R17OpsSpec pins dynamicpruning in the plan and runtime
+    * numFiles = |span|), and it LOSES: the DPP subquery + its
+    * SubqueryBroadcast run as extra serialized jobs before each hop's
+    * scan stage, measured ~+0.75-1.0 s per pruned hop at sf10/2048 parts
+    * (same-binary A/B, BENCHNOTES r17: khop_2 aged 1.76 → 3.27 s, walks
+    * 1.75 → 8.2 s at four pruned steps; rows identical). The collect is
+    * ≤256 ints over an already-materialized frontier — strictly cheaper
+    * than the subquery jobs that replace it, at any scale (the collect
+    * cost is O(buckets), not O(frontier)). So `collect` stays the
+    * default and `dpp` stays replayable for future Spark versions to
+    * re-measure.
+    */
+  private[graft] def prunedHopForm: String = {
+    val v = sys.props.get("graft.khop.prune")
+      .orElse(sys.env.get("GRAFT_KHOP_PRUNE")).getOrElse("collect")
+    require(v == "dpp" || v == "collect",
+      s"GRAFT_KHOP_PRUNE must be dpp|collect, got '$v'")
+    v
+  }
+
   def kHopIds(edges: DataFrame, seed: Long, k: Int): DataFrame =
     kHopCore(DerivedGraph.undirected(edges), None, seed, k,
       effectiveBroadcastLimit(edges.sparkSession))
@@ -162,6 +189,20 @@ object Traverse {
     */
   val PrunedScanMinBytes: Long = 64L << 20
 
+  /** Expected number of distinct pmod-buckets hit by `f` ids spread
+    * uniformly over `nb` buckets: nb·(1 − (1 − 1/nb)^f). Replaces the
+    * per-hop driver collect of the exact bucket set in the pruned-vs-full
+    * decision (VERDICT r16 #5) — the estimate is within a few buckets of
+    * the exact span for hash-spread ids, and a miss only flips a
+    * near-cutoff hop's PLAN (pruned vs cached-full), never its rows. The
+    * pow underflows to 0 for f ≫ nb·ln nb, correctly saturating at nb.
+    */
+  private[graft] def expectedSpan(f: Long, nb: Int): Int =
+    if (f <= 0L) 0
+    else if (f >= Int.MaxValue) nb
+    else math.min(nb.toDouble,
+      math.ceil(nb * (1.0 - math.pow(1.0 - 1.0 / nb, f.toDouble)))).toInt
+
   /** k-hop over the MATERIALIZED bucket-partitioned adjacency
     * ([[DerivedGraph.undAdjacency]]) — the scale path (VERDICT r14 #1).
     * Semantically identical to [[kHopIds]] (R15OpsSpec pins row-for-row
@@ -204,18 +245,20 @@ object Traverse {
       // buckets hops against the raw partitioned parquet — directory
       // pruning, and no 2|E|-row cache fill for a narrow hop; a wider
       // hop uses the (possibly persisted) full view, which beats a
-      // barely-pruned parquet decode where a cache exists. Collecting
-      // ≤ `nb` distinct bucket ids is one tiny job over the
-      // already-checkpointed frontier.
-      val hopAdj = byBucket match {
-        case Some((raw, nb, cutoff)) =>
-          val bks = frontier
-            .select(pmod(col("id"), lit(nb.toLong)).cast("int").as("bk"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          if (bks.length < nb && bks.length <= cutoff)
-            raw.filter(col("bk").isin(bks.map(Integer.valueOf): _*))
-          else und
-        case None => und
+      // barely-pruned parquet decode where a cache exists. The
+      // pruned-vs-full choice uses the span ESTIMATED from the
+      // already-tracked frontier row count ([[expectedSpan]] — no job);
+      // estimate-vs-exact differs only near the cutoff and only in plan
+      // CHOICE, never rows. The bucket filter itself takes one of two
+      // forms ([[prunedHopForm]]): the default collects the ≤`nb` bucket
+      // ids into a literal `bk IN (...)`; the `dpp` form rides the hop
+      // join (measured slower — see prunedHopForm's scaladoc). An
+      // over-limit frontier cannot broadcast, so those hops go to the
+      // full view's Bloom/chunked fallbacks below.
+      val prunedHop = byBucket match {
+        case Some((raw, nb, cutoff)) if frontierRows <= broadcastLimit &&
+            expectedSpan(frontierRows, nb) <= cutoff => Some((raw, nb))
+        case _ => None
       }
       val frontierA = frontier.withColumnRenamed("id", "a")
       // GRAFT_KHOP_FALLBACK=chunked (probe-only, VERDICT r16 #4): replace
@@ -229,9 +272,24 @@ object Traverse {
       // would re-read directories); outside that envelope the Bloom path
       // stands.
       val chunkedFallback = bigFrontierFallback == "chunked"
-      val nbrs =
+      val nbrs = prunedHop match {
+        case Some((raw, nb)) if prunedHopForm == "collect" =>
+          val bks = frontier
+            .select(pmod(col("id"), lit(nb.toLong)).cast("int").as("bk"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          raw.filter(col("bk").isin(bks.map(Integer.valueOf): _*))
+            .join(broadcast(frontierA), Seq("a"))
+        case Some((raw, nb)) =>
+          // the bk >= 0 filter is semantically identity (pmod is
+          // non-negative) but satisfies DPP's likely-selective
+          // filtering-side heuristic
+          val fab = frontierA
+            .withColumn("bk", pmod(col("a"), lit(nb.toLong)).cast("int"))
+            .filter(col("bk") >= 0)
+          raw.join(broadcast(fab), Seq("a", "bk"))
+        case None =>
         if (frontierRows <= broadcastLimit)
-          hopAdj.join(broadcast(frontierA), Seq("a"))
+          und.join(broadcast(frontierA), Seq("a"))
         else byBucket match {
           case Some((raw, nb, _)) if chunkedFallback &&
               (frontierRows + broadcastLimit - 1) / broadcastLimit <= nb =>
@@ -251,8 +309,9 @@ object Traverse {
             val probe = org.apache.spark.sql.GraftShim.column(
               graft.functions.LongBloomMightContain(
                 org.apache.spark.sql.GraftShim.expression(col("a")), bf))
-            hopAdj.filter(probe).join(frontierA, Seq("a"))
+            und.filter(probe).join(frontierA, Seq("a"))
         }
+      }
       val next = nbrs.select(col("b").as("id")).distinct()
       frontier = next.join(maybeBroadcast(visited, visitedRows), Seq("id"), "left_anti")
         .localCheckpoint()

@@ -14,10 +14,28 @@ class PlanShapeR10Spec extends SparkSpec {
   }
 
   test("graph_walks: frontier broadcasts every step, edges never sort-merge") {
+    // the final walk plan is a union over eagerly-checkpointed per-step
+    // leaves since r17 (the step joins execute inside the checkpoint jobs
+    // — RandomWalks.stepCandidates scaladoc), so the broadcast claim is
+    // pinned on a step's OWN plan, built exactly as walksCore builds it
     val p = planOf("graph_walks")
     assert(!p.contains("SortMergeJoin"),
       s"the 32-row frontier must broadcast, not shuffle the edges:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    import org.apache.spark.sql.functions.col
+    val g = graft.model.DerivedGraph(spark, sf)
+    val adj = graft.model.DerivedGraph.undAdjacency(spark, sf)
+    val seeds = {
+      import spark.implicits._
+      (1L to 32L).map(graft.model.DerivedGraph.CustomerBase + _).toDF("walk_id")
+    }
+    val frontier = seeds.select(col("walk_id"), col("walk_id").as("node"))
+    val step = graft.ops.RandomWalks.stepCandidates(frontier, adj.full,
+      Some((adj.byBucket, adj.buckets, graft.ops.Traverse.spanCutoff(adj))),
+      walkCount = 32L, step = 1)
+    step.collect()
+    val sp = step.queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastHashJoin"), s"no broadcast join in step:\n$sp")
+    assert(!sp.contains("SortMergeJoin"), s"step sort-merged the edges:\n$sp")
   }
 
   test("quality_encoding: map-only — no exchange at all") {
