@@ -82,8 +82,10 @@ object RandomWalks {
       byBucket: Option[(DataFrame, Int, Int)], walkCount: Long,
       step: Int): DataFrame = {
     val stepPruned = byBucket match {
+      // `< nb` as in Traverse.kHopCore: never "prune" a full span
       case Some((raw, nb, cutoff))
-          if Traverse.expectedSpan(walkCount, nb) <= cutoff => Some((raw, nb))
+          if Traverse.expectedSpan(walkCount, nb) <= cutoff &&
+            Traverse.expectedSpan(walkCount, nb) < nb => Some((raw, nb))
       case _ => None
     }
     val joined = stepPruned match {

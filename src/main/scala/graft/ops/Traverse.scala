@@ -256,8 +256,12 @@ object Traverse {
       // over-limit frontier cannot broadcast, so those hops go to the
       // full view's Bloom/chunked fallbacks below.
       val prunedHop = byBucket match {
+        // `< nb` keeps the pre-r17 exclusion: a full-span "pruned" hop is
+        // the same scan as the full view plus a pointless bucket filter
+        // (visible under policy none, where cutoff == nb)
         case Some((raw, nb, cutoff)) if frontierRows <= broadcastLimit &&
-            expectedSpan(frontierRows, nb) <= cutoff => Some((raw, nb))
+            expectedSpan(frontierRows, nb) <= cutoff &&
+            expectedSpan(frontierRows, nb) < nb => Some((raw, nb))
         case _ => None
       }
       val frontierA = frontier.withColumnRenamed("id", "a")
