@@ -42,6 +42,17 @@ object QueriesGraph {
     */
   private val postingsCache = new graft.model.SessionCache[String, org.apache.spark.sql.DataFrame]
 
+  /** Fixed-point Adamic–Adar weight per possible capped part degree:
+    * aaWeights(df − 2) = round(1e9 / ln df) for df ∈ [2, [[CommonNeighborMaxDf]]].
+    * Computed once HERE and embedded as identical integer literals in
+    * both engines' plans (`graph_adamic_adar`), so no logarithm is ever
+    * evaluated inside either query — the libm-difference objection that
+    * originally kept AA out of the inventory (see graph_resource_alloc)
+    * does not apply to a shared literal table.
+    */
+  private[graft] lazy val aaWeights: IndexedSeq[Long] =
+    (2 to CommonNeighborMaxDf).map(df => math.round(1e9 / math.log(df.toDouble)))
+
   /** Materialize the persisted posting-list frame — the bench warmup
     * hook, owned here next to the persist it warms (Tables convention).
     */
@@ -364,6 +375,51 @@ object QueriesGraph {
          |SELECT a_id, b_id, ra_units,
          |  round(CAST(ra_units AS DOUBLE) / 1e9, 6) AS ra
          |FROM pr ORDER BY ra_units DESC, a_id, b_id LIMIT 20""".stripMargin),
+
+    // Adamic–Adar link prediction (Adamic & Adar, Social Networks 2003):
+    // score(a,b) = Σ over shared neighbors z of 1/ln(deg(z)) — the
+    // third classic index beside common-neighbor Jaccard and
+    // Resource-Allocation. AA was previously passed over precisely
+    // because ln is NOT value-checkable across engines (libm builds
+    // differ in the last ulp); the fix is the generated-oracle
+    // discipline: the per-degree fixed-point weight table
+    // w(df) = round(1e9/ln df) for every possible capped df ∈ [2, 500]
+    // is computed ONCE in [[aaWeights]] and embedded as IDENTICAL
+    // integer literals in both plans (element_at lookup here, a VALUES
+    // lookup join in DuckDB), so neither engine evaluates a logarithm
+    // at query time and the BIGINT sums match exactly. Same capped
+    // posting-list shape as graph_resource_alloc; at 100 TB the weight
+    // table stays 499 constant rows while the pair stream rides the
+    // DF-capped lists.
+    "graph_adamic_adar" -> QueryDef(
+      (s, d) => {
+        val wArr = array(aaWeights.map(lit): _*) // index 1 ↔ df 2
+        val pairs = partPostings(s, d).filter(size(col("cs")) >= 2)
+          .withColumn("w", element_at(wArr, size(col("cs")) - 1))
+          .select(col("w"), posexplode(col("cs")).as(Seq("__i", "a_id")), col("cs"))
+          .select(col("w"), col("a_id"),
+            explode(slice(col("cs"), col("__i") + 2, size(col("cs")))).as("b_id"))
+        pairs.groupBy("a_id", "b_id").agg(sum(col("w")).as("aa_units"))
+          .select(col("a_id"), col("b_id"), col("aa_units"),
+            round(col("aa_units").cast("double") / lit(1e9), 6).as("aa"))
+          .orderBy(col("aa_units").desc, col("a_id"), col("b_id")).limit(20)
+      },
+      s"""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |pdf AS (SELECT p, COUNT(*) AS df FROM cp GROUP BY p),
+         |g AS (SELECT cp.c, cp.p, pdf.df FROM cp JOIN pdf ON cp.p = pdf.p
+         |      WHERE pdf.df <= $CommonNeighborMaxDf),
+         |aw(df, w) AS (VALUES ${
+           (2 to CommonNeighborMaxDf).zip(aaWeights)
+             .map { case (df, w) => s"($df,$w)" }.mkString(",")}),
+         |pr AS (SELECT g1.c AS a_id, g2.c AS b_id,
+         |         CAST(SUM(aw.w) AS BIGINT) AS aa_units
+         |       FROM g g1 JOIN g g2 ON g1.p = g2.p AND g1.c < g2.c
+         |       JOIN aw ON aw.df = g1.df
+         |       GROUP BY 1, 2)
+         |SELECT a_id, b_id, aa_units,
+         |  round(CAST(aa_units AS DOUBLE) / 1e9, 6) AS aa
+         |FROM pr ORDER BY aa_units DESC, a_id, b_id LIMIT 20""".stripMargin),
 
     // Deterministic 4-step random walks from 32 customer seeds over the
     // undirected derived graph — the DeepWalk/node2vec corpus primitive

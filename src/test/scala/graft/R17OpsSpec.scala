@@ -172,6 +172,31 @@ class R17OpsSpec extends SparkSpec {
     assert(bad.getMessage.contains("GRAFT_KHOP_PRUNE"))
   }
 
+  test("adamic-adar weight table: exact fixed-point of 1e9/ln(df), decreasing") {
+    val w = QueriesGraph.aaWeights
+    assert(w.length == QueriesGraph.CommonNeighborMaxDf - 1)
+    assert(w.head == math.round(1e9 / math.log(2.0)))
+    assert(w.last == math.round(1e9 / math.log(QueriesGraph.CommonNeighborMaxDf.toDouble)))
+    // strictly decreasing across the whole capped-degree domain — a
+    // regression here (overflow, off-by-one indexing) would silently
+    // reweight the oracle-matched sums
+    assert(w.sliding(2).forall { case Seq(x, y) => x > y })
+    assert(w.forall(x => x > 0L && x <= math.round(1e9 / math.log(2.0))))
+  }
+
+  test("graph_adamic_adar runs on the sf0.001 fixture with ranked output") {
+    val sf001 = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf001)),
+      "testdata sf0.001 not present")
+    val rows = Queries.all("graph_adamic_adar").fn(spark, sf001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // ranked by the exact integer units, display double consistent
+    assert(rows.map(_._3).toSeq.sliding(2).forall { case Seq(x, y) => x >= y })
+    assert(rows.forall { case (_, _, u, aa) =>
+      math.abs(aa - math.rint(u / 1e9 * 1e6) / 1e6) < 1e-9 })
+  }
+
   test("Bench warm failure surfaces by name and never enters cache_builds") {
     val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
