@@ -472,10 +472,18 @@ object Dedup {
     * has one row per document, and at 100 TB corpora (10⁸-10¹⁰ docs) a
     * forced hint is a driver collect that fails the job instead of
     * falling back. The gate charges the docs source's optimizer size
-    * estimate at 8 B/row — the id alone, so the row-count bound can only
-    * OVER-count (every surviving doc row also carries ≥ `len` text chars,
-    * and parquet compression cannot squeeze id+text under 8 B/row) —
-    * against [[graft.ops.Traverse.effectiveBroadcastLimit]], the same
+    * estimate at 8 B/row — the id alone, so the row-count bound
+    * over-counts for any real corpus (every surviving doc row also
+    * carries ≥ `len` text chars of entropy beside the id). The one
+    * corner where columnar compression could beat 8 B/row — a corpus of
+    * near-identical texts (dictionary-encodes to ~nothing) with
+    * delta-packed sequential ids — is exactly the corpus the
+    * [[ContainmentMaxDf]] cap empties: identical texts put every shared
+    * shingle's df over the cap, the postings drop out, and `sizes`
+    * (built FROM the capped postings) holds only the docs with unique
+    * tail shingles — whose tails are the entropy that pushes the file
+    * back over 8 B/row. The bound is compared against
+    * [[graft.ops.Traverse.effectiveBroadcastLimit]], the same
     * 48 B/row-vs-maxResultSize discipline the traversal frontiers use.
     * Past the bound the hint is dropped and AQE re-promotes the join to
     * broadcast from the REAL materialized stage size when it is in fact
