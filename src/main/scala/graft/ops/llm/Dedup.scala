@@ -471,25 +471,34 @@ object Dedup {
     * The sizes broadcast is GATED, not forced (VERDICT r16 #1): `sizes`
     * has one row per document, and at 100 TB corpora (10⁸-10¹⁰ docs) a
     * forced hint is a driver collect that fails the job instead of
-    * falling back. The gate charges the docs source's optimizer size
-    * estimate at 8 B/row — the id alone, so the row-count bound
-    * over-counts for any real corpus (every surviving doc row also
-    * carries ≥ `len` text chars of entropy beside the id). The one
-    * corner where columnar compression could beat 8 B/row — a corpus of
-    * near-identical texts (dictionary-encodes to ~nothing) with
-    * delta-packed sequential ids — is exactly the corpus the
-    * [[ContainmentMaxDf]] cap empties: identical texts put every shared
-    * shingle's df over the cap, the postings drop out, and `sizes`
-    * (built FROM the capped postings) holds only the docs with unique
-    * tail shingles — whose tails are the entropy that pushes the file
-    * back over 8 B/row. The bound is compared against
-    * [[graft.ops.Traverse.effectiveBroadcastLimit]], the same
-    * 48 B/row-vs-maxResultSize discipline the traversal frontiers use.
-    * Past the bound the hint is dropped and AQE re-promotes the join to
-    * broadcast from the REAL materialized stage size when it is in fact
-    * small, or keeps the shuffle join when it is not — the plan degrades,
-    * never dies. `broadcastDocLimit` < 0 (the default) derives the bound
-    * from the session; tests pass an explicit row bound to pin both paths.
+    * falling back. The gate is two-tier against
+    * [[graft.ops.Traverse.effectiveBroadcastLimit]] (the same
+    * 48 B/row-vs-maxResultSize discipline the traversal frontiers use):
+    *
+    *  1. FAST PATH, no job: the docs source's optimizer size estimate
+    *     charged at 8 B/row — the id alone, so the row bound only
+    *     over-counts (every surviving doc row also carries ≥ `len` text
+    *     chars of entropy beside the id). Under the limit ⇒ hint,
+    *     decided from metadata alone.
+    *  2. EXACT FALLBACK, one cheap job: when the proxy is indecisive it
+    *     can be off by the corpus's real bytes/row (measured 20× at the
+    *     sf30 tier — 160 B/row docs — where gate v1 dropped the hint,
+    *     AQE kept the sort-merge join because the materialized sizes
+    *     stage (24 MB) exceeds the 10 MB adaptive broadcast threshold,
+    *     and the query regressed 541 → 833 s with +3.5 GB shuffle;
+    *     BENCHNOTES r17). `docs.count()` settles it row-exactly — for
+    *     the bare parquet / cached tables this engine feeds in, a
+    *     row-group-metadata count (the AdjReadAB lesson: a bare count
+    *     decodes nothing), and one construction-time job is inside the
+    *     QueryDef contract. A derived `docs` input pays one real scan
+    *     here; callers in that shape can pre-count and pass
+    *     `broadcastDocLimit` themselves.
+    *
+    * Past the bound the hint is dropped and the join shuffles (AQE still
+    * re-promotes if the real stage lands under its threshold) — the plan
+    * degrades, never dies. `broadcastDocLimit` < 0 (the default) derives
+    * the bound from the session; tests pass an explicit row bound to pin
+    * all three paths.
     */
   def containment(docs: DataFrame, len: Int = 20, stride: Int = 5,
       maxDf: Int = ContainmentMaxDf, minCont: Double = 0.8,
@@ -517,7 +526,9 @@ object Dedup {
       if (broadcastDocLimit >= 0L) BigInt(broadcastDocLimit)
       else BigInt(graft.ops.Traverse.effectiveBroadcastLimit(docs.sparkSession))
     val docRowsUpper = docs.queryExecution.optimizedPlan.stats.sizeInBytes / 8
-    val sizesSide = if (docRowsUpper <= docLimit) broadcast(sizes) else sizes
+    val sizesSide =
+      if (docRowsUpper <= docLimit || docs.count() <= docLimit) broadcast(sizes)
+      else sizes
     val packed = postings.select(col("sh"), explode(col("ds")).as("d"))
       .join(sizesSide, "d")
       .groupBy("sh")

@@ -59,6 +59,22 @@ class R17OpsSpec extends SparkSpec {
     }
   }
 
+  test("containment indecisive-proxy path: exact count keeps the hint") {
+    // the sf30-tier regression shape (BENCHNOTES r17): the 8 B/row proxy
+    // over-counts past the limit while the REAL doc count is far under
+    // it — the exact-count fallback must keep the broadcast
+    val docs = mkDocs
+    val proxy = docs.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(8)
+    assume(proxy > 4, s"fixture proxy unexpectedly tiny: $proxy")
+    val limit = proxy.toLong - 1 // proxy indecisive, count (4) decisive
+    val out = graft.ops.llm.Dedup.containment(docs, broadcastDocLimit = limit)
+    out.collect()
+    assert(flatten(out.queryExecution.executedPlan).exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"count fallback did not keep the hint (proxy=$proxy limit=$limit):\n" +
+        out.queryExecution.executedPlan)
+  }
+
   test("containment in-bound: the sizes hint broadcasts (default-path guard)") {
     // the gate must not break the r16 plan shape at probe scale: a tiny
     // doc table (bytes/8 well under any session bound) keeps the hint
