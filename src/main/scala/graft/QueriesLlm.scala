@@ -1958,7 +1958,11 @@ object QueriesLlm {
     // anything. Both directions emitted per pair; threshold compares
     // 6-dp-rounded values on both engines.
     "dedup_containment" -> QueryDef(
-      (s, d) => Dedup.containment(t(s, d, "documents")),
+      // the doc count is threaded from the parquet footers (driver-side
+      // metadata, memoized — Tables.rowCount) so the broadcast gate never
+      // runs a construction-time job on the default path (VERDICT r17 #3)
+      (s, d) => Dedup.containment(t(s, d, "documents"),
+        docRowCount = graft.model.Tables.rowCount(s, d, "documents")),
       s"""WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 20) AS sh
         |            FROM (SELECT doc_id, text,
         |                    unnest(generate_series(1, length(text) - 19, 5)) AS p

@@ -73,14 +73,22 @@ object RandomWalks {
     * after r17 made the per-step frontier an eagerly-checkpointed leaf
     * (the step joins no longer appear in the FINAL walk plan;
     * PlanShapeR10Spec pins them here instead). A production |V|·W
-    * frontier past the broadcast threshold would drop the hint and
-    * shuffle BOTH sides on the node key instead. Spans past the cutoff
-    * fall back to the full view exactly like Traverse.kHopCore; the
-    * bucket filter takes the session's [[Traverse.prunedHopForm]].
+    * frontier past `broadcastLimit` DROPS the hint and the step shuffles
+    * both sides on the node key instead — that gate is real code since
+    * r18 (VERDICT r17 #5: the scaladoc used to promise a path that did
+    * not exist; the hint was unconditional), measured at sf10 W=4 under a
+    * forced-low limit (BENCHNOTES r18) and plan-pinned in
+    * PlanShapeR10Spec. Spans past the cutoff fall back to the full view
+    * exactly like Traverse.kHopCore; the bucket filter takes the
+    * session's [[Traverse.prunedHopForm]].
     */
   private[graft] def stepCandidates(frontier: DataFrame, und: DataFrame,
       byBucket: Option[(DataFrame, Int, Int)], walkCount: Long,
-      step: Int): DataFrame = {
+      step: Int, broadcastLimit: Long = Traverse.broadcastRowLimit): DataFrame = {
+    // one gate for every branch: a frontier past the session's
+    // broadcast-collect bound must never carry the hint, pruned or not
+    val hintFrontier: DataFrame => DataFrame =
+      if (walkCount <= broadcastLimit) broadcast(_) else identity
     val stepPruned = byBucket match {
       // `< nb` as in Traverse.kHopCore: never "prune" a full span
       case Some((raw, nb, cutoff))
@@ -94,17 +102,17 @@ object RandomWalks {
           .select(pmod(col("node"), lit(nb.toLong)).cast("int").as("bk"))
           .distinct().collect().map(_.getInt(0)).toSeq
         val stepAdj = raw.filter(col("bk").isin(bks.map(Integer.valueOf): _*))
-        broadcast(frontier).join(stepAdj, frontier("node") === stepAdj("a"))
+        hintFrontier(frontier).join(stepAdj, frontier("node") === stepAdj("a"))
       case Some((raw, nb)) =>
         // bk >= 0 is identity (pmod is non-negative) but satisfies
         // DPP's likely-selective filtering-side heuristic
         val fr = frontier
           .withColumn("bk", pmod(col("node"), lit(nb.toLong)).cast("int"))
           .filter(col("bk") >= 0)
-        broadcast(fr).join(raw,
+        hintFrontier(fr).join(raw,
           fr("node") === raw("a") && fr("bk") === raw("bk"))
       case None =>
-        broadcast(frontier).join(und, frontier("node") === und("a"))
+        hintFrontier(frontier).join(und, frontier("node") === und("a"))
     }
     joined
       .select(col("walk_id"), col("b").as("cand"))
@@ -122,8 +130,11 @@ object RandomWalks {
     // session's prunedHopForm (collect-literal default / dpp — see
     // Traverse.prunedHopForm for the measured A/B).
     val walkCount = seeds.count()
+    // resolved once per run, not per step (one env/conf read)
+    val broadcastLimit = Traverse.effectiveBroadcastLimit(seeds.sparkSession)
     for (step <- 1 to steps) {
-      val cand = stepCandidates(frontier, und, byBucket, walkCount, step)
+      val cand = stepCandidates(frontier, und, byBucket, walkCount, step,
+        broadcastLimit)
       // checkpoint each frontier: without it, the final union's branch
       // for step k re-executes every join 1..k (edges scanned 1+2+…+steps
       // times). It must be the EAGER localCheckpoint, not a lazy

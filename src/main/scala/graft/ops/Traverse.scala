@@ -73,9 +73,18 @@ object Traverse {
       .getOrElse(broadcastRowLimit)
     val bytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.driver.maxResultSize", "1g"))
-    if (bytes <= 0L) static
-    else math.min(static, bytes / 48L)
+    effectiveBroadcastLimitFor(bytes, static)
   }
+
+  /** The pure arithmetic of [[effectiveBroadcastLimit]], split out so the
+    * 48 B/row charge and the min are pinned against LITERAL expectations
+    * in spec (ADVICE r17: a test that recomputes the same expression it
+    * checks is tautological). `maxResultBytes` ≤ 0 means unlimited.
+    */
+  private[graft] def effectiveBroadcastLimitFor(maxResultBytes: Long,
+      static: Long): Long =
+    if (maxResultBytes <= 0L) static
+    else math.min(static, maxResultBytes / 48L)
 
   /** Validate a GRAFT_BCAST_LIMIT value — fail fast with a named message
     * (the GRAFT_KCORE_DEG / GRAFT_GRAPH_STORAGE discipline) instead of a
@@ -99,17 +108,77 @@ object Traverse {
     */
   val FrontierBloomFpp: Double = 0.02
 
-  /** Over-limit-frontier strategy: `bloom` (default) or `chunked`
-    * (probe-only, VERDICT r16 #4 — see the fallback branch in kHopCore).
-    * Env GRAFT_KHOP_FALLBACK for tool sessions; the system property is the
-    * in-process test hook.
+  /** Over-limit-frontier strategy: `bloom` or `chunked` — see the
+    * fallback branch in kHopCore. Env GRAFT_KHOP_FALLBACK for tool
+    * sessions; the system property is the in-process test hook.
     */
   private[graft] def bigFrontierFallback: String = {
     val v = sys.props.get("graft.khop.fallback")
-      .orElse(sys.env.get("GRAFT_KHOP_FALLBACK")).getOrElse("bloom")
+      .orElse(sys.env.get("GRAFT_KHOP_FALLBACK")).getOrElse("chunked")
     require(v == "bloom" || v == "chunked",
       s"GRAFT_KHOP_FALLBACK must be bloom|chunked, got '$v'")
     v
+  }
+
+  /** One broadcastable frontier slice of the chunked big-frontier
+    * fallback: either a group of WHOLE buckets (the common case — the
+    * slice's adjacency side is those buckets' directories, each read by
+    * exactly one slice) or a group of secondary-hash sub-cells of ONE
+    * oversize bucket (that bucket's directory is read once per sub-slice
+    * — the price of a bucket whose frontier alone exceeds the broadcast
+    * limit). `rows` is the slice's EXACT frontier row count, measured,
+    * never assumed from uniform hashing (VERDICT r17 #1 / ADVICE r17:
+    * the uniform-occupancy slice sizing could push a skewed slice past
+    * what maxResultSize can collect).
+    */
+  private[graft] sealed trait FrontierSlice { def rows: Long }
+  private[graft] final case class BucketSlice(buckets: Seq[Int], rows: Long)
+    extends FrontierSlice
+  private[graft] final case class SubSlice(bucket: Int, cells: Seq[Int],
+      subFan: Int, rows: Long) extends FrontierSlice
+
+  /** Secondary-hash fan for re-splitting oversize buckets, chosen so a
+    * fully skewed frontier (everything in one bucket) still lands cells
+    * of expected size ≤ limit/4 — then the EXACT per-cell counts decide.
+    * Capped so the counts collect stays O(buckets·fan) tiny.
+    */
+  private[graft] def subSplitFan(frontierRows: Long, limit: Long): Int =
+    math.min(1024L, 4L * frontierRows / math.max(1L, limit) + 1L).toInt
+
+  /** First-fit-decreasing pack of EXACT (bucket, sub-cell) frontier counts
+    * into slices of total ≤ `limit`. Buckets whose whole frontier fits are
+    * packed atomically (their directories are then read exactly once
+    * across all slices); an oversize bucket's cells are packed into
+    * dedicated sub-slices of that bucket alone. Returns None when a
+    * single CELL exceeds the limit (pathological hash skew at fan
+    * [[subSplitFan]]) — the caller then takes the Bloom path, which has
+    * no driver-collect failure mode.
+    */
+  private[graft] def packSlices(counts: Seq[((Int, Int), Long)], limit: Long,
+      subFan: Int): Option[Seq[FrontierSlice]] = {
+    if (counts.exists(_._2 > limit)) return None
+    val byBucket = counts.groupBy(_._1._1)
+    val (oversize, atomic) =
+      byBucket.partition { case (_, cs) => cs.map(_._2).sum > limit }
+    def ffd[T](items: Seq[(T, Long)]): Seq[(Seq[T], Long)] = {
+      val bins = scala.collection.mutable.ArrayBuffer
+        .empty[(scala.collection.mutable.ArrayBuffer[T], Long)]
+      for ((item, w) <- items.sortBy { case (_, w) => -w }) {
+        bins.indexWhere(_._2 + w <= limit) match {
+          case -1 => bins += ((scala.collection.mutable.ArrayBuffer(item), w))
+          case i => val (b, tot) = bins(i); b += item; bins(i) = (b, tot + w)
+        }
+      }
+      bins.toSeq.map { case (b, tot) => (b.toSeq, tot) }
+    }
+    val subSlices = oversize.toSeq.sortBy(_._1).flatMap { case (bk, cells) =>
+      ffd(cells.map { case ((_, sub), c) => (sub, c) })
+        .map { case (cs, tot) => SubSlice(bk, cs.sorted, subFan, tot) }
+    }
+    val bucketSlices =
+      ffd(atomic.toSeq.map { case (bk, cs) => (bk, cs.map(_._2).sum) })
+        .map { case (bks, tot) => BucketSlice(bks.sorted, tot) }
+    Some(subSlices ++ bucketSlices)
   }
 
   /** Pruned-hop bucket-filter form: `collect` (default — collect the
@@ -214,12 +283,15 @@ object Traverse {
     *     the adjacency directories the frontier touches — a depth-1/2
     *     frontier reads a few files instead of the 2|E| copy, and the
     *     filter is dropped entirely once every bucket is hit.
-    *  2. BLOOM PRE-FILTER past the broadcast limit: a frontier too big to
-    *     broadcast would otherwise exchange the whole adjacency side of
-    *     the hop join; instead its Bloom sketch is probed INSIDE the scan
-    *     stage ([[graft.functions.LongBloomMightContain]], codegen'd), so
-    *     the exchange carries only frontier-incident candidates (+fpp),
-    *     and the join stays exact.
+    *  2. CHUNKED SLICES past the broadcast limit (default since r18 —
+    *     VERDICT r17 #1): the frontier splits into measured-size
+    *     bucket-grouped slices, each broadcast against only its own
+    *     bucket directories ([[packSlices]]), so every hop join stays a
+    *     map-side hash join with no fp padding. The Bloom pre-filter
+    *     ([[graft.functions.LongBloomMightContain]] probed INSIDE the
+    *     scan stage, exchange carries only frontier-incident candidates
+    *     +fpp) remains the fallback for unbucketed adjacencies,
+    *     GRAFT_KHOP_FALLBACK=bloom, and pathological per-cell skew.
     */
   def kHopIdsAdj(adj: DerivedGraph.Adj, seed: Long, k: Int,
       broadcastLimit: Long = broadcastRowLimit): DataFrame = {
@@ -265,16 +337,19 @@ object Traverse {
         case _ => None
       }
       val frontierA = frontier.withColumnRenamed("id", "a")
-      // GRAFT_KHOP_FALLBACK=chunked (probe-only, VERDICT r16 #4): replace
-      // the Bloom path for over-limit frontiers with bucket-grouped
-      // frontier slices — each slice is ≤ limit ids broadcast against ONLY
-      // its own bucket directories (slices partition the bucket space, so
-      // the adjacency is still read exactly once in total), keeping the
-      // broadcast join's map-side pruning without the Bloom fp padding.
-      // Requires the bucketed adjacency and nChunks ≤ buckets (past that a
-      // single bucket's frontier slice alone exceeds the limit and slices
-      // would re-read directories); outside that envelope the Bloom path
-      // stands.
+      // Chunked fallback (DEFAULT since r18 — VERDICT r17 #1): over-limit
+      // frontiers split into bucket-grouped slices, each broadcast against
+      // ONLY its own bucket directories — the broadcast join's map-side
+      // pruning without the Bloom fp padding (sf100 A/B, BENCHNOTES r17/
+      // r18: 1.8× wall, 2.7× less shuffle than Bloom). Slice sizes are
+      // EXACT: one combinable groupBy over the already-checkpointed
+      // frontier measures per-(bucket, sub-cell) counts, first-fit packing
+      // keeps every slice ≤ limit, and an oversize bucket re-splits by a
+      // secondary hash — no uniform-occupancy assumption anywhere, so a
+      // skewed frontier can never push a broadcast collect past
+      // maxResultSize (the failure class ADVICE r17 flagged). Requires
+      // the bucketed adjacency; without it (or under GRAFT_KHOP_FALLBACK=
+      // bloom, or on pathological per-cell skew) the Bloom path stands.
       val chunkedFallback = bigFrontierFallback == "chunked"
       val nbrs = prunedHop match {
         case Some((raw, nb)) if prunedHopForm == "collect" =>
@@ -294,26 +369,51 @@ object Traverse {
         case None =>
         if (frontierRows <= broadcastLimit)
           und.join(broadcast(frontierA), Seq("a"))
-        else byBucket match {
-          case Some((raw, nb, _)) if chunkedFallback &&
-              (frontierRows + broadcastLimit - 1) / broadcastLimit <= nb =>
-            val nChunks = ((frontierRows + broadcastLimit - 1) / broadcastLimit).toInt
-            println(s"[khop] chunked fallback: $frontierRows ids in $nChunks " +
-              s"bucket-grouped slices of ≤$broadcastLimit")
-            (0 until nChunks).map { c =>
-              val adjC = raw.filter(pmod(col("bk"), lit(nChunks)) === c)
-              val frC = frontierA.filter(
-                pmod(pmod(col("a"), lit(nb.toLong)), lit(nChunks.toLong)) === c)
-              adjC.join(broadcast(frC), Seq("a"))
-            }.reduce(_ unionByName _)
-          case _ =>
-            // frontier too big to broadcast: Bloom-prune the adjacency in
-            // the scan stage, then join EXACTLY on the survivors
+        else {
+          // frontier too big for ONE broadcast: measure exact slice sizes
+          // and chunk, or Bloom-prune the adjacency in the scan stage and
+          // join EXACTLY on the survivors
+          def bloomHop: DataFrame = {
             val bf = frontier.stat.bloomFilter("id", frontierRows, FrontierBloomFpp)
             val probe = org.apache.spark.sql.GraftShim.column(
               graft.functions.LongBloomMightContain(
                 org.apache.spark.sql.GraftShim.expression(col("a")), bf))
             und.filter(probe).join(frontierA, Seq("a"))
+          }
+          byBucket match {
+            case Some((raw, nb, _)) if chunkedFallback =>
+              val fan = subSplitFan(frontierRows, broadcastLimit)
+              // one combinable agg over the checkpointed frontier —
+              // O(buckets·fan) rows collected, never O(frontier)
+              val counts = frontier.select(
+                  pmod(col("id"), lit(nb.toLong)).cast("int").as("bk"),
+                  pmod(xxhash64(col("id")), lit(fan.toLong)).cast("int").as("sub"))
+                .groupBy("bk", "sub").agg(count(lit(1)).as("c"))
+                .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toSeq
+              packSlices(counts, broadcastLimit, fan) match {
+                case Some(slices) =>
+                  println(s"[khop] chunked fallback: $frontierRows ids in " +
+                    s"${slices.length} measured slices of ≤$broadcastLimit " +
+                    s"(max ${slices.map(_.rows).max})")
+                  slices.map {
+                    case BucketSlice(bks, _) =>
+                      val jbks = bks.map(Integer.valueOf)
+                      raw.filter(col("bk").isin(jbks: _*)).join(
+                        broadcast(frontierA.filter(
+                          pmod(col("a"), lit(nb.toLong)).isin(jbks: _*))),
+                        Seq("a"))
+                    case SubSlice(bk, cells, sf, _) =>
+                      val jcs = cells.map(Integer.valueOf)
+                      raw.filter(col("bk") === bk).join(
+                        broadcast(frontierA.filter(
+                          pmod(col("a"), lit(nb.toLong)) === bk &&
+                            pmod(xxhash64(col("a")), lit(sf.toLong)).isin(jcs: _*))),
+                        Seq("a"))
+                  }.reduce(_ unionByName _)
+                case None => bloomHop // a single sub-cell over the limit
+              }
+            case _ => bloomHop
+          }
         }
       }
       val next = nbrs.select(col("b").as("id")).distinct()

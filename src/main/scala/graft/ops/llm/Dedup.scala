@@ -471,39 +471,41 @@ object Dedup {
     * The sizes broadcast is GATED, not forced (VERDICT r16 #1): `sizes`
     * has one row per document, and at 100 TB corpora (10⁸-10¹⁰ docs) a
     * forced hint is a driver collect that fails the job instead of
-    * falling back. The gate is two-tier against
+    * falling back. The gate compares the EXACT doc row count against
     * [[graft.ops.Traverse.effectiveBroadcastLimit]] (the same
-    * 48 B/row-vs-maxResultSize discipline the traversal frontiers use):
+    * 48 B/row-vs-maxResultSize discipline the traversal frontiers use),
+    * resolved in order:
     *
-    *  1. FAST PATH, no job: the docs source's optimizer size estimate
-    *     charged at 8 B/row — the id alone, so the row bound only
-    *     over-counts (every surviving doc row also carries ≥ `len` text
-    *     chars of entropy beside the id). Under the limit ⇒ hint,
-    *     decided from metadata alone.
-    *  2. EXACT FALLBACK, one cheap job: when the proxy is indecisive it
-    *     can be off by the corpus's real bytes/row (measured 20× at the
-    *     sf30 tier — 160 B/row docs — where gate v1 dropped the hint,
-    *     AQE kept the sort-merge join because the materialized sizes
-    *     stage (24 MB) exceeds the 10 MB adaptive broadcast threshold,
-    *     and the query regressed 541 → 833 s with +3.5 GB shuffle;
-    *     BENCHNOTES r17). `docs.count()` settles it row-exactly — for
-    *     the bare parquet / cached tables this engine feeds in, a
-    *     row-group-metadata count (the AdjReadAB lesson: a bare count
-    *     decodes nothing), and one construction-time job is inside the
-    *     QueryDef contract. A derived `docs` input pays one real scan
-    *     here; callers in that shape can pre-count and pass
-    *     `broadcastDocLimit` themselves.
+    *  1. `docRowCount` ≥ 0 — a count the caller already knows
+    *     (dedup_containment threads [[graft.model.Tables.rowCount]]'s
+    *     footer sum: driver-side metadata IO, NO job — VERDICT r17 #3).
+    *  2. the optimizer's `stats.rowCount` when defined (CBO-analyzed
+    *     tables, post-AQE cached stages) — exact or engine-estimated,
+    *     never a bytes-derived guess; no job.
+    *  3. one exact `docs.count()` job — the only remaining shape is a
+    *     DERIVED docs input with no count anywhere; for bare parquet
+    *     that count is row-group metadata only (the AdjReadAB lesson),
+    *     and one construction-time job is inside the QueryDef contract.
+    *
+    * Gate v2's bytes/8 fast path is GONE (ADVICE r17): sizeInBytes for a
+    * file scan is compressed ON-DISK bytes, and a duplicate-heavy corpus
+    * — the exact target of a containment dedup — can dictionary/RLE-pack
+    * text below 8 B/row, so the proxy could UNDER-count rows and confirm
+    * a broadcast past what the driver can collect. The recorded v1→v2
+    * lesson ("a proxy may only decide on the side where it over-counts")
+    * cuts both ways: a compressible-bytes proxy has no side it is safe
+    * on, so no proxy decides here at all — only counts do.
     *
     * Past the bound the hint is dropped and the join shuffles (AQE still
     * re-promotes if the real stage lands under its threshold) — the plan
     * degrades, never dies. `broadcastDocLimit` < 0 (the default) derives
     * the bound from the session; tests pass an explicit row bound to pin
-    * all three paths.
+    * both sides of the gate.
     */
   def containment(docs: DataFrame, len: Int = 20, stride: Int = 5,
       maxDf: Int = ContainmentMaxDf, minCont: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id",
-      broadcastDocLimit: Long = -1L): DataFrame = {
+      broadcastDocLimit: Long = -1L, docRowCount: Long = -1L): DataFrame = {
     val sh = docs.filter(length(col(textCol)) >= len)
       .select(col(idCol), explode(array_distinct(expr(
         s"transform(sequence(1, length($textCol) - ${len - 1}, $stride)," +
@@ -525,10 +527,11 @@ object Dedup {
     val docLimit =
       if (broadcastDocLimit >= 0L) BigInt(broadcastDocLimit)
       else BigInt(graft.ops.Traverse.effectiveBroadcastLimit(docs.sparkSession))
-    val docRowsUpper = docs.queryExecution.optimizedPlan.stats.sizeInBytes / 8
-    val sizesSide =
-      if (docRowsUpper <= docLimit || docs.count() <= docLimit) broadcast(sizes)
-      else sizes
+    val docRows: BigInt =
+      if (docRowCount >= 0L) BigInt(docRowCount)
+      else docs.queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(BigInt(docs.count()))
+    val sizesSide = if (docRows <= docLimit) broadcast(sizes) else sizes
     val packed = postings.select(col("sh"), explode(col("ds")).as("d"))
       .join(sizesSide, "d")
       .groupBy("sh")

@@ -16,13 +16,16 @@ class PlanShapeR10Spec extends SparkSpec {
   test("graph_walks: frontier broadcasts every step, edges never sort-merge") {
     // the final walk plan is a union over eagerly-checkpointed per-step
     // leaves since r17 (the step joins execute inside the checkpoint jobs
-    // — RandomWalks.stepCandidates scaladoc), so the broadcast claim is
-    // pinned on a step's OWN plan, built exactly as walksCore builds it
+    // — RandomWalks.stepCandidates scaladoc): pin THAT shape — a union of
+    // materialized leaves with no join resurfacing in the final plan (the
+    // former no-SortMergeJoin assertion was vacuously true of any
+    // union-of-leaves plan, ADVICE r17) — and the broadcast claim on a
+    // step's OWN plan, built exactly as walksCore builds it
     val p = planOf("graph_walks")
-    assert(!p.contains("SortMergeJoin"),
-      s"the 32-row frontier must broadcast, not shuffle the edges:\n$p")
+    assert(p.contains("Union"), s"expected a union of per-step leaves:\n$p")
+    assert(!p.contains("Join"),
+      s"step joins must stay inside the checkpoint jobs, not the final plan:\n$p")
     import org.apache.spark.sql.functions.col
-    val g = graft.model.DerivedGraph(spark, sf)
     val adj = graft.model.DerivedGraph.undAdjacency(spark, sf)
     val seeds = {
       import spark.implicits._

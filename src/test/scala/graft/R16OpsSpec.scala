@@ -44,22 +44,26 @@ class R16OpsSpec extends SparkSpec {
   }
 
   test("effectiveBroadcastLimit caps the static 25M bound by maxResultSize") {
-    // robust to the ambient environment (ADVICE r16 #4): skip under a
-    // GRAFT_BCAST_LIMIT override, and compute the expectation from the
-    // session's ACTUAL maxResultSize instead of assuming the 1g default
+    // LITERAL pins of the 48 B/row charge (ADVICE r17: the former
+    // recompute-the-same-expression check was tautological — a regression
+    // in the 48 or the min would have passed unnoticed):
+    // 1 GiB / 48 B = 22,369,621 rows, under the 25M static bound
+    assert(Traverse.effectiveBroadcastLimitFor(1L << 30, 25000000L) == 22369621L)
+    // 4 GiB admits the full static limit (the tool/bench builders' value)
+    assert(Traverse.effectiveBroadcastLimitFor(4L << 30, 25000000L) == 25000000L)
+    // maxResultSize=0 means unlimited — the static bound stands alone
+    assert(Traverse.effectiveBroadcastLimitFor(0L, 25000000L) == 25000000L)
+    // a forced-low static (GRAFT_BCAST_LIMIT) only LOWERS the bound
+    assert(Traverse.effectiveBroadcastLimitFor(1L << 30, 1000000L) == 1000000L)
+
+    // and the session path wires the session's ACTUAL maxResultSize into
+    // that arithmetic (skip under an ambient GRAFT_BCAST_LIMIT override)
     assume(sys.env.get("GRAFT_BCAST_LIMIT").isEmpty,
       "GRAFT_BCAST_LIMIT set in the ambient environment")
     val bytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.driver.maxResultSize", "1g"))
-    val expect = if (bytes <= 0L) Traverse.broadcastRowLimit
-      else math.min(Traverse.broadcastRowLimit, bytes / 48L)
-    val eff = Traverse.effectiveBroadcastLimit(spark)
-    assert(eff == expect, s"got $eff, expected $expect (maxResultSize=$bytes)")
-    // under the 1g default (what SparkSpec's builder leaves in place) the
-    // cap bites: a near-limit frontier falls back to the Bloom/SMJ path
-    // instead of failing the collect (ADVICE r15 #1)
-    if (bytes > 0L && bytes / 48L < Traverse.broadcastRowLimit)
-      assert(eff < Traverse.broadcastRowLimit)
+    assert(Traverse.effectiveBroadcastLimit(spark) ==
+      Traverse.effectiveBroadcastLimitFor(bytes, Traverse.broadcastRowLimit))
   }
 
   test("containment: hashed-shingle plan broadcasts the sizes join and never " +

@@ -59,19 +59,17 @@ class R17OpsSpec extends SparkSpec {
     }
   }
 
-  test("containment indecisive-proxy path: exact count keeps the hint") {
-    // the sf30-tier regression shape (BENCHNOTES r17): the 8 B/row proxy
-    // over-counts past the limit while the REAL doc count is far under
-    // it — the exact-count fallback must keep the broadcast
+  test("containment unknown-count path: the exact count keeps the hint") {
+    // the sf30-tier regression shape (BENCHNOTES r17), re-pinned for gate
+    // v3 (no byte proxy — ADVICE r17): with no caller-threaded count and
+    // no optimizer rowCount, one exact docs.count() must decide, and a
+    // real count at the bound keeps the broadcast
     val docs = mkDocs
-    val proxy = docs.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(8)
-    assume(proxy > 4, s"fixture proxy unexpectedly tiny: $proxy")
-    val limit = proxy.toLong - 1 // proxy indecisive, count (4) decisive
-    val out = graft.ops.llm.Dedup.containment(docs, broadcastDocLimit = limit)
+    val out = graft.ops.llm.Dedup.containment(docs, broadcastDocLimit = 4L)
     out.collect()
     assert(flatten(out.queryExecution.executedPlan).exists(_.isInstanceOf[
         org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
-      s"count fallback did not keep the hint (proxy=$proxy limit=$limit):\n" +
+      s"exact-count gate did not keep the hint at the bound:\n" +
         out.queryExecution.executedPlan)
   }
 
