@@ -517,8 +517,16 @@ object QueriesGraphX {
     // runs its own two-pass ladder on the same seeds). Top-100, (stress
     // desc, id) deterministic.
     "graph_stress" -> QueryDef(
+      // σ/accumulation still run their own two-pass ladder, but the
+      // forward pass rides the SHARED landmark-BFS frame for level
+      // membership (sixth consumer of the one traversal — VERDICT r17
+      // #2): the growing-visited anti-join broadcast and the per-round
+      // emptiness probes are gone; GraphAnalyticsSpec pins row parity
+      // with the standalone form
       (s, d) => GraphAnalytics.stressCentralityDF(
-        DerivedGraph.undirected(DerivedGraph(s, d).edges), spLandmarks, 10),
+        DerivedGraph.undirected(DerivedGraph(s, d).edges), spLandmarks, 10,
+        levels = Some(sharedBfs(s, d).select(
+          col("landmark").as("lm"), col("id"), col("dist")))),
       stressOracleSql)
   )
 
@@ -795,8 +803,11 @@ object QueriesGraphX {
        |FROM ds LEFT JOIN ei USING (community), mm
        |ORDER BY ds.community""".stripMargin
 
-  /** Landmarks for graph_shortest_paths: three nation vertices. */
-  private lazy val spLandmarks: Seq[Long] =
+  /** Landmarks for graph_shortest_paths: three nation vertices.
+    * `private[graft]` so the R18 stress-parity spec can replay the
+    * standalone form on the same seeds.
+    */
+  private[graft] lazy val spLandmarks: Seq[Long] =
     Seq(3L, 7L, 12L).map(DerivedGraph.NationBase + _)
 
   /** Max BFS depth baked into the shared landmark frame — folded into the

@@ -1233,8 +1233,21 @@ object GraphAnalytics {
     * graph with 10¹⁸-path multiplicities moves the output column to
     * DECIMAL(38,0), same ladder.
     */
+  /** `levels`, when given, is a precomputed (lm, id, dist) landmark-BFS
+    * frame over the SAME edges/seeds/maxDepth (the shared
+    * [[multiSourceBfs]] frame that shortest_paths/closeness/harmonic/
+    * eccentricity already ride — VERDICT r17 #2). The forward pass then
+    * keeps only σ propagation: the per-round `left_anti` against the
+    * GROWING visited union (a driver broadcast re-collected every round,
+    * |V|·L rows by the end) becomes a semi-join against the one level's
+    * membership, the per-round isEmpty probe disappears (the frame's max
+    * depth bounds the loop), and rounds past the graph's true depth are
+    * never run. Row-identical to the standalone form
+    * (GraphAnalyticsSpec pins parity) — levels only name WHICH vertices
+    * sit at depth d, a fact both forms derive from the same BFS.
+    */
   def stressCentralityDF(edges: DataFrame, seeds: Seq[Long],
-      maxDepth: Int = 10): DataFrame = {
+      maxDepth: Int = 10, levels: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val spark = edges.sparkSession
     import spark.implicits._
@@ -1260,10 +1273,10 @@ object GraphAnalytics {
     } //                                re-execute the plan it just probed
     // forward: per landmark, level-synchronous frontier carrying σ
     var frontier = narrow(seeds.map(s => (s, s, 1L)).toDF("lm", "id", "sigma"))
-    val levels = scala.collection.mutable.ArrayBuffer((0, frontier))
+    val sigmaLevels = scala.collection.mutable.ArrayBuffer((0, frontier))
     // the visited side is a union of CHECKPOINTED level frames — lineage
     // stays shallow without re-materializing an O(|V|) frame every round
-    def visited = levels.map(_._2.select("lm", "id")).reduce(_ unionAll _)
+    def visited = sigmaLevels.map(_._2.select("lm", "id")).reduce(_ unionAll _)
     // frontier/visited/h frames are ≤|V|·L rows — broadcast them so the
     // BIG side (und) never re-shuffles: each round is then a map-side
     // broadcast join + ONE combinable groupBy shuffle over the messages
@@ -1280,25 +1293,44 @@ object GraphAnalytics {
     // three-deserialized-copy variant OOM'd a 100g heap).
     val hintSmall: DataFrame => DataFrame =
       if (undCount <= 50000000L) broadcast(_) else identity
-    var d = 0
-    var exhausted = false
-    while (d < maxDepth && !exhausted) {
-      d += 1
-      val next = narrow(hintSmall(frontier).join(und, col("id") === col("a"))
+    def sigmaMessages(fr: DataFrame): DataFrame =
+      hintSmall(fr).join(und, col("id") === col("a"))
         .groupBy(col("lm"), col("b"))
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("lm"), col("b").as("id"), col("sigma"))
-        .join(hintSmall(visited), Seq("lm", "id"), "left_anti"))
-      if (next.isEmpty) exhausted = true
-      else {
-        frontier = next
-        levels += ((d, next))
-      }
+    levels match {
+      case Some(lv) =>
+        // ride the shared BFS frame: σ(v at depth d) = Σ σ(u at d−1) over
+        // edges into EXACTLY the level-d membership — the semi-join
+        // replaces the growing-visited anti-join, and the frame's max
+        // depth replaces the per-round emptiness probe
+        val maxD = math.min(maxDepth.toLong,
+          lv.agg(max(col("dist"))).head().getLong(0)).toInt
+        for (d <- 1 to maxD) {
+          val lvlD = lv.filter(col("dist") === d).select(col("lm"), col("id"))
+          val next = narrow(
+            sigmaMessages(frontier).join(hintSmall(lvlD), Seq("lm", "id"), "left_semi"))
+          frontier = next
+          sigmaLevels += ((d, next))
+        }
+      case None =>
+        var d = 0
+        var exhausted = false
+        while (d < maxDepth && !exhausted) {
+          d += 1
+          val next = narrow(
+            sigmaMessages(frontier).join(hintSmall(visited), Seq("lm", "id"), "left_anti"))
+          if (next.isEmpty) exhausted = true
+          else {
+            frontier = next
+            sigmaLevels += ((d, next))
+          }
+        }
     }
     // backward: h by descending depth; the deepest level has no DAG
     // successors, so its h is the left-join's coalesce(…, 0)
     var hPrev: DataFrame = null
-    val scored = levels.reverseIterator.map { case (_, lvl) =>
+    val scored = sigmaLevels.reverseIterator.map { case (_, lvl) =>
       val withH = if (hPrev == null)
         lvl.withColumn("h", lit(0L))
       else {
