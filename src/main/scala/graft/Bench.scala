@@ -166,13 +166,22 @@ object Bench {
     // toRealPath resolves symlinked spellings of the canonical dir too;
     // getFileName is null for a filesystem root ("/"), so go through
     // Option — both holes flagged by ADVICE r14 on the normalize-only form
+    // CPU-count suffix for every non-canonical configuration: in r18 the
+    // driver's 8-core sf0.1 run overwrote the 32-core run's sidecar seven
+    // minutes later (both defaulted to the bare name), destroying the only
+    // load-average record of an anomalous 3.8x reading (VERDICT r18 #1/#2).
+    // The bare canonical name is reserved for the driver's main protocol
+    // (sf0.1 at 32 cpus); any other cpu count gets `_c$cpus` so one run can
+    // never clobber another's evidence. SPARK_GRAFT_BENCH_OUT still wins.
     val defaultSidecar = {
       val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath
       val real = try abs.toRealPath()
         catch { case _: java.io.IOException => abs.normalize }
-      if (Option(real.getFileName).map(_.toString).contains("sf0.1"))
-        "BENCH_local.json"
-      else s"BENCH_local_${graft.model.CacheDirs.dirTag(sfDir)}.json"
+      val canonicalSf = Option(real.getFileName).map(_.toString).contains("sf0.1")
+      val base =
+        if (canonicalSf) "BENCH_local"
+        else s"BENCH_local_${graft.model.CacheDirs.dirTag(sfDir)}"
+      if (canonicalSf && cpus == "32") base + ".json" else s"${base}_c$cpus.json"
     }
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultSidecar)
     try {
@@ -187,8 +196,13 @@ object Bench {
     // precision 2dp → 1dp, then keep only the slowest queries (the full
     // detail is always in the BENCH_local.json sidecar) — the line must
     // stay valid JSON with a correct total at ANY inventory size.
+    // `load` (end-of-run 1/5/15-min averages) now rides the STDOUT line too,
+    // not just the sidecar: the r18 32-core anomaly could not be adjudicated
+    // post-hoc because its sidecar was clobbered and the captured tail had no
+    // load record (VERDICT r18 #2). ~25 chars; the truncation budget below
+    // accounts for it automatically since line() includes it.
     def line(qs: Map[String, Double], dp: Int, truncated: Boolean = false) =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"warm_failed":$warmFailedJs,"cache_builds":${js(cacheBuilds.toMap, 1)},"queries":${js(qs, dp)}""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"warm_failed":$warmFailedJs,"load":$load,"cache_builds":${js(cacheBuilds.toMap, 1)},"queries":${js(qs, dp)}""" +
         (if (truncated) s""","queries_truncated":true""" else "") +
         s""","sf":"$sfDir"}"""
     val l2 = line(results, 2)
