@@ -2106,12 +2106,28 @@ object QueriesLlm {
         // silently drop qualifying pairs. The prefix restriction is the
         // pruning; a genuinely quadratic hub prefix token at scale is the
         // documented worst case of every exact SSJoin.
-        val cand = prefix.groupBy("source", "tok")
-          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        // LENGTH FILTER (Chaudhuri et al. 2006 §3 / PPJoin): J(x,y) ≥ 0.8
+        // forces 5·min(|x|,|y|) ≥ 4·max(|x|,|y|) (inter ≤ min, uni ≥ max),
+        // so size-incompatible candidate pairs die HERE — integer-exact,
+        // before the two set-array joins and the O(|x|+|y|) intersections
+        // that verification pays per pair (guide §3: pre-filter the
+        // expensive join's input when the predicate allows it). The set
+        // size n rides the posting list as a struct field; pairs dropped
+        // are exactly those the final 5·inter ≥ 4·uni filter would drop,
+        // so the output is row-identical (oracle unchanged).
+        val cand0 = prefix.groupBy("source", "tok")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("docs"))
           .filter(size(col("docs")) >= 2)
-          .select(col("source"), posexplode(col("docs")).as(Seq("__i", "a_id")), col("docs"))
-          .select(col("source"), col("a_id"),
-            explode(slice(col("docs"), col("__i") + 2, size(col("docs")))).as("b_id"))
+          .select(col("source"), posexplode(col("docs")).as(Seq("__i", "a")), col("docs"))
+          .select(col("source"), col("a.doc_id").as("a_id"), col("a.n").as("na"),
+            explode(slice(col("docs"), col("__i") + 2, size(col("docs")))).as("b"))
+        // graft.ssj.lenfilter=0: FlagAB's off-switch for the interleaved A/B
+        val cand1 = if (sys.props.get("graft.ssj.lenfilter")
+            .orElse(sys.env.get("GRAFT_SSJ_LENFILTER")).contains("0")) cand0
+          else cand0.filter(lit(5L) * least(col("na"), col("b.n")) >=
+            lit(4L) * greatest(col("na"), col("b.n")))
+        val cand = cand1
+          .select(col("source"), col("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
         val sets = toks.groupBy("source", "doc_id")
           .agg(sort_array(collect_list(col("tok"))).as("ts"))

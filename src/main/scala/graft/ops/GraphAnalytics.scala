@@ -231,14 +231,30 @@ object GraphAnalytics {
       if (i % checkpointEvery == 0 || i == numIter) ranks = ranks.localCheckpoint()
     }
     // normalize Σranks to |V| like GraphX (SPARK-18847 sink correction):
-    // the total is a single-row exact-decimal aggregate, broadcast against
-    // |V| rows — the by-design scalar join shape, and the scaling step is
-    // IEEE mult/div of identical doubles on both engines.
-    val tot = ranks.agg(graft.Qh.dsum(col("rank"), 6).as("__t"),
-      count(lit(1)).as("__n"))
-    ranks.crossJoin(broadcast(tot))
-      .select(col("id"),
-        round(col("rank") * col("__n") / col("__t"), roundScale).as("rank"))
+    // the total is a single-row exact-decimal aggregate over the final
+    // (checkpointed) rank table, fetched as ONE driver row and embedded
+    // as literals — the renormStep discipline: broadcast(tot) collects
+    // the same row to the driver anyway, then pays a broadcast-build job
+    // and an extra plan layer on top. Types match the former crossJoin
+    // form exactly (t is dsum's DOUBLE, n a LONG), so
+    // `rank * n / t` promotes identically and the DuckDB replay is
+    // unchanged; the scaling step is IEEE mult/div of identical doubles
+    // on both engines.
+    if (sys.props.get("graft.pr.crossjoin")
+        .orElse(sys.env.get("GRAFT_PR_CROSSJOIN")).contains("1")) {
+      // pre-r19 form, kept for the CentralityAB tool only
+      val tot = ranks.agg(graft.Qh.dsum(col("rank"), 6).as("__t"),
+        count(lit(1)).as("__n"))
+      ranks.crossJoin(broadcast(tot))
+        .select(col("id"),
+          round(col("rank") * col("__n") / col("__t"), roundScale).as("rank"))
+    } else {
+      val trow = ranks.agg(graft.Qh.dsum(col("rank"), 6).as("__t"),
+        count(lit(1)).as("__n")).head()
+      val (t, n) = (trow.getDouble(0), trow.getLong(1))
+      ranks.select(col("id"),
+        round(col("rank") * lit(n) / lit(t), roundScale).as("rank"))
+    }
   }
 
   /** Personalized PageRank (Page et al. 1999 §6 / Jeh & Widom 2003):
@@ -417,6 +433,24 @@ object GraphAnalytics {
     * renormalized projection read it (an un-cut y re-executes its edge
     * join inside the next round's broadcast build — the r9 3-4× cost).
     */
+  /** When true (default), each renorm round's message table materializes
+    * INSIDE the scalar-total job instead of a dedicated eager-checkpoint
+    * job: `localCheckpoint(eager = false)` cuts lineage identically (the
+    * returned frame is a LogicalRDD either way, its RDD marked for local
+    * checkpointing at call time), and the total's `head()` is a blocking
+    * global aggregate touching every partition — so that one job both
+    * fills the checkpoint and fetches the scalar. One job per renorm
+    * round instead of two (measured per-round jobs and wall in the
+    * CentralityAB entry, BENCHNOTES r19 — VERDICT r18 #5). Unlike
+    * pageRankDF's REJECTED eager=false (there the fill folded into the
+    * next round's broadcast-build THREAD, serializing it), here the
+    * scalar fetch is an immediate same-frame action, so the fill rides a
+    * normal fully-parallel job. Sys-prop switch for the A/B tool only.
+    */
+  private[graft] def renormFoldedFetch: Boolean =
+    !sys.props.get("graft.renorm.eager")
+      .orElse(sys.env.get("GRAFT_RENORM_EAGER")).contains("1")
+
   private def renormStep(state: DataFrame, stateCol: String, ed: DataFrame,
       sendKey: String, gatherKey: String, noRecv: DataFrame,
       hintSmall: DataFrame => DataFrame, yParts: Int, roundScale: Int,
@@ -428,7 +462,7 @@ object GraphAnalytics {
       .select(col(gatherKey).as("id"), col("__y"))
       .unionAll(noRecv.select(col("id"), lit(0.0).as("__y")))
       .coalesce(yParts)
-      .localCheckpoint()
+      .localCheckpoint(eager = !renormFoldedFetch)
     val row = y.agg(graft.Qh.dsum(col("__y"), roundScale).as("__t"),
       count(lit(1)).as("__n")).head()
     val (t, n) = (row.getDouble(0), row.getLong(1))
@@ -1246,6 +1280,15 @@ object GraphAnalytics {
     * (GraphAnalyticsSpec pins parity) — levels only name WHICH vertices
     * sit at depth d, a fact both forms derive from the same BFS.
     */
+  /** Backward-pass form switch (A/B only — see the in-loop comment):
+    * `graft.stress.backsemi=1` pre-filters h-messages to the receiving
+    * level's membership before the per-round groupBy. Row-identical by
+    * construction; default stays the measured winner.
+    */
+  private[graft] def stressBackwardSemi: Boolean =
+    sys.props.get("graft.stress.backsemi")
+      .orElse(sys.env.get("GRAFT_STRESS_BACKSEMI")).contains("1")
+
   def stressCentralityDF(edges: DataFrame, seeds: Seq[Long],
       maxDepth: Int = 10, levels: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -1337,9 +1380,21 @@ object GraphAnalytics {
         // successor columns renamed BEFORE the join — levels share
         // attribute lineage through the forward pass, and an lm==lm
         // condition would otherwise lean on self-join disambiguation
-        val succ = und.join(
+        val msgs = und.join(
             hintSmall(hPrev.select(col("lm").as("__slm"), col("id").as("__w"), col("h"))),
             col("b") === col("__w"))
+        // frame-driven backward form (VERDICT r18 #7): h-messages from
+        // level d+1 only matter at level-d receivers (BFS-DAG edges go
+        // depth d → d+1); the left join below drops the rest AFTER the
+        // groupBy has shuffled them. The semi-join filters them map-side
+        // BEFORE the agg — row-identical output (the dropped (lm, a)
+        // groups are exactly the left join's misses). Off by default
+        // pending the StressAB ≥10%-at-both-SFs bar.
+        val kept = if (stressBackwardSemi)
+          msgs.join(hintSmall(lvl.select(col("lm").as("__slm"), col("id").as("a"))),
+            Seq("__slm", "a"), "left_semi")
+        else msgs
+        val succ = kept
           .groupBy(col("__slm"), col("a"))
           .agg(sum(lit(1L) + col("h")).as("__hs"))
         lvl.join(succ,

