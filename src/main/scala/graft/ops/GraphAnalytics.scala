@@ -1388,8 +1388,11 @@ object GraphAnalytics {
         // depth d → d+1); the left join below drops the rest AFTER the
         // groupBy has shuffled them. The semi-join filters them map-side
         // BEFORE the agg — row-identical output (the dropped (lm, a)
-        // groups are exactly the left join's misses). Off by default
-        // pending the StressAB ≥10%-at-both-SFs bar.
+        // groups are exactly the left join's misses). MEASURED AND
+        // REJECTED (CentralityAB entry, BENCHNOTES r19): +5 jobs/run
+        // from the per-round membership broadcast builds, wall 7.11 vs
+        // 6.24-6.99 s at sf0.1 — fails the ≥10%-at-both-SFs bar at the
+        // first SF, so the default stays off; flag kept for re-probing.
         val kept = if (stressBackwardSemi)
           msgs.join(hintSmall(lvl.select(col("lm").as("__slm"), col("id").as("a"))),
             Seq("__slm", "a"), "left_semi")

@@ -76,8 +76,10 @@ object RandomWalks {
     * frontier past `broadcastLimit` DROPS the hint and the step shuffles
     * both sides on the node key instead — that gate is real code since
     * r18 (VERDICT r17 #5: the scaladoc used to promise a path that did
-    * not exist; the hint was unconditional), measured at sf10 W=4 under a
-    * forced-low limit (BENCHNOTES r18) and plan-pinned in
+    * not exist; the hint was unconditional), measured at sf10 with a
+    * 3.6M-walk frontier under a forced-low limit — SortMergeJoin both
+    * sides exchanged, shuffle linear at 1.78 GB/step, rows exact
+    * (WalksProbe entry, BENCHNOTES r19) — and plan-pinned in
     * PlanShapeR10Spec. Spans past the cutoff fall back to the full view
     * exactly like Traverse.kHopCore; the bucket filter takes the
     * session's [[Traverse.prunedHopForm]].
