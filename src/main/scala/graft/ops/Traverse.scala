@@ -340,8 +340,10 @@ object Traverse {
       // Chunked fallback (DEFAULT since r18 — VERDICT r17 #1): over-limit
       // frontiers split into bucket-grouped slices, each broadcast against
       // ONLY its own bucket directories — the broadcast join's map-side
-      // pruning without the Bloom fp padding (sf100 A/B, BENCHNOTES r17/
-      // r18: 1.8× wall, 2.7× less shuffle than Bloom). Slice sizes are
+      // pruning without the Bloom fp padding (this shipped form measured
+      // at sf100 under a forced 1M limit, BENCHNOTES r19 "#3a" entry:
+      // 1.25× wall / 1.9× less shuffle than Bloom same-codec, rows
+      // identical, every slice ≤ limit). Slice sizes are
       // EXACT: one combinable groupBy over the already-checkpointed
       // frontier measures per-(bucket, sub-cell) counts, first-fit packing
       // keeps every slice ≤ limit, and an oversize bucket re-splits by a
