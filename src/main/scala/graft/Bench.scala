@@ -78,8 +78,12 @@ object Bench {
     // Failed warm steps surface by name in `warm_failed` (JSON line +
     // sidecar) and never enter cache_builds — see warmStepInto.
     val warmFailed = scala.collection.mutable.ArrayBuffer.empty[String]
-    def warmStep(name: String)(f: => Unit): Unit =
+    def warmStep(name: String)(f: => Unit): Unit = {
+      // guide §1.5: label jobs so UI/event-log analysis attributes stages
+      // to their step — a thread-local driver-side string, no timing effect
+      spark.sparkContext.setJobDescription(s"bench-warm:$name")
       warmStepInto(cacheBuilds, warmFailed, name)(f)
+    }
     warmStep("tables")(graft.model.Tables.warm(spark, sfDir))
     warmStep("graph")(graft.ops.GraphAnalytics.warm(spark, sfDir))
     // bucket-clustered endpoint table: graph_kcore's init-degree source
@@ -110,6 +114,9 @@ object Bench {
     // collected and emitted in the JSON line + sidecar.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+      // guide §1.5 job label, set BEFORE the clock starts — zero effect on
+      // the measured wall (driver-side thread-local string)
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
